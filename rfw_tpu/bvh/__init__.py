@@ -1,0 +1,5 @@
+from .builder import BVH, build_bvh, triangle_bounds
+from .wide import Treelets, WideBVH, collapse_wide, extract_treelets
+
+__all__ = ["BVH", "build_bvh", "triangle_bounds", "Treelets", "WideBVH",
+           "collapse_wide", "extract_treelets"]

@@ -1,0 +1,189 @@
+"""Wide-BVH collapse + treelet extraction.
+
+The reference collapses its binary BVH into a 4-wide SoA MBVH for SIMD
+traversal (/root/reference/RFW/system/bvh/.../mbvh_node.h:43-107, built by the
+rtbvh ``create_mbvh`` call). Here the same collapse feeds two consumers:
+
+* ``collapse_wide`` — W-wide SoA nodes for the gather-based jnp traversal
+  (ops/traverse.py), W=4 by default like the reference.
+* ``extract_treelets`` — cuts the binary BVH into leaf subtrees of at most K
+  triangles. Because the builder permutes triangles into leaf-contiguous
+  order, each treelet is a *contiguous* triangle range; the Pallas/MXU engine
+  intersects (ray block × treelet) pairs densely. A second, shallow BVH over
+  treelet AABBs provides the culling hierarchy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .builder import BVH, build_bvh
+
+INVALID = np.int32(-1)
+
+
+@dataclasses.dataclass
+class WideBVH:
+    """W-wide SoA nodes. child[i, j] encoding: <0 empty; otherwise if
+    count[i, j] > 0 it is the first-triangle offset of a leaf, else the index
+    of another wide node (cf. MBVHNode child/count packing, mbvh_node.h)."""
+
+    bmin: np.ndarray    # (N, W, 3)
+    bmax: np.ndarray    # (N, W, 3)
+    child: np.ndarray   # (N, W) int32
+    count: np.ndarray   # (N, W) int32  (-1 = internal, >=0 leaf tri count)
+
+    @property
+    def width(self) -> int:
+        return int(self.child.shape[1])
+
+    @property
+    def node_count(self) -> int:
+        return int(self.child.shape[0])
+
+
+def collapse_wide(bvh: BVH, width: int = 4) -> WideBVH:
+    """Greedy collapse: repeatedly expand the child with the largest surface
+    area until ``width`` slots are used (the standard 2→4-wide collapse the
+    rtbvh crate performs)."""
+
+    def area(i: int) -> float:
+        d = np.maximum(bvh.bmax[i] - bvh.bmin[i], 0)
+        return float(d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    nodes_bmin: list[np.ndarray] = []
+    nodes_bmax: list[np.ndarray] = []
+    nodes_child: list[np.ndarray] = []
+    nodes_count: list[np.ndarray] = []
+
+    # queue of (wide slot index, binary node index)
+    pending: list[tuple[int, int]] = []
+
+    def alloc_wide() -> int:
+        nodes_bmin.append(np.zeros((width, 3), np.float32))
+        nodes_bmax.append(np.zeros((width, 3), np.float32))
+        nodes_child.append(np.full(width, INVALID, np.int32))
+        nodes_count.append(np.full(width, INVALID, np.int32))
+        return len(nodes_child) - 1
+
+    root_wide = alloc_wide()
+    pending.append((root_wide, 0))
+
+    while pending:
+        wide_idx, bin_idx = pending.pop()
+        # gather up to `width` binary subtree roots under bin_idx
+        if bvh.count[bin_idx] > 0:
+            slots = [bin_idx]
+        else:
+            slots = [int(bvh.child[bin_idx]), int(bvh.child[bin_idx]) + 1]
+            while len(slots) < width:
+                # expand the internal slot with the largest surface area
+                internal = [s for s in slots if bvh.count[s] == 0]
+                if not internal:
+                    break
+                pick = max(internal, key=area)
+                slots.remove(pick)
+                slots.extend([int(bvh.child[pick]), int(bvh.child[pick]) + 1])
+
+        for j, s in enumerate(slots):
+            nodes_bmin[wide_idx][j] = bvh.bmin[s]
+            nodes_bmax[wide_idx][j] = bvh.bmax[s]
+            if bvh.count[s] > 0:  # leaf
+                nodes_child[wide_idx][j] = bvh.child[s]
+                nodes_count[wide_idx][j] = bvh.count[s]
+            else:
+                w = alloc_wide()
+                nodes_child[wide_idx][j] = w
+                nodes_count[wide_idx][j] = INVALID
+                pending.append((w, s))
+
+    return WideBVH(
+        bmin=np.stack(nodes_bmin), bmax=np.stack(nodes_bmax),
+        child=np.stack(nodes_child), count=np.stack(nodes_count),
+    )
+
+
+@dataclasses.dataclass
+class Treelets:
+    """Contiguous triangle ranges + their bounds + a top hierarchy.
+
+    first/count: (T,) ranges into the builder's permuted triangle order,
+    padded so every treelet spans exactly ``size`` slots in the *padded*
+    triangle arrays (padding triangles are degenerate ⇒ never hit); this
+    gives the dense intersector static shapes.
+    """
+
+    first: np.ndarray       # (T,) int32 into padded triangle arrays
+    count: np.ndarray       # (T,) int32 real triangles in the treelet
+    bmin: np.ndarray        # (T, 3)
+    bmax: np.ndarray        # (T, 3)
+    size: int               # padded triangles per treelet
+    pad_map: np.ndarray     # (T*size,) int32: padded slot → original tri id (-1 pad)
+    top: WideBVH            # wide hierarchy over treelet AABBs (leaves =
+    #                         treelet ids via count>0 ⇒ child = treelet id)
+
+
+def extract_treelets(bvh: BVH, tri_min: np.ndarray, tri_max: np.ndarray,
+                     size: int = 64, top_width: int = 4) -> Treelets:
+    """Cut the binary BVH into subtrees of ≤ ``size`` triangles.
+
+    Walk from the root; descend while a subtree holds more than ``size``
+    tris; each stopping point becomes one treelet (its triangle range is
+    contiguous in prim_order by construction).
+    """
+    # subtree triangle ranges: leaves carry (first, count); internal nodes
+    # cover the union of their children — compute (lo, hi) bottom-up by
+    # walking children (ranges are contiguous since the build emits leaves
+    # in DFS order).
+    n = bvh.node_count
+    lo = np.zeros(n, np.int64)
+    hi = np.zeros(n, np.int64)
+    # children appear after parents in the builder's layout, so reverse
+    # iteration computes ranges bottom-up.
+    for i in range(n - 1, -1, -1):
+        if bvh.count[i] > 0:
+            lo[i] = bvh.child[i]
+            hi[i] = bvh.child[i] + bvh.count[i]
+        else:
+            l = bvh.child[i]
+            lo[i] = lo[l]
+            hi[i] = hi[l + 1]
+
+    first, count, bmin, bmax = [], [], [], []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        if hi[i] - lo[i] <= size or bvh.count[i] > 0:
+            first.append(lo[i])
+            count.append(hi[i] - lo[i])
+            bmin.append(bvh.bmin[i])
+            bmax.append(bvh.bmax[i])
+        else:
+            stack.append(int(bvh.child[i]))
+            stack.append(int(bvh.child[i]) + 1)
+
+    t = len(first)
+    count_arr = np.asarray(count, np.int32)
+    pad_first = np.arange(t, dtype=np.int32) * size
+    pad_map = np.full(t * size, -1, np.int32)
+    for k in range(t):
+        rng = bvh.prim_order[first[k]:first[k] + count[k]]
+        pad_map[k * size:k * size + count[k]] = rng
+
+    top_bin = build_bvh(np.stack(bmin), np.stack(bmax), leaf_size=1,
+                        use_native=False)
+    # remap the top BVH's "triangle" ids to treelet ids
+    top = collapse_wide(top_bin, width=top_width)
+    leaf_mask = top.count > 0
+    top.child = np.where(
+        leaf_mask, top_bin.prim_order[np.clip(top.child, 0, t - 1)],
+        top.child)
+
+    return Treelets(
+        first=pad_first, count=count_arr,
+        bmin=np.stack(bmin).astype(np.float32),
+        bmax=np.stack(bmax).astype(np.float32),
+        size=size, pad_map=pad_map, top=top,
+    )

@@ -1,0 +1,58 @@
+"""Render configuration.
+
+The reference splits configuration into compile-time defines
+(/root/reference/RFW/system/context/rfw/context/settings.h:1-18) and a runtime
+string key/value protocol (context/context.h:36-48). Here both tiers live in one
+dataclass; engines additionally expose the queryable runtime-settings protocol
+(see rfw_tpu/render/context.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static configuration compiled into the render functions.
+
+    Changing any field triggers re-jit of the engine's stages (the analog of
+    recompiling the reference's kernels after editing settings.h).
+    """
+
+    # Path tracing (reference settings.h:3-8, CUDART/Context.cpp:50-51)
+    max_path_length: int = 2          # MAX_PATH_LENGTH
+    min_roughness: float = 0.01       # MIN_ROUGHNESS
+    max_is_lights: int = 8            # MAX_IS_LIGHTS — potential-based light IS cap
+    importance_sample_lights: bool = True   # IS_LIGHTS
+    variance_reduction: bool = True   # VARIANCE_REDUCTION (NEE + MIS)
+    firefly_clamp: float = 10.0       # clampValue (CUDART/Context.cpp:51)
+    geometry_epsilon: float = 1e-5    # geometryEpsilon (CUDART/Context.cpp:50)
+    t_epsilon: float = 1e-4           # T_EPSILON triangle-test epsilon
+    russian_roulette: bool = True     # RR survival (Kernels.cu:783)
+
+    # Sampling
+    blue_noise: bool = True           # BLUENOISE — blue-noise mask for spp < 256
+    blue_noise_spp_cutoff: int = 256
+
+    # Textures (settings.h:3)
+    mip_level_count: int = 5          # MIPLEVELCOUNT
+
+    # Skybox / IBL importance sampling (settings.h:15-18)
+    ibl_width: int = 512
+    ibl_height: int = 256
+
+    # Animation
+    animation_enabled: bool = True
+
+    # Numerics
+    dtype: str = "float32"            # geometry + shading dtype
+
+    # Wavefront engine knobs (no reference analog — TPU-specific)
+    compaction: bool = True           # prefix-sum stream compaction between bounces
+    treelet_size: int = 64            # triangles per dense-intersection treelet
+    ray_block: int = 256              # rays per Pallas block
+    use_pallas: bool = True           # use the Pallas/MXU intersector when on TPU
+
+
+DEFAULT_CONFIG = RenderConfig()

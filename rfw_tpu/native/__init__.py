@@ -1,0 +1,110 @@
+"""Native (C++) components, loaded via ctypes with graceful fallback.
+
+The reference delegates BVH construction to a native Rust crate over FFI
+(/root/reference/RFW/system/bvh/CMakeLists.txt:12-47); here the native
+builder is C++17 (bvh_builder.cpp), compiled by ``python -m
+rfw_tpu.native.build`` (or make) into ``librfw_bvh.so`` next to this file.
+When the library is absent every entry point returns None and callers fall
+back to the vectorized numpy implementation.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.join(os.path.dirname(__file__), "librfw_bvh.so")
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.rfw_build_bvh.restype = ctypes.c_int
+        lib.rfw_build_bvh.argtypes = [
+            ctypes.POINTER(ctypes.c_float),   # tri_min (T*3)
+            ctypes.POINTER(ctypes.c_float),   # tri_max (T*3)
+            ctypes.c_int,                     # T
+            ctypes.c_int,                     # leaf_size
+            ctypes.POINTER(ctypes.c_float),   # out bmin (2T*3)
+            ctypes.POINTER(ctypes.c_float),   # out bmax
+            ctypes.POINTER(ctypes.c_int),     # out child
+            ctypes.POINTER(ctypes.c_int),     # out count
+            ctypes.POINTER(ctypes.c_int),     # out depth
+            ctypes.POINTER(ctypes.c_int),     # out prim_order (T)
+        ]
+        lib.rfw_refit_bvh.restype = None
+        lib.rfw_refit_bvh.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def native_build_bvh(tri_min: np.ndarray, tri_max: np.ndarray,
+                     leaf_size: int):
+    """C++ binned-SAH build; returns BVH field tuple or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    t = int(tri_min.shape[0])
+    tri_min = np.ascontiguousarray(tri_min, np.float32)
+    tri_max = np.ascontiguousarray(tri_max, np.float32)
+    cap = max(2 * t, 16)
+    bmin = np.empty((cap, 3), np.float32)
+    bmax = np.empty((cap, 3), np.float32)
+    child = np.empty(cap, np.int32)
+    count = np.empty(cap, np.int32)
+    depth = np.empty(cap, np.int32)
+    order = np.empty(max(t, 1), np.int32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    n = lib.rfw_build_bvh(
+        tri_min.ctypes.data_as(fp), tri_max.ctypes.data_as(fp),
+        t, int(leaf_size),
+        bmin.ctypes.data_as(fp), bmax.ctypes.data_as(fp),
+        child.ctypes.data_as(ip), count.ctypes.data_as(ip),
+        depth.ctypes.data_as(ip), order.ctypes.data_as(ip))
+    if n <= 0:
+        return None
+    return (bmin[:n].copy(), bmax[:n].copy(), child[:n].copy(),
+            count[:n].copy(), order, depth[:n].copy())
+
+
+def native_refit_bvh(bvh, tri_min: np.ndarray, tri_max: np.ndarray):
+    """In-place bottom-up refit of a builder BVH; returns False if the native
+    library is unavailable (callers use the numpy/jax refit instead)."""
+    lib = _load()
+    if lib is None:
+        return False
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    tri_min = np.ascontiguousarray(tri_min, np.float32)
+    tri_max = np.ascontiguousarray(tri_max, np.float32)
+    assert bvh.bmin.flags.c_contiguous and bvh.bmax.flags.c_contiguous
+    lib.rfw_refit_bvh(
+        bvh.bmin.ctypes.data_as(fp), bvh.bmax.ctypes.data_as(fp),
+        bvh.child.ctypes.data_as(ip), bvh.count.ctypes.data_as(ip),
+        bvh.node_count,
+        tri_min.ctypes.data_as(fp), tri_max.ctypes.data_as(fp),
+        bvh.prim_order.ctypes.data_as(ip))
+    return True

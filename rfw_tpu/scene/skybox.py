@@ -1,0 +1,93 @@
+"""Equirectangular environment map + importance sampling.
+
+Reimplements the reference skybox (skybox.{h,cpp}): HDR equirect load, the
+procedural test sky (skybox.cpp:31-52), and the lat-long lookup used on ray
+miss (Kernels.cu:593-601, Debevec mapping):
+
+    u = w * 0.5 * (1 + atan2(D.x, -D.z) / pi)
+    v = h * acos(D.y) / pi
+
+The reference *declares* CDF/PDF fields for importance sampling but never
+fills them (skybox.h:37-39 — dead code); here the marginal/conditional CDF
+tables are actually built, completing that feature (BASELINE config 3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils import image as image_io
+
+
+class Skybox:
+    def __init__(self, pixels: np.ndarray):
+        """pixels: (H, W, 3) float32 linear radiance."""
+        self.pixels = np.ascontiguousarray(pixels, dtype=np.float32)
+
+    @property
+    def width(self) -> int:
+        return self.pixels.shape[1]
+
+    @property
+    def height(self) -> int:
+        return self.pixels.shape[0]
+
+    @staticmethod
+    def load(path: str) -> "Skybox":
+        p = str(path)
+        if p.lower().endswith(".hdr"):
+            return Skybox(image_io.load_hdr(p))
+        return Skybox(image_io.load_ldr(p, to_linear=True)[..., :3])
+
+    @staticmethod
+    def test_sky(width: int = 512, height: int = 256) -> "Skybox":
+        """Procedural gradient sky with a sun disc (cf. skybox.cpp:31-52)."""
+        v = (np.arange(height, dtype=np.float32) + 0.5) / height  # 0=up pole
+        u = (np.arange(width, dtype=np.float32) + 0.5) / width
+        theta = v * np.pi                       # polar angle from +Y
+        phi = (u * 2.0 - 1.0) * np.pi
+        dy = np.cos(theta)[:, None]
+        horiz = np.sin(theta)[:, None]
+        dx = horiz * np.sin(phi)[None, :]
+        dz = -horiz * np.cos(phi)[None, :]
+        # gradient: zenith blue → horizon white → mild ground
+        t = np.clip(dy, 0.0, 1.0)
+        sky = (np.stack([0.35 + 0.1 * (1 - t), 0.5 + 0.2 * (1 - t),
+                         0.9 - 0.1 * (1 - t)], axis=-1))
+        ground = np.broadcast_to(
+            np.array([0.25, 0.22, 0.2], np.float32), sky.shape)
+        img = np.where(dy[..., None] >= 0, sky, ground).astype(np.float32)
+        # sun disc
+        sun_dir = np.array([0.4, 0.6, 0.5])
+        sun_dir = sun_dir / np.linalg.norm(sun_dir)
+        cosang = dx * sun_dir[0] + dy * sun_dir[1] + dz * sun_dir[2]
+        img = img + np.where(cosang > 0.9995, 50.0, 0.0)[..., None]
+        return Skybox(img.astype(np.float32))
+
+    def as_device(self) -> dict[str, np.ndarray]:
+        return {
+            "pixels": self.pixels,
+            "size": np.array([self.width, self.height], np.int32),
+        }
+
+    def build_importance_tables(self) -> dict[str, np.ndarray]:
+        """Luminance-weighted (marginal-row, conditional-col) CDFs with the
+        sin(theta) solid-angle factor; used by envmap NEE (BASELINE config 3).
+        """
+        lum = (self.pixels * np.array([0.2126, 0.7152, 0.0722],
+                                      np.float32)).sum(-1)
+        h, w = lum.shape
+        sin_theta = np.sin((np.arange(h, dtype=np.float32) + 0.5) / h * np.pi)
+        weighted = lum * sin_theta[:, None] + 1e-12
+        row_sums = weighted.sum(axis=1)
+        marginal_cdf = np.cumsum(row_sums)
+        total = marginal_cdf[-1]
+        marginal_cdf = (marginal_cdf / total).astype(np.float32)
+        cond_cdf = np.cumsum(weighted, axis=1)
+        cond_cdf = (cond_cdf / cond_cdf[:, -1:]).astype(np.float32)
+        # pdf over solid angle: p(dir) = w(y,x) * (w*h) / (total * 2 pi^2 sin)
+        pdf = (weighted * (w * h) /
+               (total * 2.0 * np.pi * np.pi * np.maximum(
+                   sin_theta[:, None], 1e-6))).astype(np.float32)
+        return {"marginal_cdf": marginal_cdf, "cond_cdf": cond_cdf,
+                "pdf": pdf}

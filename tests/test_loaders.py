@@ -1,0 +1,81 @@
+"""Scene loader tests against the bundled reference assets (read-only data)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rfw_tpu.scene import MaterialList, load_object, make_quad
+
+
+def test_quad_winding():
+    q = make_quad([0, -1, 0], [0, 5, 0], 2.0, 2.0, material_id=3)
+    tris = q.triangles()
+    assert tris.count == 2
+    assert np.allclose(tris.gnormal, [[0, -1, 0], [0, -1, 0]], atol=1e-6)
+    assert np.allclose(tris.area.sum(), 4.0, atol=1e-5)
+    assert (tris.material == 3).all()
+
+
+@pytest.mark.parametrize("rel", ["models/CesiumMan/CesiumMan.gltf"])
+def test_gltf_skinned(assets_dir, rel):
+    path = os.path.join(assets_dir, rel)
+    if not os.path.exists(path):
+        pytest.skip("asset missing")
+    ml = MaterialList()
+    obj = load_object(path, ml)
+    assert len(obj.meshes) == 1
+    assert obj.meshes[0].skin_id == 0
+    assert len(obj.animations) == 1
+    base = obj.meshes[0].positions.copy()
+    obj.set_time(0.5)
+    assert np.abs(obj.meshes[0].positions - base).max() > 1e-3
+    # rest pose ≈ base vertices at t=0 of the animation need not hold (anim
+    # starts posed), but geometry must stay finite and triangles valid
+    tris = obj.meshes[0].triangles()
+    assert np.isfinite(tris.vertices).all()
+    assert tris.area.sum() > 0
+
+
+def test_gltf_morph_targets(assets_dir):
+    path = os.path.join(assets_dir, "models/AnimatedMorphCube.glb")
+    if not os.path.exists(path):
+        pytest.skip("asset missing")
+    ml = MaterialList()
+    obj = load_object(path, ml)
+    mesh = obj.meshes[0]
+    assert mesh.morph_positions is not None
+    obj.set_time(1.2)
+    p1 = mesh.positions.copy()
+    obj.set_time(2.4)
+    assert np.abs(mesh.positions - p1).max() > 1e-5
+
+
+def test_obj_loader(assets_dir):
+    path = os.path.join(assets_dir, "models/sphere.obj")
+    if not os.path.exists(path):
+        pytest.skip("asset missing")
+    ml = MaterialList()
+    obj = load_object(path, ml)
+    tris = obj.meshes[0].triangles()
+    assert tris.count > 100
+    # sphere.obj is a unit-ish sphere: all vertices near-equidistant
+    r = np.linalg.norm(tris.vertices.reshape(-1, 3), axis=-1)
+    assert r.std() / r.mean() < 0.05
+    # smooth normals roughly parallel to position direction on a sphere
+    v = tris.vertices.reshape(-1, 3)
+    n = tris.normals.reshape(-1, 3)
+    cosang = (v * n).sum(-1) / np.maximum(np.linalg.norm(v, axis=-1), 1e-9)
+    assert np.median(np.abs(cosang)) > 0.9
+
+
+def test_material_emissive_packing():
+    from rfw_tpu.scene import HostMaterial
+    ml = MaterialList()
+    ml.add(HostMaterial(color=np.array([0.5, 0.5, 0.5])))
+    ml.add(HostMaterial(color=np.array([10.0, 10.0, 10.0])))
+    dev = ml.generate_device_materials()
+    assert not bool(dev["emissive"][0])
+    assert bool(dev["emissive"][1])
+    assert dev["color"].shape == (2, 3)
+    assert dev["roughness"].dtype == np.float32

@@ -48,6 +48,10 @@ class RenderConfig:
     # Numerics
     dtype: str = "float32"            # geometry + shading dtype
 
+    # BSDF model (reference bsdf/bsdf.h:19-22: disney active; lambert and
+    # microfacet selectable alternatives)
+    bsdf: str = "disney"
+
     # Wavefront engine knobs (no reference analog — TPU-specific)
     compaction: bool = True           # prefix-sum stream compaction between bounces
     treelet_size: int = 64            # triangles per dense-intersection treelet

@@ -1,0 +1,6 @@
+from .context import (EngineContext, RenderSetting, RenderStats,
+                      RenderStatus, available_engines, create_engine,
+                      register_engine)
+
+__all__ = ["EngineContext", "RenderSetting", "RenderStats", "RenderStatus",
+           "available_engines", "create_engine", "register_engine"]

@@ -1,0 +1,276 @@
+"""Concrete engines implementing the EngineContext ABI.
+
+The reference ships seven backends because CPUs/GPUs expose different
+tracing APIs (SURVEY §2.5); on TPU one compute substrate remains, so the
+engines here differ by *strategy*, preserving the cross-engine-comparison
+oracle (SURVEY §4):
+
+* ``bruteforce``  — exact O(R·T); ground truth for tiny scenes.
+* ``megakernel``  — full path tracer on the 4-wide BVH gather traversal;
+                    runs on CPU; the CPURT analog (and the test oracle).
+* ``wavefront``   — flagship: same integrator, Pallas/MXU treelet
+                    intersector on TPU (falls back to BVH off-TPU); the
+                    CUDART/VulkanRTX analog.
+* ``direct``      — primary rays + NEE only, no bounces; the EmbreeRT/CPURT
+                    "direct lighting" behavior (EmbreeRT/Context.cpp:228-259).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig
+from ..ops import rng as rng_mod
+from ..ops.tonemap import resolve_accumulator
+from ..scene.mesh import TriangleSoA
+from ..utils import Timer, logger
+from . import scene_data
+from .context import (EngineContext, RenderSetting, RenderStatus,
+                      register_engine)
+from .integrator import trace_sample
+from .intersectors import FACTORIES
+
+
+class PathTracerEngine(EngineContext):
+    """Shared machinery: scene bookkeeping, jit cache, accumulation."""
+
+    default_intersector = "bvh"
+
+    def __init__(self, config: RenderConfig | None = None):
+        super().__init__(config)
+        self._meshes: dict[int, TriangleSoA] = {}
+        self._instances: dict[int, tuple[int, np.ndarray]] = {}
+        self._materials: dict | None = None
+        self._atlas: dict | None = None
+        self._lights: dict | None = None
+        self._light_overrides: dict = {}
+        self._skybox: dict | None = None
+        self._scene: dict | None = None
+        self._dirty = True
+        self._accumulator: jnp.ndarray | None = None
+        self._sample_count = 0
+        self._size: tuple[int, int] = (0, 0)
+        self._probe_xy = (0, 0)
+        self._probe_result = (-1, -1, -1.0)
+        self._trace_fn = None
+        self._intersector_name = self.default_intersector
+
+    # -- uploads -------------------------------------------------------------
+
+    def set_mesh(self, slot: int, triangles: TriangleSoA) -> None:
+        self._meshes[slot] = triangles
+        self._dirty = True
+
+    def set_instance(self, instance_id: int, mesh_slot: int,
+                     transform: np.ndarray) -> None:
+        self._instances[instance_id] = (mesh_slot,
+                                        np.asarray(transform, np.float32))
+        self._dirty = True
+
+    def remove_instance(self, instance_id: int) -> None:
+        self._instances.pop(instance_id, None)
+        self._dirty = True
+
+    def set_materials(self, device_materials) -> None:
+        self._materials = device_materials
+        self._dirty = True
+
+    def set_textures(self, atlas) -> None:
+        self._atlas = atlas
+        self._dirty = True
+
+    def set_lights(self, lights, overrides=None) -> None:
+        self._lights = lights
+        self._light_overrides = overrides or {}
+        self._dirty = True
+
+    def set_sky(self, pixels: np.ndarray) -> None:
+        pixels = np.asarray(pixels, np.float32)
+        self._skybox = {"pixels": pixels,
+                        "size": np.array([pixels.shape[1], pixels.shape[0]],
+                                         np.int32)}
+        self._dirty = True
+
+    # -- scene build ---------------------------------------------------------
+
+    def update(self) -> None:
+        if not self._dirty:
+            return
+        if not self._meshes:
+            raise RuntimeError("no meshes uploaded")
+        if self._lights is None:
+            from ..scene.lights import pack_lights
+            self._lights = pack_lights([], [], [], [])
+        if self._materials is None:
+            from ..scene.materials import MaterialList
+            self._materials = MaterialList().generate_device_materials()
+        instances = [
+            scene_data.InstancedMesh(
+                triangles=self._meshes[slot], transform=tr,
+                instance_id=iid, mesh_slot=slot)
+            for iid, (slot, tr) in sorted(self._instances.items())
+            if slot in self._meshes
+        ]
+        if not instances:  # implicit identity instance per mesh
+            instances = [
+                scene_data.InstancedMesh(
+                    triangles=tris, transform=np.eye(4, dtype=np.float32),
+                    instance_id=slot, mesh_slot=slot)
+                for slot, tris in sorted(self._meshes.items())
+            ]
+        timer = Timer()
+        scene = scene_data.build_device_scene(
+            instances, self._materials, self._lights, self._skybox,
+            self._atlas, self.config,
+            area_light_overrides=self._light_overrides)
+        scene.pop("_bvh_host", None)
+        if self.config.blue_noise:
+            scene["blue_noise"] = jnp.asarray(rng_mod.blue_noise_mask())
+        self._scene = scene
+        self._trace_fn = None        # shapes may have changed → re-jit
+        self._dirty = False
+        self._sample_count = 0       # scene changed ⇒ restart accumulation
+        logger.debug("scene update: %d tris, %.1f ms",
+                     scene["tri_vertices"].shape[0], timer.elapsed_ms())
+
+    # -- render --------------------------------------------------------------
+
+    def _integrator_config(self) -> RenderConfig:
+        return self.config
+
+    def _get_trace_fn(self, width: int, height: int):
+        if self._trace_fn is not None and self._size == (width, height):
+            return self._trace_fn
+        cfg = self._integrator_config()
+        intersector = FACTORIES[self._intersector_name](cfg)
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(scene, accumulator, view, sample_index, probe_index):
+            radiance, probe, stats = trace_sample(
+                scene, view, width, height, sample_index, probe_index,
+                cfg, intersector)
+            return accumulator + radiance, probe, stats
+
+        self._trace_fn = step
+        self._size = (width, height)
+        return step
+
+    def render_frame(self, view, status: RenderStatus = RenderStatus.RESET,
+                     samples: int = 1) -> np.ndarray:
+        """Trace ``samples`` samples/pixel, return resolved HDR (H, W, 3).
+
+        ``view`` is a CameraView (camera.py) or its pytree. Size comes from
+        the camera's pixel_count set at get_view time — pass explicitly via
+        self.resize for raw pytrees."""
+        from ..camera import CameraView
+        if isinstance(view, CameraView):
+            raise TypeError("pass Camera.get_view().as_pytree() plus "
+                            "resize(), or use RenderSystem.render_frame")
+        width, height = self._size
+        assert width > 0, "call resize(w, h) first"
+        self.update()
+        step = self._get_trace_fn(width, height)
+
+        if status == RenderStatus.RESET or self._accumulator is None or \
+                self._accumulator.shape[0] != width * height:
+            self._accumulator = jnp.zeros((width * height, 3), jnp.float32)
+            self._sample_count = 0
+
+        probe_index = (self._probe_xy[1] * width + self._probe_xy[0])
+        timer = Timer()
+        probe = None
+        stats = None
+        for _ in range(samples):
+            self._accumulator, probe, stats = step(
+                self._scene, self._accumulator,
+                view, jnp.uint32(self._sample_count),
+                jnp.int32(probe_index))
+            self._sample_count += 1
+        self._accumulator.block_until_ready()
+        elapsed = timer.elapsed()
+
+        # stats (RenderStats protocol)
+        if stats is not None:
+            s = {k: int(v) for k, v in stats.items()}
+            self.stats.primary_count = s.get("ray_count_0", 0)
+            self.stats.secondary_count = s.get("ray_count_1", 0)
+            self.stats.deep_count = sum(
+                v for k, v in s.items()
+                if k.startswith("ray_count_") and int(k.split("_")[-1]) >= 2)
+            self.stats.shadow_count = sum(
+                v for k, v in s.items() if k.startswith("shadow_count_"))
+            self.stats.render_time = elapsed
+        if probe is not None:
+            p = np.asarray(probe)
+            self._probe_result = (int(p[0]), int(p[1]), float(p[2]))
+
+        frame = resolve_accumulator(self._accumulator, self._sample_count)
+        return np.asarray(frame).reshape(height, width, 3)
+
+    def resize(self, width: int, height: int) -> None:
+        if (width, height) != self._size:
+            self._size = (width, height)
+            self._trace_fn = None
+            self._accumulator = None
+
+    def get_probe_results(self):
+        return self._probe_result
+
+    # -- settings ------------------------------------------------------------
+
+    def get_available_settings(self):
+        return [RenderSetting("intersector", self._intersector_name,
+                              sorted(FACTORIES))]
+
+    def set_setting(self, name: str, value: str) -> None:
+        super().set_setting(name, value)
+        if name == "intersector":
+            if value not in FACTORIES:
+                raise ValueError(f"unknown intersector {value!r}")
+            self._intersector_name = value
+            self._trace_fn = None
+
+
+@register_engine("bruteforce")
+class BruteForceEngine(PathTracerEngine):
+    """Exact reference tracer — the oracle (tiny scenes only)."""
+
+    default_intersector = "brute"
+
+
+@register_engine("megakernel")
+class MegakernelEngine(PathTracerEngine):
+    """BVH path tracer, runs everywhere (CPURT analog)."""
+
+    default_intersector = "bvh"
+
+
+@register_engine("wavefront")
+class WavefrontEngine(PathTracerEngine):
+    """Flagship TPU engine: Pallas/MXU treelet intersection when on TPU."""
+
+    def __init__(self, config: RenderConfig | None = None):
+        super().__init__(config)
+        on_tpu = any(d.platform == "tpu" for d in jax.devices()) or \
+            jax.default_backend() not in ("cpu",)
+        if (config or RenderConfig()).use_pallas and on_tpu:
+            self._intersector_name = "pallas"
+        else:
+            self._intersector_name = "bvh"
+
+
+@register_engine("direct")
+class DirectEngine(PathTracerEngine):
+    """Primary + NEE shadow rays only (EmbreeRT/CPURT behavior:
+    direct lighting, no bounces, no accumulation past spp)."""
+
+    default_intersector = "bvh"
+
+    def _integrator_config(self) -> RenderConfig:
+        return dataclasses.replace(self.config, max_path_length=0,
+                                   russian_roulette=False)

@@ -1,0 +1,219 @@
+"""The path-tracing integrator: one sample for every pixel, fully jitted.
+
+Functional reimplementation of the reference's wavefront loop — host loop
+CUDART/src/Context.cpp:65-159 + shade kernel Kernels.cu:571-794 — with the
+stage structure preserved (ray-gen → [intersect → shade → NEE/occlude] per
+bounce) but atomic queues replaced by masks: every pixel's path lives at a
+fixed lane, dead lanes are masked out. XLA fuses the masked stages; the
+Pallas intersector (ops/pallas_intersect.py) does the heavy traversal.
+
+The integrator is engine-agnostic: engines inject an ``intersector`` (a pair
+of closest/occluded callables), which is how one integrator serves the
+bruteforce / megakernel(BVH) / wavefront(Pallas) engines — the rebuild's
+answer to the reference's seven backends sharing one BSDF/shading header set.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..ops import light_sampling, raygen, rng
+from ..ops.bsdf import get as get_bsdf
+from ..ops.bsdf.common import (clamp_intensity, dot3, safe_origin,
+                               survival_probability)
+from ..ops.shade import get_shading_data
+
+
+class Intersector(NamedTuple):
+    closest: Callable    # (scene, O, D) -> (t, prim, u, v)
+    occluded: Callable   # (scene, O, D, dist) -> bool mask
+
+
+def sample_skybox(scene, d):
+    """Equirect miss lookup (Kernels.cu:593-601, Debevec mapping)."""
+    if "skybox" not in scene:
+        return jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
+    pix = scene["skybox"]["pixels"]
+    h, w = pix.shape[0], pix.shape[1]
+    u = (w * 0.5 * (1.0 + jnp.arctan2(d[..., 0], -d[..., 2])
+                    * (1.0 / math.pi))).astype(jnp.int32)
+    v = (h * (jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+              * (1.0 / math.pi))).astype(jnp.int32)
+    u = jnp.clip(u, 0, w - 1)
+    v = jnp.clip(v, 0, h - 1)
+    return pix[v, u]
+
+
+def _no_nan(x):
+    return jnp.where(jnp.isnan(x), 0.0, x)
+
+
+def trace_sample(scene, view, width: int, height: int, sample_index,
+                 probe_index, config: RenderConfig,
+                 intersector: Intersector):
+    """Trace one sample per pixel. Returns (radiance (N,3), probe (3,),
+    stats dict). ``sample_index``/``probe_index`` are traced scalars so spp
+    accumulation does not recompile.
+    """
+    n = width * height
+    bsdf = get_bsdf(config.bsdf)
+    clamp_v = jnp.float32(config.firefly_clamp)
+    lights = scene["lights"]
+    n_area = lights["area_v0"].shape[0]
+    bn_mask = scene.get("blue_noise")
+
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    use_bn = config.blue_noise and bn_mask is not None
+    origin, direction = raygen.generate_primary_rays(
+        view, width, height, sample_index,
+        blue_noise_mask=bn_mask if use_bn else None)
+
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    throughput = jnp.ones((n, 3), jnp.float32)
+    last_pdf = jnp.ones(n, jnp.float32)
+    spec_bounce = jnp.zeros(n, dtype=bool)   # IS_SPECULAR path flag
+    last_n = direction
+    alive = jnp.ones(n, dtype=bool)
+    probe = jnp.zeros(3, jnp.float32)
+    stats = {}
+
+    px = (pid % jnp.uint32(width)).astype(jnp.int32)
+    py = (pid // jnp.uint32(width)).astype(jnp.int32)
+
+    for depth in range(config.max_path_length + 1):
+        t, prim, u, v = intersector.closest(scene, origin, direction)
+        stats[f"ray_count_{depth}"] = jnp.sum(alive)
+
+        miss = prim < 0
+        # ---- skybox on miss (Kernels.cu:592-610) ----
+        sky = sample_skybox(scene, direction)
+        contrib = throughput * sky / jnp.maximum(last_pdf, 1e-20)[..., None]
+        contrib = clamp_intensity(_no_nan(contrib), clamp_v)
+        radiance = radiance + jnp.where((alive & miss)[..., None], contrib,
+                                        0.0)
+        alive = alive & ~miss
+        prim_safe = jnp.maximum(prim, 0)
+
+        hit_pos = origin + direction * t[..., None]
+        cone_width = view["spread_angle"] * t
+        sd, n_geom, i_n, t_vec, b_vec, _alpha = get_shading_data(
+            scene, prim_safe, u, v, direction, cone_width)
+
+        if depth == 0:
+            # probe readback (Kernels.cu:628-633)
+            probe = jnp.stack([
+                scene["tri_instance"][prim_safe][probe_index].astype(
+                    jnp.float32),
+                scene["tri_prim"][prim_safe][probe_index].astype(
+                    jnp.float32),
+                jnp.where(miss[probe_index], jnp.float32(-1.0),
+                          t[probe_index]),
+            ])
+
+        # ---- emissive hit terminates path (Kernels.cu:651-692) ----
+        emissive = jnp.any(sd["color"] > 1.0, axis=-1)
+        d_dot_nl = -dot3(direction, n_geom)
+        if depth == 0:
+            e_contrib = sd["color"]
+        elif not config.variance_reduction:
+            e_contrib = throughput * sd["color"] \
+                / jnp.maximum(last_pdf, 1e-20)[..., None]
+        else:
+            light_pdf = light_sampling.calculate_light_pdf(
+                direction, t, scene["tri_area"][prim_safe], n_geom)
+            pick_prob = light_sampling.light_pick_prob(
+                scene["tri_light_idx"][prim_safe], lights, origin, last_n,
+                hit_pos)
+            denom = last_pdf + light_pdf * pick_prob
+            mis_c = throughput * sd["color"] / jnp.maximum(
+                denom, 1e-20)[..., None]
+            mis_c = jnp.where((denom > 0)[..., None], mis_c, 0.0)
+            spec_c = throughput * sd["color"] / jnp.maximum(
+                last_pdf, 1e-20)[..., None]
+            e_contrib = jnp.where(spec_bounce[..., None], spec_c, mis_c)
+        e_contrib = jnp.where((d_dot_nl > 0)[..., None], e_contrib, 0.0)
+        e_contrib = clamp_intensity(_no_nan(e_contrib), clamp_v)
+        radiance = radiance + jnp.where((alive & emissive)[..., None],
+                                        e_contrib, 0.0)
+        alive = alive & ~emissive
+
+        # ---- fix normals, apply postponed pdf (Kernels.cu:698-703) ----
+        flip = jnp.where(dot3(direction, n_geom) > 0, -1.0, 1.0)
+        n_geom = n_geom * flip[..., None]
+        i_n = i_n * flip[..., None]
+        backfacing = flip < 0
+        throughput = throughput / jnp.maximum(last_pdf, 1e-20)[..., None]
+
+        spec_mat = sd["roughness"] < config.min_roughness
+        seed = rng.path_seed(pid, sample_index, depth * 0 + depth)
+
+        # ---- NEE (Kernels.cu:705-756) ----
+        if config.variance_reduction:
+            if use_bn:
+                r0 = rng.blue_noise_sample(bn_mask, px, py, sample_index, 4)
+                r1 = rng.blue_noise_sample(bn_mask, px, py, sample_index, 5)
+                r0 = jnp.where(sample_index < config.blue_noise_spp_cutoff,
+                               r0, 0.0)
+                seed, (h0, h1) = rng.random_floats(seed, 2)
+                r0 = jnp.where(sample_index < config.blue_noise_spp_cutoff,
+                               r0, h0)
+                r1 = jnp.where(sample_index < config.blue_noise_spp_cutoff,
+                               r1, h1)
+            else:
+                seed, (r0, r1) = rng.random_floats(seed, 2)
+            ls = light_sampling.random_point_on_light(
+                lights, r0, r1, hit_pos, i_n,
+                importance_sample=config.importance_sample_lights)
+            l_vec = ls["position"] - hit_pos
+            dist = jnp.sqrt(jnp.maximum(dot3(l_vec, l_vec), 1e-20))
+            l_dir = l_vec / dist[..., None]
+            n_dot_l = dot3(l_dir, i_n)
+            s_val, s_pdf = bsdf.evaluate_bsdf(sd, i_n, t_vec, b_vec,
+                                              -direction, l_dir)
+            # MIS balance with BSDF sampling only for area lights — a BSDF
+            # ray can never hit a delta light (see light_sampling docstring)
+            denom = (jnp.where(ls["is_delta"], 0.0, s_pdf)
+                     + ls["light_pdf"] * ls["pick_prob"])
+            nee = (throughput * s_val * ls["radiance"]
+                   * (n_dot_l / jnp.maximum(denom, 1e-20))[..., None])
+            nee = clamp_intensity(_no_nan(nee), clamp_v)
+            want_shadow = (alive & ~spec_mat & (n_dot_l > 0)
+                           & (ls["light_pdf"] > 0) & (s_pdf > 0))
+            s_origin = safe_origin(hit_pos, n_geom)
+            occ = intersector.occluded(
+                scene, s_origin, l_dir,
+                dist - 2.0 * config.geometry_epsilon)
+            radiance = radiance + jnp.where(
+                (want_shadow & ~occ)[..., None], nee, 0.0)
+            stats[f"shadow_count_{depth}"] = jnp.sum(want_shadow)
+
+        if depth >= config.max_path_length:
+            break
+
+        # ---- extension: sample BSDF (Kernels.cu:760-794) ----
+        seed, (r3, r4) = rng.random_floats(seed, 2)
+        b_val, wi, new_pdf, _stype = bsdf.sample_bsdf(
+            sd, i_n, n_geom, t_vec, b_vec, -direction, t, backfacing, r3, r4)
+        survival = survival_probability(throughput)
+        survival = jnp.clip(survival, 1e-6, 1.0)
+        new_throughput = (throughput / survival[..., None] * b_val
+                          * jnp.abs(dot3(i_n, wi))[..., None])
+        if config.russian_roulette:
+            seed, rr = rng.random_float(seed)
+            alive = alive & (rr <= survival)
+        valid = ((new_pdf > 1e-6) & ~jnp.isnan(new_pdf)
+                 & jnp.all(new_throughput >= 0.0, axis=-1)
+                 & ~jnp.any(jnp.isnan(new_throughput), axis=-1))
+        alive = alive & valid
+        throughput = new_throughput
+        last_pdf = new_pdf
+        spec_bounce = spec_mat
+        last_n = i_n
+        origin = safe_origin(hit_pos, n_geom)
+        direction = wi
+
+    return radiance, probe, stats

@@ -1,0 +1,107 @@
+"""Intersector implementations pluggable into the integrator.
+
+Each factory returns an ``Intersector(closest, occluded)`` pair over the
+device scene dict. This is the seam where the engines differ — the rebuild's
+analog of the reference's per-backend traversal code:
+
+* ``brute``  — O(R·T) dense, exact; the ground-truth oracle (tiny scenes).
+* ``bvh``    — 4-wide BVH gather traversal (ops/traverse.py); runs on CPU
+               and TPU; the CPURT/EmbreeRT analog.
+* ``dense``  — treelet-binned dense Woop/matmul intersection in pure jnp
+               (same algorithm as the Pallas kernel, XLA-compiled).
+* ``pallas`` — the Pallas/MXU kernel (ops/pallas_intersect.py), TPU only.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..ops import traverse
+from ..ops.intersect import BIG_T, closest_hit_woop, intersect_woop
+from .integrator import Intersector
+
+
+def _tris_from_scene(scene):
+    v = scene["tri_vertices"]
+    return (v[:, 0], v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+
+
+def make_brute_intersector(config: RenderConfig) -> Intersector:
+    def closest(scene, o, d):
+        return traverse.brute_force_closest(
+            o, d, _tris_from_scene(scene), t_epsilon=config.t_epsilon)
+
+    def occluded(scene, o, d, dist):
+        t, prim, _, _ = traverse.brute_force_closest(
+            o, d, _tris_from_scene(scene), t_epsilon=config.t_epsilon)
+        return (prim >= 0) & (t < dist)
+
+    return Intersector(closest, occluded)
+
+
+def make_bvh_intersector(config: RenderConfig,
+                         leaf_size: int = 4) -> Intersector:
+    def closest(scene, o, d):
+        return traverse.traverse_wide(
+            o, d, scene["bvh"], _tris_from_scene(scene),
+            leaf_size=leaf_size, t_epsilon=config.t_epsilon)
+
+    def occluded(scene, o, d, dist):
+        t, prim, _, _ = traverse.traverse_wide(
+            o, d, scene["bvh"], _tris_from_scene(scene),
+            leaf_size=leaf_size, t_max=dist, t_epsilon=config.t_epsilon,
+            any_hit=True)
+        return prim >= 0
+
+    return Intersector(closest, occluded)
+
+
+def make_dense_intersector(config: RenderConfig) -> Intersector:
+    """Treelet-binned dense intersection, pure jnp.
+
+    For each block of rays: slab-test the block against every treelet AABB
+    (vectorized), then intersect the block densely against every treelet any
+    ray in the block hit — except in jnp we cannot skip treelets with static
+    shapes, so this variant intersects against *all* treelets and relies on
+    XLA/MXU throughput. Correct everywhere; economical only for small scenes
+    — the Pallas kernel adds the dynamic skipping.
+    """
+
+    def closest(scene, o, d):
+        tl = scene["treelets"]
+        t, slot, u, v = closest_hit_woop(
+            o, d, tl["woop"], jnp.arange(tl["woop"].shape[0]),
+            t_epsilon=config.t_epsilon, tri_verts=tl["verts"])
+        prim = jnp.where(slot >= 0, tl["slot_to_prim"][jnp.maximum(slot, 0)],
+                         -1)
+        t = jnp.where(prim >= 0, t, BIG_T)
+        return t, prim, u, v
+
+    def occluded(scene, o, d, dist):
+        tl = scene["treelets"]
+        hit, t, u, v = intersect_woop(o, d, tl["woop"],
+                                      t_epsilon=config.t_epsilon)
+        return jnp.any(hit & (t < dist[:, None]), axis=-1)
+
+    return Intersector(closest, occluded)
+
+
+def make_pallas_intersector(config: RenderConfig) -> Intersector:
+    from ..ops import pallas_intersect
+
+    def closest(scene, o, d):
+        return pallas_intersect.closest_hit(scene, o, d, config)
+
+    def occluded(scene, o, d, dist):
+        return pallas_intersect.any_hit(scene, o, d, dist, config)
+
+    return Intersector(closest, occluded)
+
+
+FACTORIES = {
+    "brute": make_brute_intersector,
+    "bvh": make_bvh_intersector,
+    "dense": make_dense_intersector,
+    "pallas": make_pallas_intersector,
+}

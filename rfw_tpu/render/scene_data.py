@@ -1,0 +1,177 @@
+"""Device scene assembly: host scene state → flat jnp arrays + BVH.
+
+The analog of the reference backends' ``set_mesh``/``update`` upload path
+(/root/reference/RFW/backends/CUDART/src/Context.cpp:270-460): triangle SoA
+planes for every *instance* are transformed to world space, concatenated,
+BVH-built and permuted into leaf-contiguous order; materials/textures/lights/
+skybox become flat planes. The result is one pytree (`dict`) consumed by all
+engines — the TPU replacement for the reference's device-pointer tables.
+
+Design note (vs. reference): the reference keeps a two-level TLAS/BLAS so
+instances can move without re-upload. Here instances are flattened into one
+world-space array per update — rebuild cost is host-side numpy (and the
+native C++ builder), and refit handles animation. A persistent TLAS is a
+later optimization; the ABI (set_instance etc.) already carries everything
+needed for it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..bvh.builder import build_bvh, triangle_bounds
+from ..bvh.wide import collapse_wide, extract_treelets
+from ..config import RenderConfig
+from ..ops.intersect import woop_matrices
+from ..scene.mesh import TriangleSoA
+
+
+@dataclasses.dataclass
+class InstancedMesh:
+    """One (mesh, instance) pair queued for upload."""
+
+    triangles: TriangleSoA
+    transform: np.ndarray          # (4, 4) world transform
+    instance_id: int
+    mesh_slot: int
+
+
+def _transform_triangles(tris: TriangleSoA, m: np.ndarray) -> dict:
+    """Apply an instance transform to a triangle SoA (world-space planes).
+
+    Normals use the inverse-transpose (reference system.cpp:987,
+    normal_transform)."""
+    r = m[:3, :3]
+    t = m[:3, 3]
+    verts = tris.vertices @ r.T + t                     # (T, 3, 3)
+    nmat = np.linalg.inv(r).T if abs(np.linalg.det(r)) > 1e-12 else r
+    normals = tris.normals @ nmat.T
+    ln = np.linalg.norm(normals, axis=-1, keepdims=True)
+    normals = normals / np.maximum(ln, 1e-20)
+    gn = tris.gnormal @ nmat.T
+    gn = gn / np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+    tangent = tris.tangent @ r.T
+    tangent /= np.maximum(np.linalg.norm(tangent, axis=-1, keepdims=True),
+                          1e-20)
+    bitangent = tris.bitangent @ r.T
+    bitangent /= np.maximum(
+        np.linalg.norm(bitangent, axis=-1, keepdims=True), 1e-20)
+    e1 = verts[:, 1] - verts[:, 0]
+    e2 = verts[:, 2] - verts[:, 0]
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+    return {
+        "vertices": verts.astype(np.float32),
+        "normals": normals.astype(np.float32),
+        "gnormal": gn.astype(np.float32),
+        "tangent": tangent.astype(np.float32),
+        "bitangent": bitangent.astype(np.float32),
+        "uv": tris.uv,
+        "material": tris.material,
+        "area": area.astype(np.float32),
+        "lod": tris.lod,
+        "light_tri_idx": tris.light_tri_idx,
+    }
+
+
+def build_device_scene(
+    instances: list[InstancedMesh],
+    materials: dict[str, np.ndarray],
+    lights: dict[str, np.ndarray],
+    skybox: dict[str, np.ndarray] | None,
+    atlas: dict[str, np.ndarray] | None,
+    config: RenderConfig,
+    area_light_overrides: dict[tuple[int, int], np.ndarray] | None = None,
+) -> dict:
+    """Assemble the flat device scene. Returns a dict of numpy arrays
+    (engines move them to device / shard them as needed).
+
+    ``area_light_overrides`` maps (instance_id, mesh-local tri index) →
+    area-light index, written into the flattened light_tri_idx plane (the
+    analog of update_area_lights writing lightTriIdx back into Triangle —
+    system.cpp:1020).
+    """
+    assert instances, "cannot build an empty scene"
+    planes = []
+    for im in instances:
+        p = _transform_triangles(im.triangles, im.transform)
+        n = p["vertices"].shape[0]
+        p["instance_id"] = np.full(n, im.instance_id, np.int32)
+        p["prim_id"] = np.arange(n, dtype=np.int32)
+        if area_light_overrides:
+            lti = p["light_tri_idx"].copy()
+            for (inst, tri), li in area_light_overrides.items():
+                if inst == im.instance_id and tri < n:
+                    lti[tri] = li
+            p["light_tri_idx"] = lti
+        planes.append(p)
+
+    cat = {k: np.concatenate([p[k] for p in planes], axis=0)
+           for k in planes[0]}
+
+    tmin, tmax = triangle_bounds(cat["vertices"])
+    bvh = build_bvh(tmin, tmax, leaf_size=4)
+    perm = bvh.prim_order
+    wide = collapse_wide(bvh, width=4)
+    treelets = extract_treelets(bvh, tmin, tmax, size=config.treelet_size)
+
+    verts = cat["vertices"][perm]
+    scene = {
+        "tri_vertices": verts,
+        "tri_normals": cat["normals"][perm],
+        "tri_gnormal": cat["gnormal"][perm],
+        "tri_tangent": cat["tangent"][perm],
+        "tri_bitangent": cat["bitangent"][perm],
+        "tri_uv": cat["uv"][perm],
+        "tri_material": cat["material"][perm],
+        "tri_area": cat["area"][perm],
+        "tri_lod": cat["lod"][perm],
+        "tri_light_idx": cat["light_tri_idx"][perm],
+        "tri_instance": cat["instance_id"][perm],
+        "tri_prim": cat["prim_id"][perm],
+        # intersector inputs
+        "woop": woop_matrices(verts[:, 0], verts[:, 1], verts[:, 2]),
+        "bvh": {
+            "bmin": wide.bmin, "bmax": wide.bmax,
+            "child": wide.child, "count": wide.count,
+        },
+        # treelets for the Pallas/MXU engine: padded woop matrices +
+        # padded-slot → permuted-index map
+        "materials": materials,
+        "lights": lights,
+    }
+
+    inv_perm = np.empty_like(perm)
+    inv_perm[perm] = np.arange(len(perm), dtype=perm.dtype)
+    pad_valid = treelets.pad_map >= 0
+    pad_perm = np.where(pad_valid, inv_perm[np.maximum(treelets.pad_map, 0)],
+                        -1).astype(np.int32)
+    padded_verts = np.zeros((len(treelets.pad_map), 3, 3), np.float32)
+    padded_verts[pad_valid] = cat["vertices"][treelets.pad_map[pad_valid]]
+    scene["treelets"] = {
+        "woop": woop_matrices(
+            padded_verts[:, 0], padded_verts[:, 1], padded_verts[:, 2]),
+        "verts": padded_verts,
+        "slot_to_prim": pad_perm,
+        "bmin": treelets.bmin, "bmax": treelets.bmax,
+        "count": treelets.count,
+        "size": treelets.size,
+        "top": {
+            "bmin": treelets.top.bmin, "bmax": treelets.top.bmax,
+            "child": treelets.top.child, "count": treelets.top.count,
+        },
+    }
+    # degenerate padding rows: woop_matrices already marks them unhittable
+    # (w ≡ 1 plane), since padded verts are all-zero (collinear).
+
+    if skybox is not None:
+        scene["skybox"] = skybox
+    if atlas is not None:
+        scene["atlas"] = atlas["atlas"]
+        scene["atlas_desc"] = atlas["desc"]
+    else:
+        scene["atlas"] = None
+        scene["atlas_desc"] = None
+    scene["_bvh_host"] = bvh      # kept host-side for refit (not a jnp leaf)
+    return scene

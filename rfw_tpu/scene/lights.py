@@ -63,6 +63,7 @@ class AreaLight:
     area: float
     tri_idx: int = -1        # triangle index within its mesh
     inst_idx: int = -1       # instance index
+    mesh_idx: int = 0        # mesh index within the instance's object
 
     @property
     def position(self) -> np.ndarray:

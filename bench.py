@@ -1,0 +1,95 @@
+"""Driver benchmark: ray throughput of the flagship engine on real TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Target (BASELINE.json north star): >100 Mrays/sec/chip, Sponza-class scene
+at 1080p. The bundled sponza.obj is absent from the reference checkout (only
+.mtl + textures), so the Sponza-class stand-in is the pica scene (76k tris)
+instanced 2x2 → ~305k triangles, matching Sponza's geometric complexity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+BASELINE_MRAYS = 100.0
+PICA = "/root/reference/assets/models/pica/scene.gltf"
+
+
+def build_scene(rs):
+    import rfw_tpu  # noqa: F401
+    if os.path.exists(PICA):
+        ref = rs.add_object(PICA)
+        obj = ref.object
+        verts = np.concatenate(
+            [m.triangles().vertices.reshape(-1, 3) for m in obj.meshes])
+        lo, hi = verts.min(0), verts.max(0)
+        ext = hi - lo
+        # 2x2 grid of instances → Sponza-class triangle count
+        for ix in range(2):
+            for iz in range(2):
+                rs.add_instance(ref, translation=(
+                    ix * ext[0] * 1.05, 0.0, iz * ext[2] * 1.05))
+        center = 0.5 * (lo + hi) + np.array(
+            [0.5 * ext[0], 0.0, 0.5 * ext[2]])
+        eye = center + np.array([0.9, 0.7, 1.4]) * ext
+    else:  # fall back to a procedural scene
+        m = rs.add_material([0.7, 0.7, 0.7])
+        g = rs.add_quad([0, 1, 0], [0, 0, 0], 20, 20, m)
+        rs.add_instance(g)
+        center, eye = np.zeros(3), np.array([0, 8.0, -12.0])
+    lamp = rs.add_material([40.0, 40.0, 40.0])
+    gl = rs.add_quad([0, -1, 0], center + np.array([0, 18.0, 0]), 6, 6, lamp)
+    rs.add_instance(gl)
+    rs.set_skybox(__import__("rfw_tpu.scene", fromlist=["Skybox"])
+                  .Skybox.test_sky())
+    rs.camera.look_at(eye, center)
+    return rs
+
+
+def main() -> None:
+    t_setup = time.time()
+    from rfw_tpu.config import RenderConfig
+    from rfw_tpu.system import RenderSystem
+    from rfw_tpu.render import RenderStatus
+
+    engine = os.environ.get("RFW_BENCH_ENGINE", "wavefront")
+    width, height = 1920, 1080
+    config = RenderConfig()
+    rs = RenderSystem(engine, config)
+    build_scene(rs)
+    rs.camera.resize(width, height)
+    rs.camera.fov = 60.0
+
+    # warmup: compile + first sample
+    rs.render_frame(samples=1)
+    print(f"# setup+compile {time.time() - t_setup:.1f}s", file=sys.stderr)
+
+    samples = int(os.environ.get("RFW_BENCH_SAMPLES", "4"))
+    t0 = time.time()
+    rs.render_frame(status=RenderStatus.CONVERGE, samples=samples)
+    elapsed = time.time() - t0
+
+    stats = rs.get_render_stats()
+    rays_per_sample = (stats.primary_count + stats.secondary_count
+                       + stats.deep_count + stats.shadow_count)
+    total_rays = rays_per_sample * samples
+    mrays = total_rays / elapsed / 1e6
+
+    print(json.dumps({
+        "metric": "Mrays/sec/chip (pica-4x ~305k tris, 1080p path trace, "
+                  f"{engine})",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

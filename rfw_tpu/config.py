@@ -54,8 +54,9 @@ class RenderConfig:
 
     # Wavefront engine knobs (no reference analog — TPU-specific)
     compaction: bool = True           # prefix-sum stream compaction between bounces
-    treelet_size: int = 64            # triangles per dense-intersection treelet
-    ray_block: int = 256              # rays per Pallas block
+    treelet_size: int = 128           # triangles per dense-intersection treelet
+    #                                   (= lane width: one treelet fills the VPU)
+    ray_block: int = 128              # rays per Pallas block
     use_pallas: bool = True           # use the Pallas/MXU intersector when on TPU
 
 

@@ -37,15 +37,18 @@ def aperture_point(r0, r2, r3):
 
 
 def generate_primary_rays(view, width: int, height: int, sample_index,
-                          blue_noise_mask=None):
-    """Rays for every pixel: returns (origins, directions) each (W*H, 3).
+                          blue_noise_mask=None, pixel_ids=None):
+    """Rays for every pixel: returns (origins, directions) each (N, 3).
 
     ``view`` is the CameraView pytree (camera.py). Random numbers r0..r3 come
     from the blue-noise/R2 sampler for low spp when a mask is given, matching
     the reference's sampler selection (Kernels.cu:390-399), else WangHash.
+    ``pixel_ids`` overrides the full-frame arange (multi-chip tiles render a
+    sub-range of the pixel domain).
     """
-    n = width * height
-    pid = jnp.arange(n, dtype=jnp.uint32)
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(width * height, dtype=jnp.uint32)
+    pid = pixel_ids
     sx = (pid % jnp.uint32(width)).astype(jnp.int32)
     sy = (pid // jnp.uint32(width)).astype(jnp.int32)
 

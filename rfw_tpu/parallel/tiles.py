@@ -1,0 +1,95 @@
+"""Multi-chip tiled rendering: shard_map over image row-blocks.
+
+The rebuild's answer to SURVEY §2.9's "multi-GPU: absent": each chip traces
+a contiguous row block of the pixel domain (scene + BVH replicated — MBs),
+then the framebuffer is assembled with an all-gather over ICI and per-stage
+ray counters are reduced with psum. This is BASELINE config 5 (Sponza-class
+1080p tiled across v5e-8).
+
+Everything here is shape-polymorphic in the device count, and runs on the
+CPU with ``XLA_FLAGS=--xla_force_host_platform_device_count=N`` for tests —
+the driver's dryrun_multichip uses exactly that path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import RenderConfig
+from .mesh import TILE_AXIS, make_tile_mesh
+from ..render.integrator import Intersector, trace_sample
+
+
+def make_tiled_renderer(mesh, width: int, height: int,
+                        config: RenderConfig, intersector: Intersector,
+                        gather: bool = True):
+    """Build a jitted multi-chip render step.
+
+    Returns step(scene, accumulator, view, sample_index) → (accumulator',
+    stats) where accumulator is (W*H, 3) sharded by rows across ``mesh``.
+    With ``gather=True`` the returned accumulator is all-gathered
+    (replicated) so the host reads one framebuffer; gather=False keeps it
+    row-sharded for pipelined accumulation (gather once at the end).
+    """
+    n_dev = mesh.shape[TILE_AXIS]
+    n_total = width * height
+    assert n_total % n_dev == 0, (
+        f"pixel count {n_total} must divide by {n_dev} devices")
+    n_local = n_total // n_dev
+
+    def tile_fn(scene, accumulator, view, sample_index):
+        # scene/view replicated; accumulator row-sharded
+        tile = jax.lax.axis_index(TILE_AXIS)
+        offset = tile.astype(jnp.uint32) * jnp.uint32(n_local)
+        radiance, _probe, stats = trace_sample(
+            scene, view, width, height, sample_index,
+            jnp.int32(0), config, intersector,
+            pixel_offset=offset, n_pixels=n_local)
+        acc = accumulator + radiance
+        stats = {k: jax.lax.psum(v, TILE_AXIS) for k, v in stats.items()}
+        if gather:
+            acc_out = jax.lax.all_gather(acc, TILE_AXIS, axis=0, tiled=True)
+        else:
+            acc_out = acc
+        return acc_out, stats
+
+    out_acc_spec = P() if gather else P(TILE_AXIS)
+    fn = shard_map(
+        tile_fn, mesh=mesh,
+        in_specs=(P(), P(TILE_AXIS), P(), P()),
+        out_specs=(out_acc_spec, P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def render_tiled(scene, view, width: int, height: int,
+                 config: RenderConfig, intersector: Intersector,
+                 samples: int = 1, mesh=None):
+    """Convenience wrapper: allocate, run ``samples`` steps, resolve.
+
+    Accumulates with a row-sharded accumulator and gathers once at the end
+    (one ICI all-gather per frame, not per sample)."""
+    mesh = mesh or make_tile_mesh()
+    n_dev = mesh.shape[TILE_AXIS]
+    n_total = width * height
+    step = make_tiled_renderer(mesh, width, height, config, intersector,
+                               gather=False)
+    from .mesh import row_sharded
+    acc = jax.device_put(jnp.zeros((n_total, 3), jnp.float32),
+                         row_sharded(mesh))
+    stats = None
+    for s in range(samples):
+        acc, stats = step(scene, acc, view, jnp.uint32(s))
+    # final assembly over ICI
+    gather_fn = jax.jit(shard_map(
+        lambda a: jax.lax.all_gather(a, TILE_AXIS, axis=0, tiled=True),
+        mesh=mesh, in_specs=P(TILE_AXIS), out_specs=P(),
+        check_rep=False))
+    frame = gather_fn(acc) / jnp.float32(max(samples, 1))
+    return frame.reshape(height, width, 3), stats

@@ -54,23 +54,29 @@ def _no_nan(x):
 
 def trace_sample(scene, view, width: int, height: int, sample_index,
                  probe_index, config: RenderConfig,
-                 intersector: Intersector):
+                 intersector: Intersector, pixel_offset=0,
+                 n_pixels: int | None = None):
     """Trace one sample per pixel. Returns (radiance (N,3), probe (3,),
     stats dict). ``sample_index``/``probe_index`` are traced scalars so spp
     accumulation does not recompile.
+
+    ``pixel_offset``/``n_pixels`` select a contiguous pixel range of the
+    full image — the multi-chip tile path (parallel/tiles.py) gives each
+    chip its own row block; probe_index is relative to the range.
     """
-    n = width * height
+    n = n_pixels if n_pixels is not None else width * height
     bsdf = get_bsdf(config.bsdf)
     clamp_v = jnp.float32(config.firefly_clamp)
     lights = scene["lights"]
     n_area = lights["area_v0"].shape[0]
     bn_mask = scene.get("blue_noise")
 
-    pid = jnp.arange(n, dtype=jnp.uint32)
+    pid = (jnp.arange(n, dtype=jnp.uint32)
+           + jnp.asarray(pixel_offset, jnp.uint32))
     use_bn = config.blue_noise and bn_mask is not None
     origin, direction = raygen.generate_primary_rays(
         view, width, height, sample_index,
-        blue_noise_mask=bn_mask if use_bn else None)
+        blue_noise_mask=bn_mask if use_bn else None, pixel_ids=pid)
 
     radiance = jnp.zeros((n, 3), jnp.float32)
     throughput = jnp.ones((n, 3), jnp.float32)
@@ -149,7 +155,14 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
         throughput = throughput / jnp.maximum(last_pdf, 1e-20)[..., None]
 
         spec_mat = sd["roughness"] < config.min_roughness
-        seed = rng.path_seed(pid, sample_index, depth * 0 + depth)
+        # Salt the shade-stage stream: path_seed(pid, sample, 0) is exactly
+        # the primary-ray seed, so drawing NEE randoms from it would make
+        # the light sample a deterministic function of the AA jitter —
+        # a correlation that biases direct lighting by ~2% (the reference
+        # has the same collision in its no-blue-noise fallback,
+        # Kernels.cu:699 vs :385; blue-noise dims hide it there).
+        seed = rng.wang_hash(
+            rng.path_seed(pid, sample_index, depth) ^ jnp.uint32(0x9E3779B9))
 
         # ---- NEE (Kernels.cu:705-756) ----
         if config.variance_reduction:
@@ -198,13 +211,16 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
         seed, (r3, r4) = rng.random_floats(seed, 2)
         b_val, wi, new_pdf, _stype = bsdf.sample_bsdf(
             sd, i_n, n_geom, t_vec, b_vec, -direction, t, backfacing, r3, r4)
-        survival = survival_probability(throughput)
-        survival = jnp.clip(survival, 1e-6, 1.0)
-        new_throughput = (throughput / survival[..., None] * b_val
+        new_throughput = (throughput * b_val
                           * jnp.abs(dot3(i_n, wi))[..., None])
         if config.russian_roulette:
+            # survival divide + kill together (the reference divides without
+            # killing — Kernels.cu:783 — which is biased bright; with its
+            # MAX_PATH_LENGTH=2 default the damage is bounded, here it isn't)
+            survival = jnp.clip(survival_probability(throughput), 1e-6, 1.0)
             seed, rr = rng.random_float(seed)
             alive = alive & (rr <= survival)
+            new_throughput = new_throughput / survival[..., None]
         valid = ((new_pdf > 1e-6) & ~jnp.isnan(new_pdf)
                  & jnp.all(new_throughput >= 0.0, axis=-1)
                  & ~jnp.any(jnp.isnan(new_throughput), axis=-1))

@@ -149,9 +149,15 @@ def build_device_scene(
                         -1).astype(np.int32)
     padded_verts = np.zeros((len(treelets.pad_map), 3, 3), np.float32)
     padded_verts[pad_valid] = cat["vertices"][treelets.pad_map[pad_valid]]
+    pad_woop = woop_matrices(
+        padded_verts[:, 0], padded_verts[:, 1], padded_verts[:, 2])
     scene["treelets"] = {
-        "woop": woop_matrices(
-            padded_verts[:, 0], padded_verts[:, 1], padded_verts[:, 2]),
+        "woop": pad_woop,
+        # component planes for the Pallas kernel: wu[:, t] is the Woop row
+        # producing barycentric u for triangle t (ops/pallas_intersect.py)
+        "wu": np.ascontiguousarray(pad_woop[:, 0, :].T),
+        "wv": np.ascontiguousarray(pad_woop[:, 1, :].T),
+        "ww": np.ascontiguousarray(pad_woop[:, 2, :].T),
         "verts": padded_verts,
         "slot_to_prim": pad_perm,
         "bmin": treelets.bmin, "bmax": treelets.bmax,

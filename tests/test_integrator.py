@@ -1,0 +1,149 @@
+"""Integrator correctness: analytic oracles + cross-engine agreement
+(SURVEY §4: multiple implementations of one ABI as the test oracle)."""
+
+import numpy as np
+import pytest
+
+from rfw_tpu.config import RenderConfig
+from rfw_tpu.render import RenderStatus, create_engine
+from rfw_tpu.system import RenderSystem
+
+
+def make_cornell(engine_name="megakernel", cfg=None, size=64, lamp=20.0):
+    rs = RenderSystem(engine_name, cfg or RenderConfig())
+    white = rs.add_material([0.73] * 3)
+    red = rs.add_material([0.63, 0.065, 0.05])
+    green = rs.add_material([0.14, 0.45, 0.091])
+    lamp_m = rs.add_material([lamp] * 3)
+    for (n, p, w, h, m) in [
+        ([0, 1, 0], [0, 0, 0], 5.56, 5.56, white),
+        ([0, -1, 0], [0, 5.48, 0], 5.56, 5.56, white),
+        ([0, 0, -1], [0, 2.74, 2.796], 5.56, 5.48, white),
+        ([1, 0, 0], [-2.78, 2.74, 0], 5.48, 5.56, red),
+        ([-1, 0, 0], [2.78, 2.74, 0], 5.48, 5.56, green),
+        ([0, -1, 0], [0, 5.47, 0], 1.3, 1.05, lamp_m),
+    ]:
+        g = rs.add_quad(n, p, w, h, m)
+        rs.add_instance(g)
+    rs.camera.resize(size, size)
+    rs.camera.fov = 40.0
+    rs.camera.look_at([0, 2.73, -8.0], [0, 2.73, 0])
+    return rs
+
+
+_FAST = dict(bsdf="lambert", blue_noise=False, russian_roulette=False,
+             firefly_clamp=1e9)
+
+
+def test_point_light_analytic():
+    """Direct lighting from a point light matches ρ/π · L · cosθ / r²."""
+    cfg = RenderConfig(**_FAST, max_path_length=0)
+    rs = RenderSystem("megakernel", cfg)
+    albedo = 0.6
+    m = rs.add_material([albedo] * 3)
+    g = rs.add_quad([0, 1, 0], [0, 0, 0], 10, 10, m)
+    rs.add_instance(g)
+    rs.add_point_light([0, 2.0, 0], [100.0] * 3)
+    rs.camera.resize(48, 48)
+    rs.camera.fov = 30
+    rs.camera.look_at([0, 3.0, -3.0], [0, 0, 0])
+    img = rs.render_frame(samples=16)
+    expected = albedo / np.pi * 100.0 / 4.0
+    got = img[24, 24].mean()
+    assert abs(got - expected) / expected < 0.01
+
+
+def test_furnace_lambert():
+    """Floor under a uniform unit sky: one bounce returns exactly ρ."""
+    cfg = RenderConfig(**_FAST, max_path_length=1, variance_reduction=False)
+    rs = RenderSystem("megakernel", cfg)
+    albedo = 0.6
+    m = rs.add_material([albedo] * 3)
+    g = rs.add_quad([0, 1, 0], [0, 0, 0], 50, 50, m)
+    rs.add_instance(g)
+    rs.set_skybox(np.ones((32, 64, 3), np.float32))
+    rs.camera.resize(32, 32)
+    rs.camera.fov = 30
+    rs.camera.look_at([0, 3.0, -3.0], [0, 0, 0])
+    img = rs.render_frame(samples=96)
+    assert abs(img[16, 16].mean() - albedo) < 0.01
+
+
+def test_engines_agree_bitwise():
+    """bruteforce and megakernel(BVH) share math+RNG → identical images."""
+    imgs = {}
+    for name in ("bruteforce", "megakernel"):
+        rs = make_cornell(name, RenderConfig(**_FAST, max_path_length=2),
+                          size=32)
+        imgs[name] = rs.render_frame(samples=4)
+    assert np.array_equal(imgs["bruteforce"], imgs["megakernel"])
+
+
+def test_mis_consistent_with_bsdf_only():
+    """NEE+MIS and brute BSDF sampling converge to the same radiance.
+
+    Cheap version of the deep-path experiment: one bounce each, compare the
+    *direct-light* estimate. Tolerance covers MC noise at these sample
+    counts."""
+    base = dict(**_FAST)
+    mis = make_cornell(
+        "megakernel", RenderConfig(**base, max_path_length=1,
+                                   variance_reduction=True), size=32)
+    img_mis = mis.render_frame(samples=196)
+    bs = make_cornell(
+        "megakernel", RenderConfig(**base, max_path_length=2,
+                                   variance_reduction=False), size=32)
+    img_bs = bs.render_frame(samples=1024)
+    # MIS@1 bounce ≈ BSDF-only@2 segments + NEE@depth1 extra ⇒ compare
+    # loosely: means within 8% (tight agreement is covered by the deep
+    # experiment; here we catch gross estimator bugs)
+    assert abs(img_mis.mean() - img_bs.mean()) / img_bs.mean() < 0.08
+
+
+def test_probe_and_stats():
+    rs = make_cornell(size=32)
+    rs.set_probe_index((16, 16))
+    rs.render_frame(samples=1)
+    inst, prim, dist = rs.get_probe_results()
+    assert inst == 2          # back wall is the third instance
+    assert dist == pytest.approx(8.0 + 2.796, rel=0.01)
+    stats = rs.get_render_stats()
+    assert stats.primary_count == 32 * 32
+    assert stats.render_time > 0
+
+
+def test_direct_engine_no_bounces():
+    """direct engine = primary + NEE only (EmbreeRT behavior)."""
+    d = make_cornell("direct", RenderConfig(**_FAST), size=32)
+    img_d = d.render_frame(samples=8)
+    full = make_cornell("megakernel", RenderConfig(**_FAST), size=32)
+    img_f = full.render_frame(samples=8)
+    # indirect light only adds energy
+    assert img_f.mean() > img_d.mean() > 0.01
+
+
+def test_dense_intersector_matches_bvh():
+    rs = make_cornell("megakernel", RenderConfig(**_FAST), size=32)
+    img_a = rs.render_frame(status=RenderStatus.RESET, samples=2)
+    rs.context.set_setting("intersector", "dense")
+    img_b = rs.render_frame(status=RenderStatus.RESET, samples=2)
+    rmse = np.sqrt(((img_a - img_b) ** 2).mean())
+    assert rmse < 0.02 * max(img_a.mean(), 1e-6) + 1e-4
+
+
+def test_spot_and_directional_lights():
+    cfg = RenderConfig(**_FAST, max_path_length=0)
+    rs = RenderSystem("megakernel", cfg)
+    m = rs.add_material([0.7] * 3)
+    g = rs.add_quad([0, 1, 0], [0, 0, 0], 10, 10, m)
+    rs.add_instance(g)
+    rs.add_spot_light([0, 3, 0], cos_inner=0.95, radiance=[50] * 3,
+                      cos_outer=0.9, direction=[0, -1, 0])
+    rs.add_directional_light([0.3, -1, 0.2], [1.0] * 3)
+    rs.camera.resize(32, 32)
+    rs.camera.look_at([0, 3.0, -3.0], [0, 0, 0])
+    img = rs.render_frame(samples=32)
+    center = img[16, 16].mean()       # inside the spot cone
+    corner = img[2, 2].mean()         # outside the cone: directional only
+    assert center > corner > 0
+    assert np.isfinite(img).all()

@@ -84,7 +84,12 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--spp", type=int, default=16)
     ap.add_argument("--engine", default="megakernel")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the local CPU backend")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     engine = create_engine(args.engine)
     build_cornell(engine)

@@ -38,9 +38,12 @@ class RenderConfig:
     # Textures (settings.h:3)
     mip_level_count: int = 5          # MIPLEVELCOUNT
 
-    # Skybox / IBL importance sampling (settings.h:15-18)
+    # Skybox / IBL importance sampling (settings.h:15-18). The reference
+    # declares but never fills its envmap CDF tables (skybox.h:37-39);
+    # here envmap NEE with MIS is implemented (BASELINE config 3).
     ibl_width: int = 512
     ibl_height: int = 256
+    envmap_nee: bool = True
 
     # Animation
     animation_enabled: bool = True

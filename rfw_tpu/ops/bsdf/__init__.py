@@ -1,9 +1,10 @@
 """BSDF library (reference bsdf/ directory: disney active, lambert and
 microfacet as alternatives — bsdf/bsdf.h:19-22)."""
 
-from . import common, disney, lambert
+from . import common, disney, lambert, microfacet
 
-_REGISTRY = {"disney": disney, "lambert": lambert}
+_REGISTRY = {"disney": disney, "lambert": lambert,
+             "microfacet": microfacet}
 
 
 def get(name: str):

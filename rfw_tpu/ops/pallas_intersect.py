@@ -90,11 +90,11 @@ def _intersect_kernel(n_treelets: int, k_size: int, t_epsilon: float,
                       ids_ref, counts_ref, overflow_ref,
                       # inputs
                       rays_ref,              # (8, BLOCK): ox,oy,oz,tmax, dx,dy,dz,0
-                      wu_hbm, wv_hbm, ww_hbm,  # (4, T_pad) in HBM/ANY
+                      wplanes_hbm,           # (T, 16, K): woop rows u0..3,v0..3,w0..3,pad
                       # outputs
                       t_out, slot_out,
                       # scratch
-                      wu_s, wv_s, ww_s, sems):
+                      wp_s, sems):
     b = pl.program_id(0)
     count = counts_ref[b]
     full = overflow_ref[b] != 0
@@ -113,18 +113,12 @@ def _intersect_kernel(n_treelets: int, k_size: int, t_epsilon: float,
         return jnp.where(full, i, ids_ref[b, jnp.minimum(i, M_MAX - 1)])
 
     def dma(slot, tid):
-        base = pl.multiple_of(tid * k_size, k_size)
-        return [
-            pltpu.make_async_copy(src.at[:, pl.ds(base, k_size)],
-                                  dst.at[slot], sems.at[slot, j])
-            for j, (src, dst) in enumerate(
-                ((wu_hbm, wu_s), (wv_hbm, wv_s), (ww_hbm, ww_s)))
-        ]
+        return pltpu.make_async_copy(
+            wplanes_hbm.at[tid], wp_s.at[slot], sems.at[slot])
 
     @pl.when(n_visits > 0)
     def _():
-        for c in dma(0, treelet_id(0)):
-            c.start()
+        dma(0, treelet_id(0)).start()
 
     def body(i, carry):
         best_t, best_slot = carry
@@ -133,15 +127,14 @@ def _intersect_kernel(n_treelets: int, k_size: int, t_epsilon: float,
 
         @pl.when(i + 1 < n_visits)
         def _():
-            for c in dma(nxt, treelet_id(i + 1)):
-                c.start()
+            dma(nxt, treelet_id(i + 1)).start()
 
-        for c in dma(slot, treelet_id(i)):
-            c.wait()
+        dma(slot, treelet_id(i)).wait()
 
-        wu = wu_s[slot]                       # (4, K)
-        wv = wv_s[slot]
-        ww = ww_s[slot]
+        wp = wp_s[slot]                       # (16, K)
+        wu = wp[0:4, :]
+        wv = wp[4:8, :]
+        ww = wp[8:12, :]
 
         # MXU: transform rays into each triangle's unit frame — contract the
         # component axis of (4, BLOCK) rays with (4, K) woop planes
@@ -191,7 +184,7 @@ def _intersect_kernel(n_treelets: int, k_size: int, t_epsilon: float,
 
 @functools.partial(jax.jit, static_argnames=("k_size", "t_epsilon",
                                              "any_hit", "n_treelets"))
-def _run_kernel(rays, ids, counts, overflow, wu, wv, ww,
+def _run_kernel(rays, ids, counts, overflow, wplanes,
                 n_treelets: int, k_size: int, t_epsilon: float,
                 any_hit: bool):
     nb = ids.shape[0]
@@ -203,8 +196,6 @@ def _run_kernel(rays, ids, counts, overflow, wu, wv, ww,
             pl.BlockSpec((8, BLOCK), lambda b, *_: (b, 0),  # rows [8b, 8b+8)
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, BLOCK, 8), lambda b, *_: (b, 0, 0),
@@ -213,22 +204,22 @@ def _run_kernel(rays, ids, counts, overflow, wu, wv, ww,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 4, k_size), jnp.float32),
-            pltpu.VMEM((2, 4, k_size), jnp.float32),
-            pltpu.VMEM((2, 4, k_size), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((2, 16, k_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_intersect_kernel, n_treelets, k_size,
                                t_epsilon, any_hit)
+    interpret = jax.default_backend() == "cpu"  # CPU: emulate (tests/debug)
     t, slot = pl.pallas_call(
         kernel,
+        interpret=interpret,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nb, BLOCK, 8), jnp.float32),
             jax.ShapeDtypeStruct((nb, BLOCK, 8), jnp.int32),
         ],
-    )(ids, counts, overflow, rays, wu, wv, ww)
+    )(ids, counts, overflow, rays, wplanes)
     return t[:, :, 0].reshape(-1), slot[:, :, 0].reshape(-1)
 
 
@@ -270,10 +261,13 @@ def closest_hit(scene, origins, directions, config: RenderConfig):
                             jnp.full(origins.shape[0], BIG_T))
     ids, counts, overflow = build_candidates(o, d, t_far, tl["bmin"],
                                              tl["bmax"])
+    import os as _os
+    if _os.environ.get("RFW_PALLAS_FULLSCAN") == "1":  # debug bisect
+        overflow = jnp.ones_like(overflow)
     rays = _pack_rays(o, d, tm)
     n_treelets = tl["bmin"].shape[0]
     t, slot = _run_kernel(rays, ids, counts, overflow.astype(jnp.int32),
-                          tl["wu"], tl["wv"], tl["ww"],
+                          tl["wplanes"],
                           n_treelets, k_size, float(config.t_epsilon), False)
     t, slot = t[:r], slot[:r]
     found = slot >= 0
@@ -302,6 +296,6 @@ def any_hit(scene, origins, directions, dist, config: RenderConfig):
     rays = _pack_rays(o, d, tm)
     n_treelets = tl["bmin"].shape[0]
     _, slot = _run_kernel(rays, ids, counts, overflow.astype(jnp.int32),
-                          tl["wu"], tl["wv"], tl["ww"],
+                          tl["wplanes"],
                           n_treelets, k_size, float(config.t_epsilon), True)
     return slot[:r] >= 0

@@ -94,6 +94,10 @@ class PathTracerEngine(EngineContext):
         self._skybox = {"pixels": pixels,
                         "size": np.array([pixels.shape[1], pixels.shape[0]],
                                          np.int32)}
+        if self.config.envmap_nee:
+            from ..scene.skybox import Skybox
+            self._skybox.update(
+                Skybox(pixels).build_importance_tables())
         self._dirty = True
 
     # -- scene build ---------------------------------------------------------
@@ -130,9 +134,17 @@ class PathTracerEngine(EngineContext):
             area_light_overrides=self._light_overrides)
         scene.pop("_bvh_host", None)
         if self.config.blue_noise:
-            scene["blue_noise"] = jnp.asarray(rng_mod.blue_noise_mask())
+            scene["blue_noise"] = rng_mod.blue_noise_mask()
+        # re-jit only when the scene's pytree structure/shapes changed —
+        # per-frame animation updates keep shapes and reuse the compiled
+        # stages (the analog of the reference's persistent kernels)
+        def shapes(tree):
+            return jax.tree.map(
+                lambda x: (getattr(x, "shape", None),
+                           str(getattr(x, "dtype", ""))), tree)
+        if self._scene is None or shapes(scene) != shapes(self._scene):
+            self._trace_fn = None
         self._scene = scene
-        self._trace_fn = None        # shapes may have changed → re-jit
         self._dirty = False
         self._sample_count = 0       # scene changed ⇒ restart accumulation
         logger.debug("scene update: %d tris, %.1f ms",

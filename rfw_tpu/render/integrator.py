@@ -33,19 +33,52 @@ class Intersector(NamedTuple):
     occluded: Callable   # (scene, O, D, dist) -> bool mask
 
 
-def sample_skybox(scene, d):
-    """Equirect miss lookup (Kernels.cu:593-601, Debevec mapping)."""
-    if "skybox" not in scene:
-        return jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
+def _sky_texel(scene, d):
+    """Direction → (x, y) equirect texel (Kernels.cu:593-601, Debevec)."""
     pix = scene["skybox"]["pixels"]
     h, w = pix.shape[0], pix.shape[1]
     u = (w * 0.5 * (1.0 + jnp.arctan2(d[..., 0], -d[..., 2])
                     * (1.0 / math.pi))).astype(jnp.int32)
     v = (h * (jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
               * (1.0 / math.pi))).astype(jnp.int32)
-    u = jnp.clip(u, 0, w - 1)
-    v = jnp.clip(v, 0, h - 1)
-    return pix[v, u]
+    return jnp.clip(u, 0, w - 1), jnp.clip(v, 0, h - 1)
+
+
+def sample_skybox(scene, d):
+    """Equirect miss lookup."""
+    if "skybox" not in scene:
+        return jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
+    x, y = _sky_texel(scene, d)
+    return scene["skybox"]["pixels"][y, x]
+
+
+def skybox_pdf(scene, d):
+    """Solid-angle pdf the envmap importance sampler would assign to d."""
+    x, y = _sky_texel(scene, d)
+    return scene["skybox"]["pdf"][y, x]
+
+
+def sample_envmap(scene, r):
+    """Inverse-CDF envmap sample: uniform r → (direction, pdf, radiance).
+
+    Completes the importance sampling the reference declared but never
+    implemented (skybox.h:37-39 dead CDF/PDF fields)."""
+    sky = scene["skybox"]
+    pix = sky["pixels"]
+    h, w = pix.shape[0], pix.shape[1]
+    idx = jnp.searchsorted(sky["flat_cdf"], r)
+    idx = jnp.clip(idx, 0, h * w - 1)
+    y = idx // w
+    x = idx % w
+    # texel center → direction (inverse of the Debevec mapping)
+    u = (x.astype(jnp.float32) + 0.5) / w
+    v = (y.astype(jnp.float32) + 0.5) / h
+    phi = (2.0 * u - 1.0) * math.pi
+    theta = v * math.pi
+    sin_t = jnp.sin(theta)
+    d = jnp.stack([sin_t * jnp.sin(phi), jnp.cos(theta),
+                   -sin_t * jnp.cos(phi)], axis=-1)
+    return d, sky["pdf"][y, x], pix[y, x]
 
 
 def _no_nan(x):
@@ -97,7 +130,17 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
         miss = prim < 0
         # ---- skybox on miss (Kernels.cu:592-610) ----
         sky = sample_skybox(scene, direction)
-        contrib = throughput * sky / jnp.maximum(last_pdf, 1e-20)[..., None]
+        env_nee_active = (config.envmap_nee and config.variance_reduction
+                          and "skybox" in scene
+                          and "pdf" in scene.get("skybox", {}))
+        if env_nee_active and depth > 0:
+            # MIS against envmap NEE at the previous vertex (no-op for
+            # specular bounces, which shot no NEE ray)
+            e_pdf = skybox_pdf(scene, direction)
+            denom_m = jnp.where(spec_bounce, last_pdf, last_pdf + e_pdf)
+        else:
+            denom_m = last_pdf
+        contrib = throughput * sky / jnp.maximum(denom_m, 1e-20)[..., None]
         contrib = clamp_intensity(_no_nan(contrib), clamp_v)
         radiance = radiance + jnp.where((alive & miss)[..., None], contrib,
                                         0.0)
@@ -203,6 +246,26 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
             radiance = radiance + jnp.where(
                 (want_shadow & ~occ)[..., None], nee, 0.0)
             stats[f"shadow_count_{depth}"] = jnp.sum(want_shadow)
+
+            # ---- envmap NEE (new capability; reference skybox.h:37-39
+            # declares the tables but never fills them) ----
+            if env_nee_active:
+                seed, re = rng.random_float(seed)
+                e_dir, e_pdf, e_rad = sample_envmap(scene, re)
+                e_cos = dot3(e_dir, i_n)
+                eb_val, eb_pdf = bsdf.evaluate_bsdf(
+                    sd, i_n, t_vec, b_vec, -direction, e_dir)
+                e_denom = e_pdf + eb_pdf
+                e_contrib = (throughput * eb_val * e_rad
+                             * (e_cos / jnp.maximum(e_denom, 1e-20))[..., None])
+                e_contrib = clamp_intensity(_no_nan(e_contrib), clamp_v)
+                e_want = (alive & ~spec_mat & (e_cos > 0) & (e_pdf > 0)
+                          & (eb_pdf > 0))
+                e_occ = intersector.occluded(
+                    scene, safe_origin(hit_pos, n_geom), e_dir,
+                    jnp.full_like(e_pdf, 1e30))
+                radiance = radiance + jnp.where(
+                    (e_want & ~e_occ)[..., None], e_contrib, 0.0)
 
         if depth >= config.max_path_length:
             break

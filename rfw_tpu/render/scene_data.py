@@ -75,6 +75,17 @@ def _transform_triangles(tris: TriangleSoA, m: np.ndarray) -> dict:
     }
 
 
+def _woop_planes(pad_woop: np.ndarray, k_size: int) -> np.ndarray:
+    """(T_pad, 3, 4) Woop matrices → (n_treelets, 16, k_size) DMA blocks."""
+    t_pad = pad_woop.shape[0]
+    n_treelets = t_pad // k_size
+    # (n, k, 3, 4) → transpose to component-major rows (n, 3, 4, k)
+    w = pad_woop.reshape(n_treelets, k_size, 3, 4).transpose(0, 2, 3, 1)
+    planes = np.zeros((n_treelets, 16, k_size), np.float32)
+    planes[:, 0:12] = w.reshape(n_treelets, 12, k_size)
+    return planes
+
+
 def build_device_scene(
     instances: list[InstancedMesh],
     materials: dict[str, np.ndarray],
@@ -153,11 +164,11 @@ def build_device_scene(
         padded_verts[:, 0], padded_verts[:, 1], padded_verts[:, 2])
     scene["treelets"] = {
         "woop": pad_woop,
-        # component planes for the Pallas kernel: wu[:, t] is the Woop row
-        # producing barycentric u for triangle t (ops/pallas_intersect.py)
-        "wu": np.ascontiguousarray(pad_woop[:, 0, :].T),
-        "wv": np.ascontiguousarray(pad_woop[:, 1, :].T),
-        "ww": np.ascontiguousarray(pad_woop[:, 2, :].T),
+        # Pallas kernel layout: per treelet a (16, K) block — rows 0-3 the
+        # Woop rows producing barycentric u for the K triangles, 4-7 → v,
+        # 8-11 → w, 12-15 zero padding (sublane alignment). One aligned DMA
+        # per treelet (ops/pallas_intersect.py).
+        "wplanes": _woop_planes(pad_woop, config.treelet_size),
         "verts": padded_verts,
         "slot_to_prim": pad_perm,
         "bmin": treelets.bmin, "bmax": treelets.bmax,

@@ -71,23 +71,23 @@ class Skybox:
         }
 
     def build_importance_tables(self) -> dict[str, np.ndarray]:
-        """Luminance-weighted (marginal-row, conditional-col) CDFs with the
-        sin(theta) solid-angle factor; used by envmap NEE (BASELINE config 3).
+        """Luminance-weighted flat CDF with the sin(theta) solid-angle
+        factor; used by envmap NEE (BASELINE config 3). One flat CDF over
+        all texels keeps per-ray sampling to a single vectorized
+        searchsorted — a 2-level (marginal/conditional) scheme would need a
+        per-ray row gather of the full conditional table.
         """
         lum = (self.pixels * np.array([0.2126, 0.7152, 0.0722],
                                       np.float32)).sum(-1)
         h, w = lum.shape
         sin_theta = np.sin((np.arange(h, dtype=np.float32) + 0.5) / h * np.pi)
-        weighted = lum * sin_theta[:, None] + 1e-12
-        row_sums = weighted.sum(axis=1)
-        marginal_cdf = np.cumsum(row_sums)
-        total = marginal_cdf[-1]
-        marginal_cdf = (marginal_cdf / total).astype(np.float32)
-        cond_cdf = np.cumsum(weighted, axis=1)
-        cond_cdf = (cond_cdf / cond_cdf[:, -1:]).astype(np.float32)
-        # pdf over solid angle: p(dir) = w(y,x) * (w*h) / (total * 2 pi^2 sin)
-        pdf = (weighted * (w * h) /
-               (total * 2.0 * np.pi * np.pi * np.maximum(
+        weighted = (lum * sin_theta[:, None]).astype(np.float64) + 1e-12
+        flat = weighted.reshape(-1)
+        cdf = np.cumsum(flat)
+        total = cdf[-1]
+        flat_cdf = (cdf / total).astype(np.float32)
+        # pdf over solid angle: texel covers dω = (2π/w)(π/h) sinθ
+        pdf = (weighted / total * (w * h) /
+               (2.0 * np.pi * np.pi * np.maximum(
                    sin_theta[:, None], 1e-6))).astype(np.float32)
-        return {"marginal_cdf": marginal_cdf, "cond_cdf": cond_cdf,
-                "pdf": pdf}
+        return {"flat_cdf": flat_cdf, "pdf": pdf}

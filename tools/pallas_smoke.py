@@ -35,11 +35,10 @@ def build_scene(verts):
     padded_verts[pad_valid] = verts[tl.pad_map[pad_valid]]
     w = woop_matrices(padded_verts[:, 0], padded_verts[:, 1],
                       padded_verts[:, 2])
+    from rfw_tpu.render.scene_data import _woop_planes
     scene = {"treelets": {
         "woop": w,
-        "wu": np.ascontiguousarray(w[:, 0, :].T),
-        "wv": np.ascontiguousarray(w[:, 1, :].T),
-        "ww": np.ascontiguousarray(w[:, 2, :].T),
+        "wplanes": _woop_planes(w, 128),
         "verts": padded_verts, "slot_to_prim": pad_perm,
         "bmin": tl.bmin, "bmax": tl.bmax, "count": tl.count, "size": 128,
     }}

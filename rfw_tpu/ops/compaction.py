@@ -1,0 +1,65 @@
+"""Deterministic stream compaction + ray sorting.
+
+The reference compacts its wavefront with atomic counters
+(/root/reference/RFW/backends/CUDART/src/Kernels.cu:151-179 InitCounters,
+:640,747,788 atomicAdd queues). TPUs have no global atomics; the equivalent
+here is mask → sort, which is also bit-deterministic (SURVEY §2.9).
+
+Ray *sorting* groups coherent rays into the same 128-ray block so the Pallas
+treelet intersector's per-block candidate lists stay short on bounce rays:
+keys combine the direction octant with a Morton code of the ray origin —
+the standard wavefront-coherence recipe.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def compact_mask(mask):
+    """mask (N,) bool → (order (N,) i32, count) with live lanes first.
+
+    Stable: live lanes keep their relative order, dead lanes pack after
+    them (gather by ``order`` to compact any per-ray array).
+    """
+    n = mask.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(mask, idx, idx + n)   # dead lanes sort after live ones
+    order = jnp.argsort(key)
+    return order.astype(jnp.int32), jnp.sum(mask).astype(jnp.int32)
+
+
+def _morton3(x, y, z, bits: int = 7):
+    """Interleave ``bits`` bits of three normalized uint coordinates."""
+    out = jnp.zeros_like(x, dtype=jnp.uint32)
+    for i in range(bits):
+        out = out | (((x >> i) & 1) << (3 * i + 2))
+        out = out | (((y >> i) & 1) << (3 * i + 1))
+        out = out | (((z >> i) & 1) << (3 * i))
+    return out
+
+
+def ray_sort_keys(origins, directions, scene_lo, scene_hi, bits: int = 7):
+    """Coherence keys: [3-bit octant | 3*bits Morton(origin)]."""
+    octant = ((directions[:, 0] > 0).astype(jnp.uint32)
+              | ((directions[:, 1] > 0).astype(jnp.uint32) << 1)
+              | ((directions[:, 2] > 0).astype(jnp.uint32) << 2))
+    ext = jnp.maximum(scene_hi - scene_lo, 1e-6)
+    q = jnp.clip((origins - scene_lo) / ext, 0.0, 1.0)
+    scale = jnp.float32((1 << bits) - 1)
+    qi = (q * scale).astype(jnp.uint32)
+    morton = _morton3(qi[:, 0], qi[:, 1], qi[:, 2], bits)
+    return (octant << (3 * bits)) | morton
+
+
+def sort_rays(origins, directions, scene_lo, scene_hi, extra=()):
+    """Sort rays for block coherence; returns (order, inverse_order).
+
+    ``gather(x, order)`` groups coherent rays; results scatter back with
+    ``inverse_order``.
+    """
+    keys = ray_sort_keys(origins, directions, scene_lo, scene_hi)
+    order = jnp.argsort(keys).astype(jnp.int32)
+    inv = jnp.argsort(order).astype(jnp.int32)
+    return order, inv

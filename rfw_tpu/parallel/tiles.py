@@ -46,7 +46,7 @@ def make_tiled_renderer(mesh, width: int, height: int,
         # scene/view replicated; accumulator row-sharded
         tile = jax.lax.axis_index(TILE_AXIS)
         offset = tile.astype(jnp.uint32) * jnp.uint32(n_local)
-        radiance, _probe, stats = trace_sample(
+        radiance, _probe, stats, _aux = trace_sample(
             scene, view, width, height, sample_index,
             jnp.int32(0), config, intersector,
             pixel_offset=offset, n_pixels=n_local)

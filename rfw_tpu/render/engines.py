@@ -59,6 +59,7 @@ class PathTracerEngine(EngineContext):
         self._probe_result = (-1, -1, -1.0)
         self._trace_fn = None
         self._intersector_name = self.default_intersector
+        self._denoise = False
 
     # -- uploads -------------------------------------------------------------
 
@@ -163,10 +164,10 @@ class PathTracerEngine(EngineContext):
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(scene, accumulator, view, sample_index, probe_index):
-            radiance, probe, stats = trace_sample(
+            radiance, probe, stats, aux = trace_sample(
                 scene, view, width, height, sample_index, probe_index,
                 cfg, intersector)
-            return accumulator + radiance, probe, stats
+            return accumulator + radiance, probe, stats, aux
 
         self._trace_fn = step
         self._size = (width, height)
@@ -197,11 +198,16 @@ class PathTracerEngine(EngineContext):
         timer = Timer()
         probe = None
         stats = None
+        aux = None
         for _ in range(samples):
-            self._accumulator, probe, stats = step(
+            out = step(
                 self._scene, self._accumulator,
                 view, jnp.uint32(self._sample_count),
                 jnp.int32(probe_index))
+            if len(out) == 4:
+                self._accumulator, probe, stats, aux = out
+            else:
+                self._accumulator, probe, stats = out
             self._sample_count += 1
         self._accumulator.block_until_ready()
         elapsed = timer.elapsed()
@@ -222,7 +228,13 @@ class PathTracerEngine(EngineContext):
             self._probe_result = (int(p[0]), int(p[1]), float(p[2]))
 
         frame = resolve_accumulator(self._accumulator, self._sample_count)
-        return np.asarray(frame).reshape(height, width, 3)
+        frame = frame.reshape(height, width, 3)
+        if self._denoise and aux is not None:
+            from ..ops.denoise import denoise
+            frame = denoise(frame,
+                            aux["normal"].reshape(height, width, 3),
+                            aux["depth"].reshape(height, width))
+        return np.asarray(frame)
 
     def resize(self, width: int, height: int) -> None:
         if (width, height) != self._size:
@@ -236,8 +248,14 @@ class PathTracerEngine(EngineContext):
     # -- settings ------------------------------------------------------------
 
     def get_available_settings(self):
-        return [RenderSetting("intersector", self._intersector_name,
-                              sorted(FACTORIES))]
+        return [
+            RenderSetting("intersector", self._intersector_name,
+                          sorted(FACTORIES)),
+            # the OptiX backend's "DENOISE" setting analog
+            # (OptiXContext.cpp:812-822)
+            RenderSetting("denoise", "1" if self._denoise else "0",
+                          ["0", "1"]),
+        ]
 
     def set_setting(self, name: str, value: str) -> None:
         super().set_setting(name, value)
@@ -246,6 +264,8 @@ class PathTracerEngine(EngineContext):
                 raise ValueError(f"unknown intersector {value!r}")
             self._intersector_name = value
             self._trace_fn = None
+        elif name == "denoise":
+            self._denoise = value in ("1", "true", "True")
 
 
 @register_engine("bruteforce")

@@ -112,6 +112,8 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
         blue_noise_mask=bn_mask if use_bn else None, pixel_ids=pid)
 
     radiance = jnp.zeros((n, 3), jnp.float32)
+    aux = {"normal": jnp.zeros((n, 3), jnp.float32),
+           "depth": jnp.zeros(n, jnp.float32)}
     throughput = jnp.ones((n, 3), jnp.float32)
     last_pdf = jnp.ones(n, jnp.float32)
     spec_bounce = jnp.zeros(n, dtype=bool)   # IS_SPECULAR path flag
@@ -153,6 +155,9 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
             scene, prim_safe, u, v, direction, cone_width)
 
         if depth == 0:
+            # aux feature buffers for the denoiser (ops/denoise.py)
+            aux["normal"] = jnp.where(miss[..., None], 0.0, i_n)
+            aux["depth"] = jnp.where(miss, 0.0, t)
             # probe readback (Kernels.cu:628-633)
             probe = jnp.stack([
                 scene["tri_instance"][prim_safe][probe_index].astype(
@@ -295,4 +300,4 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
         origin = safe_origin(hit_pos, n_geom)
         direction = wi
 
-    return radiance, probe, stats
+    return radiance, probe, stats, aux

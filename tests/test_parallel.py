@@ -24,7 +24,7 @@ def test_tiled_matches_single_device():
     scene, view, config = _scene_and_view(width, height)
     intersector = FACTORIES["bvh"](config)
 
-    radiance, _, stats = jax.jit(
+    radiance, _, stats, _aux = jax.jit(
         lambda s, v: trace_sample(s, v, width, height, jnp.uint32(0),
                                   jnp.int32(0), config, intersector)
     )(scene, view)

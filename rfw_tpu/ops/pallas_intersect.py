@@ -12,11 +12,14 @@ ranges, bvh/wide.py):
    near-to-far via top-k. Overflowing blocks (incoherent rays) fall back to
    visiting every treelet — correct, just slower.
 2. **Intersect (Pallas):** per block, the kernel walks its candidate list
-   (scalar-prefetched), DMAs each treelet's Woop planes HBM→VMEM double-
-   buffered, and intersects all BLOCK×K pairs densely: the world→unit-
-   triangle transform is three ``[2·BLOCK, 4] @ [4, K]`` matmuls on the MXU
-   (ops/intersect.py woop_matrices), followed by ~12 VPU flops per pair and
-   a cross-lane argmin. No gathers, no divergence, static shapes.
+   (SMEM inputs — NOT PrefetchScalarGridSpec, which blows Mosaic compile
+   time from ~1s to ~8min), DMAs each treelet's Woop planes HBM→VMEM
+   double-buffered, and intersects all BLOCK×K pairs densely: the
+   world→unit-triangle transform is a 4-term broadcast FMA on the VPU
+   (exact f32 — the MXU's default-precision f32 matmul loses ~1e-3
+   relative, enough to flip closest-hit winners), followed by ~12 VPU
+   flops per pair and a cross-lane argmin. No gathers, no divergence,
+   static shapes.
 
 Precision: the kernel returns (t, slot); callers refine the winning
 triangle with one Möller–Trumbore step (see closest_hit_woop) to remove the
@@ -95,9 +98,9 @@ def _intersect_kernel(n_treelets: int, k_size: int, t_epsilon: float,
                       t_out, slot_out,
                       # scratch
                       wp_s, sems):
-    b = pl.program_id(0)
-    count = counts_ref[b]
-    full = overflow_ref[b] != 0
+    row = jnp.remainder(pl.program_id(0), 8)   # SMEM blocks span 8 rows
+    count = counts_ref[row, 0]
+    full = overflow_ref[row, 0] != 0
     n_visits = jnp.where(full, n_treelets, count)
 
     rays = rays_ref[:]                       # (8, BLOCK)
@@ -110,7 +113,7 @@ def _intersect_kernel(n_treelets: int, k_size: int, t_epsilon: float,
     d4h = jnp.concatenate([rays[4:7, :], zeros], axis=0)
 
     def treelet_id(i):
-        return jnp.where(full, i, ids_ref[b, jnp.minimum(i, M_MAX - 1)])
+        return jnp.where(full, i, ids_ref[row, jnp.minimum(i, M_MAX - 1)])
 
     def dma(slot, tid):
         return pltpu.make_async_copy(
@@ -132,20 +135,21 @@ def _intersect_kernel(n_treelets: int, k_size: int, t_epsilon: float,
         dma(slot, treelet_id(i)).wait()
 
         wp = wp_s[slot]                       # (16, K)
-        wu = wp[0:4, :]
-        wv = wp[4:8, :]
-        ww = wp[8:12, :]
 
-        # MXU: transform rays into each triangle's unit frame — contract the
-        # component axis of (4, BLOCK) rays with (4, K) woop planes
-        def xf(a, w):
-            return jax.lax.dot_general(
-                a, w, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)   # (BLOCK, K)
+        # Transform rays into each triangle's unit frame. The contraction
+        # depth is only 4, so a broadcast FMA on the VPU is both exact f32
+        # (the MXU's default f32 path rounds enough to flip closest-hit
+        # winners) and fully utilized — an MXU matmul with K=4 runs at
+        # ~3% utilization anyway.
+        def xf(a, row0):
+            acc = a[0:1, :].T * wp[row0:row0 + 1, :]        # (BLOCK, K)
+            for j in range(1, 4):
+                acc = acc + a[j:j + 1, :].T * wp[row0 + j:row0 + j + 1, :]
+            return acc
 
-        ou, du = xf(o4h, wu), xf(d4h, wu)
-        ov, dv = xf(o4h, wv), xf(d4h, wv)
-        ow, dw = xf(o4h, ww), xf(d4h, ww)
+        ou, du = xf(o4h, 0), xf(d4h, 0)
+        ov, dv = xf(o4h, 4), xf(d4h, 4)
+        ow, dw = xf(o4h, 8), xf(d4h, 8)
 
         valid = jnp.abs(dw) > 1e-12
         t = -ow / jnp.where(valid, dw, 1.0)
@@ -163,6 +167,10 @@ def _intersect_kernel(n_treelets: int, k_size: int, t_epsilon: float,
 
     init = (t_max0, jnp.full((BLOCK, 1), -1, jnp.int32))
     if any_hit:
+        # early exit once every ray found an occluder. The loop body always
+        # prefetches i+1, so on exit one DMA may be in flight — the epilog
+        # waits it out (an orphaned start would corrupt the next grid
+        # step's first buffer).
         def cond(state):
             i, (bt, bs) = state
             return (i < n_visits) & jnp.any(bs < 0)
@@ -171,8 +179,12 @@ def _intersect_kernel(n_treelets: int, k_size: int, t_epsilon: float,
             i, carry = state
             return i + 1, body(i, carry)
 
-        _, (best_t, best_slot) = jax.lax.while_loop(
+        i_end, (best_t, best_slot) = jax.lax.while_loop(
             cond, wbody, (jnp.int32(0), init))
+
+        @pl.when(i_end < n_visits)
+        def _():  # drain the prefetch issued by the last executed body
+            dma(jnp.remainder(i_end, 2), treelet_id(i_end)).wait()
     else:
         best_t, best_slot = jax.lax.fori_loop(0, n_visits, body, init)
 
@@ -189,37 +201,50 @@ def _run_kernel(rays, ids, counts, overflow, wplanes,
                 any_hit: bool):
     nb = ids.shape[0]
     rays = rays.reshape(nb * 8, BLOCK)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((8, BLOCK), lambda b, *_: (b, 0),  # rows [8b, 8b+8)
+    grid = (nb,)
+    pad_nb = (-nb) % 8
+    if pad_nb:  # SMEM windows span 8 grid rows — pad the tables
+        ids = jnp.pad(ids, ((0, pad_nb), (0, 0)))
+        counts = jnp.pad(counts, (0, pad_nb))
+        overflow = jnp.pad(overflow, (0, pad_nb))
+    in_specs = [
+            # per-block candidate rows in SMEM (windowed: SMEM is 1MB —
+            # whole tables OOM at 1080p); plain grid, NOT
+            # PrefetchScalarGridSpec (which compiles ~500x slower)
+            pl.BlockSpec((8, M_MAX), lambda b: (b // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 1), lambda b: (b // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 1), lambda b: (b // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, BLOCK), lambda b: (b, 0),  # rows [8b, 8b+8)
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, BLOCK, 8), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK, 8), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, 16, k_size), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
+    ]
+    out_specs = [
+        pl.BlockSpec((1, BLOCK, 8), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BLOCK, 8), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
     kernel = functools.partial(_intersect_kernel, n_treelets, k_size,
                                t_epsilon, any_hit)
     interpret = jax.default_backend() == "cpu"  # CPU: emulate (tests/debug)
     t, slot = pl.pallas_call(
         kernel,
         interpret=interpret,
-        grid_spec=grid_spec,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, k_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, BLOCK, 8), jnp.float32),
             jax.ShapeDtypeStruct((nb, BLOCK, 8), jnp.int32),
         ],
-    )(ids, counts, overflow, rays, wplanes)
+    )(ids, counts.reshape(-1, 1), overflow.reshape(-1, 1), rays, wplanes)
     return t[:, :, 0].reshape(-1), slot[:, :, 0].reshape(-1)
 
 
@@ -255,7 +280,7 @@ def _pad_rays(origins, directions, t_max):
 def closest_hit(scene, origins, directions, config: RenderConfig):
     """Intersector ABI: (t, prim, u, v) with prim in permuted order."""
     tl = scene["treelets"]
-    k_size = int(tl["size"])
+    k_size = int(tl["wplanes"].shape[2])   # static (from shape, jit-safe)
     t_far = _scene_t_far(tl)
     o, d, tm, r = _pad_rays(origins, directions,
                             jnp.full(origins.shape[0], BIG_T))
@@ -288,7 +313,7 @@ def closest_hit(scene, origins, directions, config: RenderConfig):
 def any_hit(scene, origins, directions, dist, config: RenderConfig):
     """Occlusion test: True where something lies closer than ``dist``."""
     tl = scene["treelets"]
-    k_size = int(tl["size"])
+    k_size = int(tl["wplanes"].shape[2])
     t_far = _scene_t_far(tl)
     o, d, tm, r = _pad_rays(origins, directions, dist)
     ids, counts, overflow = build_candidates(o, d, t_far, tl["bmin"],

@@ -60,10 +60,14 @@ class PathTracerEngine(EngineContext):
         self._trace_fn = None
         self._intersector_name = self.default_intersector
         self._denoise = False
+        self._mesh_versions: dict[int, int] = {}
+        self._geo_key = None
 
     # -- uploads -------------------------------------------------------------
 
     def set_mesh(self, slot: int, triangles: TriangleSoA) -> None:
+        if self._meshes.get(slot) is not triangles:
+            self._mesh_versions[slot] = self._mesh_versions.get(slot, 0) + 1
         self._meshes[slot] = triangles
         self._dirty = True
 
@@ -129,10 +133,30 @@ class PathTracerEngine(EngineContext):
                 for slot, tris in sorted(self._meshes.items())
             ]
         timer = Timer()
-        scene = scene_data.build_device_scene(
-            instances, self._materials, self._lights, self._skybox,
-            self._atlas, self.config,
-            area_light_overrides=self._light_overrides)
+        # geometry rebuild (BVH/treelets/Woop) only when geometry inputs
+        # changed — material/light/sky edits reuse the cached arrays
+        # (the reference's dirty-bit granularity, system.cpp:247-433)
+        geo_key = (
+            tuple((im.instance_id, im.mesh_slot,
+                   self._mesh_versions.get(im.mesh_slot, 0),
+                   im.transform.tobytes()) for im in instances),
+            tuple(sorted(self._light_overrides.items())),
+        )
+        if getattr(self, "_geo_key", None) == geo_key and self._scene:
+            scene = dict(self._scene)
+            scene["materials"] = self._materials
+            scene["lights"] = self._lights
+            if self._skybox is not None:
+                scene["skybox"] = self._skybox
+            if self._atlas is not None:
+                scene["atlas"] = self._atlas["atlas"]
+                scene["atlas_desc"] = self._atlas["desc"]
+        else:
+            scene = scene_data.build_device_scene(
+                instances, self._materials, self._lights, self._skybox,
+                self._atlas, self.config,
+                area_light_overrides=self._light_overrides)
+            self._geo_key = geo_key
         scene.pop("_bvh_host", None)
         if self.config.blue_noise:
             scene["blue_noise"] = rng_mod.blue_noise_mask()

@@ -155,16 +155,18 @@ def main():
 
     out_shape = [jax.ShapeDtypeStruct((1, BLOCK, 8), jnp.float32),
                  jax.ShapeDtypeStruct((1, BLOCK, 8), jnp.int32)]
-    out_specs = [pl.BlockSpec((1, BLOCK, 8), lambda: (0, 0, 0),
+    out_specs = [pl.BlockSpec((1, BLOCK, 8), lambda i: (0, 0, 0),
                               memory_space=pltpu.VMEM)] * 2
+    grid = (1,)
 
     results = {}
 
     # A: BlockSpec-loaded single treelet
     fa = pl.pallas_call(
-        kernel_a, out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 16, K), lambda: (0, 0, 0),
+        kernel_a, out_shape=out_shape, grid=grid,
+        in_specs=[pl.BlockSpec((8, BLOCK), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 16, K), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=out_specs)
     t0 = time.time()
@@ -175,8 +177,9 @@ def main():
 
     # B: manual DMA single treelet
     fb = pl.pallas_call(
-        kernel_b, out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+        kernel_b, out_shape=out_shape, grid=grid,
+        in_specs=[pl.BlockSpec((8, BLOCK), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((2, 16, K), jnp.float32),
@@ -190,7 +193,9 @@ def main():
     # C: fori loop over all treelets
     fc = pl.pallas_call(
         functools.partial(kernel_c, n_treelets), out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=grid,
+        in_specs=[pl.BlockSpec((8, BLOCK), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((2, 16, K), jnp.float32),

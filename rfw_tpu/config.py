@@ -57,9 +57,11 @@ class RenderConfig:
 
     # Wavefront engine knobs (no reference analog — TPU-specific)
     compaction: bool = True           # prefix-sum stream compaction between bounces
-    treelet_size: int = 128           # triangles per dense-intersection treelet
-    #                                   (= lane width: one treelet fills the VPU)
-    ray_block: int = 128              # rays per Pallas block
+    max_rays_per_pass: int = 1 << 19  # chunk big frames: bounds HBM temps
+    #                                   (1080p in one pass OOMs a 16GB chip)
+    treelet_size: int = 256           # triangles per dense-intersection treelet
+    #                                   (two VPU lane-widths per visit)
+    ray_block: int = 256              # rays per Pallas block
     use_pallas: bool = True           # use the Pallas/MXU intersector when on TPU
 
 

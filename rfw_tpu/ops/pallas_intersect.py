@@ -37,50 +37,69 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
+from .compaction import ray_sort_keys
 from .intersect import BIG_T, intersect_tri
 
-BLOCK = 128          # rays per block (grid dim)
-M_MAX = 128          # candidate treelets per block before full-scan fallback
+BLOCK = 256          # rays per block (grid dim)
+M_MAX = 256          # candidate treelets per block before full-scan fallback
 
 
 # ---------------------------------------------------------------------------
 # Phase 1: candidate selection (XLA)
 # ---------------------------------------------------------------------------
 
-def build_candidates(origins, directions, t_far, bmin, bmax, m_max=M_MAX):
-    """Per-block candidate treelets.
+def build_candidates(origins, directions, t_max, bmin, bmax, m_max=M_MAX):
+    """Per-block candidate treelets via *exact per-ray* slab tests.
 
-    origins/directions: (R, 3) with R % BLOCK == 0; t_far: scalar conservative
-    ray length bound; bmin/bmax: (T, 3) treelet AABBs.
+    A (NB, T) table is computed densely (chunked over treelets to bound
+    temp memory): for each block, a treelet is a candidate iff ANY of its
+    128 rays' slab test hits, and its entry bound is the MIN over rays of
+    the slab tnear — exact per-ray culling is what keeps candidate counts
+    small enough for the kernel on big scenes (a conservative block
+    envelope overlaps nearly everything along the view axis).
 
-    Returns (ids (NB, m_max) i32, counts (NB,) i32, overflow (NB,) bool).
-    ids are sorted near-to-far by treelet-center distance to the block's
-    origin centroid.
+    Returns (ids (NB, m_max) i32, counts (NB,), overflow (NB,), tnears
+    (NB, m_max) f32 ascending).
     """
     nb = origins.shape[0] // BLOCK
-    o = origins.reshape(nb, BLOCK, 3)
-    d = directions.reshape(nb, BLOCK, 3)
-    olo = o.min(axis=1)
-    ohi = o.max(axis=1)
-    dlo = d.min(axis=1)
-    dhi = d.max(axis=1)
-    env_lo = olo + t_far * jnp.minimum(dlo, 0.0)
-    env_hi = ohi + t_far * jnp.maximum(dhi, 0.0)
-    overlap = jnp.all(
-        (env_lo[:, None, :] <= bmax[None, :, :])
-        & (env_hi[:, None, :] >= bmin[None, :, :]), axis=-1)   # (NB, T)
+    t = bmin.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(directions) < 1e-12,
+                            jnp.where(directions < 0, -1e-12, 1e-12),
+                            directions)
+    t_max = jnp.broadcast_to(t_max, (origins.shape[0],))
 
-    center = 0.5 * (bmin + bmax)                                # (T, 3)
-    oc = 0.5 * (olo + ohi)                                      # (NB, 3)
-    dist = jnp.sum((center[None, :, :] - oc[:, None, :]) ** 2, axis=-1)
-    key = jnp.where(overlap, -dist, -jnp.inf)                   # top_k: near first
-    k = min(m_max, bmin.shape[0])
-    _, ids = jax.lax.top_k(key, k)                              # (NB, k)
+    chunk = 64
+    t_pad = -(-t // chunk) * chunk
+    blo = jnp.pad(bmin, ((0, t_pad - t), (0, 0)), constant_values=3e38)
+    bhi = jnp.pad(bmax, ((0, t_pad - t), (0, 0)), constant_values=-3e38)
+    blo = blo.reshape(-1, chunk, 3)
+    bhi = bhi.reshape(-1, chunk, 3)
+
+    def chunk_fn(bounds):
+        lo, hi = bounds                                # (chunk, 3)
+        t1 = (lo[None, :, :] - origins[:, None, :]) * inv_d[:, None, :]
+        t2 = (hi[None, :, :] - origins[:, None, :]) * inv_d[:, None, :]
+        tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)   # (R, chunk)
+        tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t_max[:, None])
+        tn = jnp.where(hit, jnp.maximum(tmin, 0.0), 3e38)
+        return tn.reshape(nb, BLOCK, chunk).min(axis=1)  # (NB, chunk)
+
+    tn = jax.lax.map(chunk_fn, (blo, bhi))             # (nc, NB, chunk)
+    tn = jnp.moveaxis(tn, 0, 1).reshape(nb, t_pad)[:, :t]   # (NB, T)
+
+    overlap = tn < 3e38
+    k = min(m_max, t)
+    neg, ids = jax.lax.top_k(-tn, k)                   # near first
+    tnears = -neg
     counts = jnp.sum(overlap, axis=-1).astype(jnp.int32)
     overflow = counts > k
     if k < m_max:
         ids = jnp.pad(ids, ((0, 0), (0, m_max - k)))
-    return ids.astype(jnp.int32), jnp.minimum(counts, k), overflow
+        tnears = jnp.pad(tnears, ((0, 0), (0, m_max - k)),
+                         constant_values=3e38)
+    return (ids.astype(jnp.int32), jnp.minimum(counts, k), overflow,
+            tnears.astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -89,8 +108,8 @@ def build_candidates(origins, directions, t_far, bmin, bmax, m_max=M_MAX):
 
 def _intersect_kernel(n_treelets: int, k_size: int, t_epsilon: float,
                       any_hit: bool,
-                      # prefetched scalars
-                      ids_ref, counts_ref, overflow_ref,
+                      # SMEM candidate tables (windowed per 8 grid rows)
+                      ids_ref, counts_ref, overflow_ref, tnears_ref,
                       # inputs
                       rays_ref,              # (8, BLOCK): ox,oy,oz,tmax, dx,dy,dz,0
                       wplanes_hbm,           # (T, 16, K): woop rows u0..3,v0..3,w0..3,pad
@@ -165,6 +184,11 @@ def _intersect_kernel(n_treelets: int, k_size: int, t_epsilon: float,
         new_slot = jnp.where(better, tid * k_size + kbest, best_slot)
         return jnp.where(better, tmin, best_t), new_slot
 
+    def tnear_of(i):
+        # full-scan blocks have no per-candidate bound: never early-exit
+        return jnp.where(full, 0.0,
+                         tnears_ref[row, jnp.minimum(i, M_MAX - 1)])
+
     init = (t_max0, jnp.full((BLOCK, 1), -1, jnp.int32))
     if any_hit:
         # early exit once every ray found an occluder. The loop body always
@@ -186,7 +210,23 @@ def _intersect_kernel(n_treelets: int, k_size: int, t_epsilon: float,
         def _():  # drain the prefetch issued by the last executed body
             dma(jnp.remainder(i_end, 2), treelet_id(i_end)).wait()
     else:
-        best_t, best_slot = jax.lax.fori_loop(0, n_visits, body, init)
+        # front-to-back with early termination: candidates are sorted by a
+        # conservative entry-distance lower bound; once every ray's best hit
+        # is closer than the next treelet's bound, no later treelet can win.
+        def cond(state):
+            i, (bt, bs) = state
+            return (i < n_visits) & (jnp.max(bt) > tnear_of(i))
+
+        def wbody(state):
+            i, carry = state
+            return i + 1, body(i, carry)
+
+        i_end, (best_t, best_slot) = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0), init))
+
+        @pl.when(i_end < n_visits)
+        def _():  # drain pending prefetch (see any_hit note)
+            dma(jnp.remainder(i_end, 2), treelet_id(i_end)).wait()
 
     # outputs are (1, BLOCK, 8) blocks; column 0 is the payload, the rest
     # padding (Mosaic layout: per-ray state lives as (BLOCK, 1) 2-D vectors)
@@ -196,7 +236,7 @@ def _intersect_kernel(n_treelets: int, k_size: int, t_epsilon: float,
 
 @functools.partial(jax.jit, static_argnames=("k_size", "t_epsilon",
                                              "any_hit", "n_treelets"))
-def _run_kernel(rays, ids, counts, overflow, wplanes,
+def _run_kernel(rays, ids, counts, overflow, tnears, wplanes,
                 n_treelets: int, k_size: int, t_epsilon: float,
                 any_hit: bool):
     nb = ids.shape[0]
@@ -207,6 +247,7 @@ def _run_kernel(rays, ids, counts, overflow, wplanes,
         ids = jnp.pad(ids, ((0, pad_nb), (0, 0)))
         counts = jnp.pad(counts, (0, pad_nb))
         overflow = jnp.pad(overflow, (0, pad_nb))
+        tnears = jnp.pad(tnears, ((0, pad_nb), (0, 0)))
     in_specs = [
             # per-block candidate rows in SMEM (windowed: SMEM is 1MB —
             # whole tables OOM at 1080p); plain grid, NOT
@@ -216,6 +257,8 @@ def _run_kernel(rays, ids, counts, overflow, wplanes,
             pl.BlockSpec((8, 1), lambda b: (b // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 1), lambda b: (b // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, M_MAX), lambda b: (b // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, BLOCK), lambda b: (b, 0),  # rows [8b, 8b+8)
                          memory_space=pltpu.VMEM),
@@ -244,7 +287,8 @@ def _run_kernel(rays, ids, counts, overflow, wplanes,
             jax.ShapeDtypeStruct((nb, BLOCK, 8), jnp.float32),
             jax.ShapeDtypeStruct((nb, BLOCK, 8), jnp.int32),
         ],
-    )(ids, counts.reshape(-1, 1), overflow.reshape(-1, 1), rays, wplanes)
+    )(ids, counts.reshape(-1, 1), overflow.reshape(-1, 1), tnears, rays,
+      wplanes)
     return t[:, :, 0].reshape(-1), slot[:, :, 0].reshape(-1)
 
 
@@ -277,24 +321,57 @@ def _pad_rays(origins, directions, t_max):
     return origins, directions, t_max, r
 
 
+def _sorted(tl, origins, directions):
+    """Coherence order for ray blocks (octant + origin Morton): bounce
+    rays from one jit lane-layout are scattered; without sorting their
+    128-ray blocks overflow the candidate list and fall back to full
+    treelet scans (compaction.py)."""
+    lo = tl["bmin"].min(axis=0)
+    hi = tl["bmax"].max(axis=0)
+    keys = ray_sort_keys(origins, directions, lo, hi)
+    order = jnp.argsort(keys).astype(jnp.int32)
+    inv = jnp.argsort(order).astype(jnp.int32)
+    return order, inv
+
+
 def closest_hit(scene, origins, directions, config: RenderConfig):
     """Intersector ABI: (t, prim, u, v) with prim in permuted order."""
     tl = scene["treelets"]
     k_size = int(tl["wplanes"].shape[2])   # static (from shape, jit-safe)
     t_far = _scene_t_far(tl)
+    order, inv = _sorted(tl, origins, directions)
+    origins = origins[order]
+    directions = directions[order]
     o, d, tm, r = _pad_rays(origins, directions,
                             jnp.full(origins.shape[0], BIG_T))
-    ids, counts, overflow = build_candidates(o, d, t_far, tl["bmin"],
-                                             tl["bmax"])
+    n_treelets = tl["bmin"].shape[0]
+    ids, counts, overflow, tnears = build_candidates(
+        o, d, tm, tl["bmin"], tl["bmax"])
     import os as _os
     if _os.environ.get("RFW_PALLAS_FULLSCAN") == "1":  # debug bisect
         overflow = jnp.ones_like(overflow)
-    rays = _pack_rays(o, d, tm)
-    n_treelets = tl["bmin"].shape[0]
-    t, slot = _run_kernel(rays, ids, counts, overflow.astype(jnp.int32),
-                          tl["wplanes"],
-                          n_treelets, k_size, float(config.t_epsilon), False)
-    t, slot = t[:r], slot[:r]
+
+    # Two-phase closest hit. Pass 1 visits only the nearest few candidate
+    # treelets per block — that bounds most rays' best_t. The re-cull with
+    # those per-ray bounds collapses candidate counts (a treelet behind the
+    # found hit can't win), so pass 2 touches a fraction of the pairs. Rays
+    # that missed in pass 1 keep t_max and redo their full list.
+    n1 = 4
+    zero_ov = jnp.zeros_like(overflow, jnp.int32)
+    t1, slot1 = _run_kernel(_pack_rays(o, d, tm), ids,
+                            jnp.minimum(counts, n1), zero_ov,
+                            tnears, tl["wplanes"], n_treelets, k_size,
+                            float(config.t_epsilon), False)
+    t_bound = jnp.where(slot1 >= 0, t1, tm)
+    ids2, counts2, overflow2, tnears2 = build_candidates(
+        o, d, t_bound, tl["bmin"], tl["bmax"])
+    t2, slot2 = _run_kernel(_pack_rays(o, d, t_bound), ids2, counts2,
+                            overflow2.astype(jnp.int32), tnears2,
+                            tl["wplanes"], n_treelets, k_size,
+                            float(config.t_epsilon), False)
+    better = slot2 >= 0
+    t = jnp.where(better, t2, t1)[:r]
+    slot = jnp.where(better, slot2, slot1)[:r]
     found = slot >= 0
     prim = jnp.where(found, tl["slot_to_prim"][jnp.maximum(slot, 0)], -1)
     found = found & (prim >= 0)
@@ -307,7 +384,8 @@ def closest_hit(scene, origins, directions, config: RenderConfig):
     t = jnp.where(found & rhit, rt, t)
     u = jnp.where(found & rhit, ru, 0.0)
     v = jnp.where(found & rhit, rv, 0.0)
-    return (jnp.where(found, t, BIG_T), jnp.where(found, prim, -1), u, v)
+    return (jnp.where(found, t, BIG_T)[inv], jnp.where(found, prim, -1)[inv],
+            u[inv], v[inv])
 
 
 def any_hit(scene, origins, directions, dist, config: RenderConfig):
@@ -315,12 +393,16 @@ def any_hit(scene, origins, directions, dist, config: RenderConfig):
     tl = scene["treelets"]
     k_size = int(tl["wplanes"].shape[2])
     t_far = _scene_t_far(tl)
+    order, inv = _sorted(tl, origins, directions)
+    origins = origins[order]
+    directions = directions[order]
+    dist = dist[order]
     o, d, tm, r = _pad_rays(origins, directions, dist)
-    ids, counts, overflow = build_candidates(o, d, t_far, tl["bmin"],
-                                             tl["bmax"])
+    ids, counts, overflow, tnears = build_candidates(
+        o, d, tm, tl["bmin"], tl["bmax"])
     rays = _pack_rays(o, d, tm)
     n_treelets = tl["bmin"].shape[0]
     _, slot = _run_kernel(rays, ids, counts, overflow.astype(jnp.int32),
-                          tl["wplanes"],
+                          tnears, tl["wplanes"],
                           n_treelets, k_size, float(config.t_epsilon), True)
-    return slot[:r] >= 0
+    return (slot[:r] >= 0)[inv]

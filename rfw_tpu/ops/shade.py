@@ -93,7 +93,7 @@ _PARAM_KEYS = ("metallic", "subsurface", "specular", "roughness",
                "clearcoat", "clearcoat_gloss", "transmission", "eta")
 
 
-def get_shading_data(scene, prim, u, v, d, cone_width):
+def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None):
     """Derive shading state for hit rays.
 
     scene: device scene dict (render/scene_data.py) with triangle SoA planes
@@ -126,50 +126,56 @@ def get_shading_data(scene, prim, u, v, d, cone_width):
 
     alpha_cut = jnp.zeros_like(u, dtype=bool)
 
+    tf = tex_flags or {"diffuse": True, "normal": True, "rough": True}
     if "atlas" in scene and scene["atlas"] is not None:
         atlas = scene["atlas"]
         desc = scene["atlas_desc"]
         # diffuse map (slot 0)
         tex0 = mats["tex0_id"][mat_id]
+        lam = jnp.zeros_like(u)
         has_tex0 = tex0 >= 0
-        uvt = mats["tex0_uvtransform"][mat_id]
-        uv0 = uvt[..., 0:2] * (uvt[..., 2:4] + uv_i)
-        base_w = desc[jnp.maximum(tex0, 0), 0, 1].astype(jnp.float32)
-        lam = (jnp.log2(jnp.maximum(
-            base_w * cone_width
-            / jnp.maximum(jnp.abs(dot3(-d, n_geom)), 1e-4), 1e-20))
-            - lod_base)
-        texel = fetch_texel_trilinear(atlas, desc, jnp.maximum(tex0, 0),
-                                      uv0, lam)
-        sd["color"] = jnp.where(has_tex0[..., None],
-                                sd["color"] * texel[..., :3], sd["color"])
-        alpha_cut = has_tex0 & (texel[..., 3] < 0.5) & scene.get(
-            "alpha_enabled", jnp.zeros((), bool))
+        if tf["diffuse"]:
+            uvt = mats["tex0_uvtransform"][mat_id]
+            uv0 = uvt[..., 0:2] * (uvt[..., 2:4] + uv_i)
+            base_w = desc[jnp.maximum(tex0, 0), 0, 1].astype(jnp.float32)
+            lam = (jnp.log2(jnp.maximum(
+                base_w * cone_width
+                / jnp.maximum(jnp.abs(dot3(-d, n_geom)), 1e-4), 1e-20))
+                - lod_base)
+            texel = fetch_texel_trilinear(atlas, desc, jnp.maximum(tex0, 0),
+                                          uv0, lam)
+            sd["color"] = jnp.where(has_tex0[..., None],
+                                    sd["color"] * texel[..., :3],
+                                    sd["color"])
+            alpha_cut = has_tex0 & (texel[..., 3] < 0.5) & scene.get(
+                "alpha_enabled", jnp.zeros((), bool))
 
-        # roughness map (slot 3): glTF metallicRoughness packing (G=rough,
-        # B=metal)
-        tex_r = mats["tex3_id"][mat_id]
-        has_r = tex_r >= 0
-        mr = fetch_texel_trilinear(atlas, desc, jnp.maximum(tex_r, 0), uv_i,
-                                   lam)
-        sd["roughness"] = jnp.where(
-            has_r, jnp.maximum(sd["roughness"] * mr[..., 1],
-                               _MIN_ROUGHNESS_PARAM), sd["roughness"])
-        sd["metallic"] = jnp.where(has_r, sd["metallic"] * mr[..., 2],
-                                   sd["metallic"])
+        if tf["rough"]:
+            # roughness map (slot 3): glTF metallicRoughness (G=rough,
+            # B=metal)
+            tex_r = mats["tex3_id"][mat_id]
+            has_r = tex_r >= 0
+            mr = fetch_texel_trilinear(atlas, desc, jnp.maximum(tex_r, 0),
+                                       uv_i, lam)
+            sd["roughness"] = jnp.where(
+                has_r, jnp.maximum(sd["roughness"] * mr[..., 1],
+                                   _MIN_ROUGHNESS_PARAM), sd["roughness"])
+            sd["metallic"] = jnp.where(has_r, sd["metallic"] * mr[..., 2],
+                                       sd["metallic"])
 
-        # normal map (slot 1): tangent-space, UV-aligned frame
-        tex_n = mats["tex1_id"][mat_id]
-        has_n = tex_n >= 0
-        nm = fetch_texel_trilinear(atlas, desc, jnp.maximum(tex_n, 0), uv_i,
-                                   lam)
-        tangent = scene["tri_tangent"][prim]
-        bitangent = scene["tri_bitangent"][prim]
-        nm_vec = nm[..., :3] * 2.0 - 1.0
-        mapped = safe_normalize(
-            nm_vec[..., 0:1] * tangent + nm_vec[..., 1:2] * bitangent
-            + nm_vec[..., 2:3] * i_n)
-        i_n = jnp.where(has_n[..., None], mapped, i_n)
+        if tf["normal"]:
+            # normal map (slot 1): tangent-space, UV-aligned frame
+            tex_n = mats["tex1_id"][mat_id]
+            has_n = tex_n >= 0
+            nm = fetch_texel_trilinear(atlas, desc, jnp.maximum(tex_n, 0),
+                                       uv_i, lam)
+            tangent = scene["tri_tangent"][prim]
+            bitangent = scene["tri_bitangent"][prim]
+            nm_vec = nm[..., :3] * 2.0 - 1.0
+            mapped = safe_normalize(
+                nm_vec[..., 0:1] * tangent + nm_vec[..., 1:2] * bitangent
+                + nm_vec[..., 2:3] * i_n)
+            i_n = jnp.where(has_n[..., None], mapped, i_n)
 
     t_vec, b_vec = create_tangent_space(i_n)
     return sd, n_geom, i_n, t_vec, b_vec, alpha_cut

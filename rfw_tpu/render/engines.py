@@ -169,7 +169,11 @@ class PathTracerEngine(EngineContext):
                            str(getattr(x, "dtype", ""))), tree)
         if self._scene is None or shapes(scene) != shapes(self._scene):
             self._trace_fn = None
-        self._scene = scene
+        # move the scene to device ONCE — numpy leaves would re-upload the
+        # whole scene (100s of MB with textures) on every jitted call
+        self._scene = jax.tree.map(
+            lambda x: jax.device_put(x) if isinstance(x, np.ndarray) else x,
+            scene)
         self._dirty = False
         self._sample_count = 0       # scene changed ⇒ restart accumulation
         logger.debug("scene update: %d tris, %.1f ms",
@@ -185,13 +189,49 @@ class PathTracerEngine(EngineContext):
             return self._trace_fn
         cfg = self._integrator_config()
         intersector = FACTORIES[self._intersector_name](cfg)
+        n_total = width * height
+        n_chunks = max(1, -(-n_total // cfg.max_rays_per_pass))
+        while n_total % n_chunks:      # equal chunks → one compiled shape
+            n_chunks += 1
+        n_local = n_total // n_chunks
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def step(scene, accumulator, view, sample_index, probe_index):
-            radiance, probe, stats, aux = trace_sample(
+        mats = self._materials or {}
+        tex_flags = {
+            "diffuse": bool(np.any(np.asarray(
+                mats.get("tex0_id", np.array([-1]))) >= 0)),
+            "normal": bool(np.any(np.asarray(
+                mats.get("tex1_id", np.array([-1]))) >= 0)),
+            "rough": bool(np.any(np.asarray(
+                mats.get("tex3_id", np.array([-1]))) >= 0)),
+        }
+
+        @functools.partial(jax.jit, static_argnames=("n_pixels",))
+        def chunk_step(scene, view, sample_index, probe_index, offset,
+                       n_pixels):
+            return trace_sample(
                 scene, view, width, height, sample_index, probe_index,
-                cfg, intersector)
-            return accumulator + radiance, probe, stats, aux
+                cfg, intersector, pixel_offset=offset, n_pixels=n_pixels,
+                tex_flags=tex_flags)
+
+        def step(scene, accumulator, view, sample_index, probe_index):
+            probe = None
+            stats_sum: dict = {}
+            aux_parts = []
+            for c in range(n_chunks):
+                off = c * n_local
+                rel_probe = jnp.clip(probe_index - off, 0, n_local - 1)
+                radiance, probe_c, stats, aux = chunk_step(
+                    scene, view, sample_index, rel_probe,
+                    jnp.uint32(off), n_local)
+                accumulator = accumulator.at[off:off + n_local].add(radiance)
+                if probe is None or (off <= int(probe_index) < off + n_local):
+                    probe = probe_c
+                for k, v in stats.items():
+                    stats_sum[k] = stats_sum.get(k, 0) + v
+                aux_parts.append(aux)
+            aux_all = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs), *aux_parts)
+            return accumulator, probe, stats_sum, aux_all
 
         self._trace_fn = step
         self._size = (width, height)

@@ -88,7 +88,7 @@ def _no_nan(x):
 def trace_sample(scene, view, width: int, height: int, sample_index,
                  probe_index, config: RenderConfig,
                  intersector: Intersector, pixel_offset=0,
-                 n_pixels: int | None = None):
+                 n_pixels: int | None = None, tex_flags=None):
     """Trace one sample per pixel. Returns (radiance (N,3), probe (3,),
     stats dict). ``sample_index``/``probe_index`` are traced scalars so spp
     accumulation does not recompile.
@@ -152,7 +152,8 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
         hit_pos = origin + direction * t[..., None]
         cone_width = view["spread_angle"] * t
         sd, n_geom, i_n, t_vec, b_vec, _alpha = get_shading_data(
-            scene, prim_safe, u, v, direction, cone_width)
+            scene, prim_safe, u, v, direction, cone_width,
+            tex_flags=tex_flags)
 
         if depth == 0:
             # aux feature buffers for the denoiser (ops/denoise.py)

@@ -101,6 +101,9 @@ def intersect_woop(origin, direction, woop, t_epsilon=1e-4, t_max=BIG_T):
     Returns (hit, t, u, v) each (R, K). The two einsums below are exactly the
     `[R,4] @ [4,3K]` matmuls the Pallas kernel issues on the MXU.
     """
+    t_max = jnp.asarray(t_max)
+    if t_max.ndim == 1:          # per-ray bound → broadcast over triangles
+        t_max = t_max[:, None]
     o4 = jnp.concatenate([origin, jnp.ones_like(origin[..., :1])], axis=-1)
     d4 = jnp.concatenate([direction, jnp.zeros_like(direction[..., :1])], axis=-1)
     w = woop.reshape(woop.shape[0] * 3, 4)             # (3K, 4)

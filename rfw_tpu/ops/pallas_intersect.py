@@ -334,16 +334,19 @@ def _sorted(tl, origins, directions):
     return order, inv
 
 
-def closest_hit(scene, origins, directions, config: RenderConfig):
-    """Intersector ABI: (t, prim, u, v) with prim in permuted order."""
+def closest_hit(scene, origins, directions, config: RenderConfig,
+                t_max=None):
+    """Intersector ABI: (t, prim, u, v) with prim in permuted order.
+    Lanes with t_max == 0 are dead and culled for free."""
     tl = scene["treelets"]
     k_size = int(tl["wplanes"].shape[2])   # static (from shape, jit-safe)
-    t_far = _scene_t_far(tl)
+    if t_max is None:
+        t_max = jnp.full(origins.shape[0], BIG_T)
     order, inv = _sorted(tl, origins, directions)
     origins = origins[order]
     directions = directions[order]
-    o, d, tm, r = _pad_rays(origins, directions,
-                            jnp.full(origins.shape[0], BIG_T))
+    t_max = jnp.broadcast_to(t_max, (origins.shape[0],))[order]
+    o, d, tm, r = _pad_rays(origins, directions, t_max)
     n_treelets = tl["bmin"].shape[0]
     ids, counts, overflow, tnears = build_candidates(
         o, d, tm, tl["bmin"], tl["bmax"])

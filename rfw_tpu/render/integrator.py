@@ -29,8 +29,9 @@ from ..ops.shade import get_shading_data
 
 
 class Intersector(NamedTuple):
-    closest: Callable    # (scene, O, D) -> (t, prim, u, v)
+    closest: Callable    # (scene, O, D, t_max=None) -> (t, prim, u, v)
     occluded: Callable   # (scene, O, D, dist) -> bool mask
+    # dist/t_max of 0 marks a lane dead: intersectors cull it for free
 
 
 def _sky_texel(scene, d):
@@ -126,7 +127,12 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
     py = (pid // jnp.uint32(width)).astype(jnp.int32)
 
     for depth in range(config.max_path_length + 1):
-        t, prim, u, v = intersector.closest(scene, origin, direction)
+        # dead lanes carry t_max 0: the intersectors' per-ray culls drop
+        # them before any treelet work (mask-only wavefront compaction)
+        ray_tmax = jnp.where(alive, jnp.float32(1e30), 0.0)
+        t, prim, u, v = intersector.closest(scene, origin, direction,
+                                            ray_tmax)
+        prim = jnp.where(alive, prim, -1)
         stats[f"ray_count_{depth}"] = jnp.sum(alive)
 
         miss = prim < 0
@@ -248,7 +254,8 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
             s_origin = safe_origin(hit_pos, n_geom)
             occ = intersector.occluded(
                 scene, s_origin, l_dir,
-                dist - 2.0 * config.geometry_epsilon)
+                jnp.where(want_shadow,
+                          dist - 2.0 * config.geometry_epsilon, 0.0))
             radiance = radiance + jnp.where(
                 (want_shadow & ~occ)[..., None], nee, 0.0)
             stats[f"shadow_count_{depth}"] = jnp.sum(want_shadow)
@@ -269,7 +276,7 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
                           & (eb_pdf > 0))
                 e_occ = intersector.occluded(
                     scene, safe_origin(hit_pos, n_geom), e_dir,
-                    jnp.full_like(e_pdf, 1e30))
+                    jnp.where(e_want, 1e30, 0.0))
                 radiance = radiance + jnp.where(
                     (e_want & ~e_occ)[..., None], e_contrib, 0.0)
 

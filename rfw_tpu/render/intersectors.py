@@ -28,9 +28,13 @@ def _tris_from_scene(scene):
 
 
 def make_brute_intersector(config: RenderConfig) -> Intersector:
-    def closest(scene, o, d):
-        return traverse.brute_force_closest(
+    def closest(scene, o, d, t_max=None):
+        t, prim, u, v = traverse.brute_force_closest(
             o, d, _tris_from_scene(scene), t_epsilon=config.t_epsilon)
+        if t_max is not None:
+            prim = jnp.where(t < t_max, prim, -1)
+            t = jnp.where(prim >= 0, t, BIG_T)
+        return t, prim, u, v
 
     def occluded(scene, o, d, dist):
         t, prim, _, _ = traverse.brute_force_closest(
@@ -42,10 +46,10 @@ def make_brute_intersector(config: RenderConfig) -> Intersector:
 
 def make_bvh_intersector(config: RenderConfig,
                          leaf_size: int = 4) -> Intersector:
-    def closest(scene, o, d):
+    def closest(scene, o, d, t_max=None):
         return traverse.traverse_wide(
             o, d, scene["bvh"], _tris_from_scene(scene),
-            leaf_size=leaf_size, t_epsilon=config.t_epsilon)
+            leaf_size=leaf_size, t_epsilon=config.t_epsilon, t_max=t_max)
 
     def occluded(scene, o, d, dist):
         t, prim, _, _ = traverse.traverse_wide(
@@ -68,11 +72,12 @@ def make_dense_intersector(config: RenderConfig) -> Intersector:
     — the Pallas kernel adds the dynamic skipping.
     """
 
-    def closest(scene, o, d):
+    def closest(scene, o, d, t_max=None):
         tl = scene["treelets"]
         t, slot, u, v = closest_hit_woop(
             o, d, tl["woop"], jnp.arange(tl["woop"].shape[0]),
-            t_epsilon=config.t_epsilon, tri_verts=tl["verts"])
+            t_epsilon=config.t_epsilon, tri_verts=tl["verts"],
+            t_max=BIG_T if t_max is None else t_max)
         prim = jnp.where(slot >= 0, tl["slot_to_prim"][jnp.maximum(slot, 0)],
                          -1)
         t = jnp.where(prim >= 0, t, BIG_T)
@@ -90,8 +95,9 @@ def make_dense_intersector(config: RenderConfig) -> Intersector:
 def make_pallas_intersector(config: RenderConfig) -> Intersector:
     from ..ops import pallas_intersect
 
-    def closest(scene, o, d):
-        return pallas_intersect.closest_hit(scene, o, d, config)
+    def closest(scene, o, d, t_max=None):
+        return pallas_intersect.closest_hit(scene, o, d, config,
+                                            t_max=t_max)
 
     def occluded(scene, o, d, dist):
         return pallas_intersect.any_hit(scene, o, d, dist, config)

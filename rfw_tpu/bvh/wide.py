@@ -44,10 +44,18 @@ class WideBVH:
         return int(self.child.shape[0])
 
 
-def collapse_wide(bvh: BVH, width: int = 4) -> WideBVH:
+def collapse_wide(bvh: BVH, width: int = 4,
+                  use_native: bool = True) -> WideBVH:
     """Greedy collapse: repeatedly expand the child with the largest surface
     area until ``width`` slots are used (the standard 2→4-wide collapse the
-    rtbvh crate performs)."""
+    rtbvh crate performs). Uses the C++ implementation when available
+    (animation-rate updates; Python fallback below is loop-bound).
+    """
+    if use_native:
+        from ..native import native_collapse_wide
+        out = native_collapse_wide(bvh, width)
+        if out is not None:
+            return WideBVH(*out)
 
     def area(i: int) -> float:
         d = np.maximum(bvh.bmax[i] - bvh.bmin[i], 0)
@@ -126,51 +134,64 @@ class Treelets:
 
 
 def extract_treelets(bvh: BVH, tri_min: np.ndarray, tri_max: np.ndarray,
-                     size: int = 64, top_width: int = 4) -> Treelets:
+                     size: int = 64, top_width: int = 4,
+                     use_native: bool = True) -> Treelets:
     """Cut the binary BVH into subtrees of ≤ ``size`` triangles.
 
     Walk from the root; descend while a subtree holds more than ``size``
     tris; each stopping point becomes one treelet (its triangle range is
-    contiguous in prim_order by construction).
+    contiguous in prim_order by construction). C++ fast path when built.
     """
-    # subtree triangle ranges: leaves carry (first, count); internal nodes
-    # cover the union of their children — compute (lo, hi) bottom-up by
-    # walking children (ranges are contiguous since the build emits leaves
-    # in DFS order).
-    n = bvh.node_count
-    lo = np.zeros(n, np.int64)
-    hi = np.zeros(n, np.int64)
-    # children appear after parents in the builder's layout, so reverse
-    # iteration computes ranges bottom-up.
-    for i in range(n - 1, -1, -1):
-        if bvh.count[i] > 0:
-            lo[i] = bvh.child[i]
-            hi[i] = bvh.child[i] + bvh.count[i]
-        else:
-            l = bvh.child[i]
-            lo[i] = lo[l]
-            hi[i] = hi[l + 1]
+    native = None
+    if use_native:
+        from ..native import native_extract_treelets
+        native = native_extract_treelets(bvh, size)
+    if native is not None:
+        first_a, count_a, bmin_a, bmax_a = native
+        first = list(first_a)
+        count = list(count_a)
+        bmin = list(bmin_a)
+        bmax = list(bmax_a)
+    else:
+        # subtree triangle ranges bottom-up (children appear after parents
+        # in the builder's layout)
+        n = bvh.node_count
+        lo = np.zeros(n, np.int64)
+        hi = np.zeros(n, np.int64)
+        for i in range(n - 1, -1, -1):
+            if bvh.count[i] > 0:
+                lo[i] = bvh.child[i]
+                hi[i] = bvh.child[i] + bvh.count[i]
+            else:
+                l = bvh.child[i]
+                lo[i] = lo[l]
+                hi[i] = hi[l + 1]
 
-    first, count, bmin, bmax = [], [], [], []
-    stack = [0]
-    while stack:
-        i = stack.pop()
-        if hi[i] - lo[i] <= size or bvh.count[i] > 0:
-            first.append(lo[i])
-            count.append(hi[i] - lo[i])
-            bmin.append(bvh.bmin[i])
-            bmax.append(bvh.bmax[i])
-        else:
-            stack.append(int(bvh.child[i]))
-            stack.append(int(bvh.child[i]) + 1)
+        first, count, bmin, bmax = [], [], [], []
+        stack = [0]
+        while stack:
+            i = stack.pop()
+            if hi[i] - lo[i] <= size or bvh.count[i] > 0:
+                first.append(lo[i])
+                count.append(hi[i] - lo[i])
+                bmin.append(bvh.bmin[i])
+                bmax.append(bvh.bmax[i])
+            else:
+                stack.append(int(bvh.child[i]))
+                stack.append(int(bvh.child[i]) + 1)
 
     t = len(first)
     count_arr = np.asarray(count, np.int32)
     pad_first = np.arange(t, dtype=np.int32) * size
     pad_map = np.full(t * size, -1, np.int32)
-    for k in range(t):
-        rng = bvh.prim_order[first[k]:first[k] + count[k]]
-        pad_map[k * size:k * size + count[k]] = rng
+    first_arr = np.asarray(first, np.int64)
+    # vectorized scatter of per-treelet ranges into the padded layout
+    slot_idx = np.arange(size)[None, :]                      # (1, size)
+    valid = slot_idx < count_arr[:, None]                    # (t, size)
+    src = np.minimum(first_arr[:, None] + slot_idx,
+                     len(bvh.prim_order) - 1)
+    flat = np.where(valid, bvh.prim_order[src], -1).reshape(-1)
+    pad_map[:] = flat
 
     top_bin = build_bvh(np.stack(bmin), np.stack(bmax), leaf_size=1,
                         use_native=False)

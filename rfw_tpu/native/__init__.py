@@ -42,6 +42,22 @@ def _load():
             ctypes.POINTER(ctypes.c_int),     # out depth
             ctypes.POINTER(ctypes.c_int),     # out prim_order (T)
         ]
+        lib.rfw_collapse_wide.restype = ctypes.c_int
+        lib.rfw_collapse_wide.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.rfw_extract_treelets.restype = ctypes.c_int
+        lib.rfw_extract_treelets.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ]
         lib.rfw_refit_bvh.restype = None
         lib.rfw_refit_bvh.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
@@ -108,3 +124,58 @@ def native_refit_bvh(bvh, tri_min: np.ndarray, tri_max: np.ndarray):
         tri_min.ctypes.data_as(fp), tri_max.ctypes.data_as(fp),
         bvh.prim_order.ctypes.data_as(ip))
     return True
+
+
+def native_collapse_wide(bvh, width: int):
+    """C++ wide collapse; returns WideBVH field tuple or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = bvh.node_count
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    out_bmin = np.zeros((n, width, 3), np.float32)
+    out_bmax = np.zeros((n, width, 3), np.float32)
+    out_child = np.full((n, width), -1, np.int32)
+    out_count = np.full((n, width), -1, np.int32)
+    bmin = np.ascontiguousarray(bvh.bmin, np.float32)
+    bmax = np.ascontiguousarray(bvh.bmax, np.float32)
+    child = np.ascontiguousarray(bvh.child, np.int32)
+    count = np.ascontiguousarray(bvh.count, np.int32)
+    nw = lib.rfw_collapse_wide(
+        bmin.ctypes.data_as(fp), bmax.ctypes.data_as(fp),
+        child.ctypes.data_as(ip), count.ctypes.data_as(ip), n, width,
+        out_bmin.ctypes.data_as(fp), out_bmax.ctypes.data_as(fp),
+        out_child.ctypes.data_as(ip), out_count.ctypes.data_as(ip))
+    if nw <= 0:
+        return None
+    return (out_bmin[:nw].copy(), out_bmax[:nw].copy(),
+            out_child[:nw].copy(), out_count[:nw].copy())
+
+
+def native_extract_treelets(bvh, size: int):
+    """C++ treelet cut; returns (first, count, bmin, bmax) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = bvh.node_count
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    cap = max(n, 1)
+    out_first = np.zeros(cap, np.int32)
+    out_count = np.zeros(cap, np.int32)
+    out_bmin = np.zeros((cap, 3), np.float32)
+    out_bmax = np.zeros((cap, 3), np.float32)
+    bmin = np.ascontiguousarray(bvh.bmin, np.float32)
+    bmax = np.ascontiguousarray(bvh.bmax, np.float32)
+    child = np.ascontiguousarray(bvh.child, np.int32)
+    count = np.ascontiguousarray(bvh.count, np.int32)
+    nt = lib.rfw_extract_treelets(
+        bmin.ctypes.data_as(fp), bmax.ctypes.data_as(fp),
+        child.ctypes.data_as(ip), count.ctypes.data_as(ip), n, size,
+        out_first.ctypes.data_as(ip), out_count.ctypes.data_as(ip),
+        out_bmin.ctypes.data_as(fp), out_bmax.ctypes.data_as(fp))
+    if nt <= 0:
+        return None
+    return (out_first[:nt].copy(), out_count[:nt].copy(),
+            out_bmin[:nt].copy(), out_bmax[:nt].copy())

@@ -278,3 +278,129 @@ void rfw_refit_bvh(float *bmin, float *bmax, const int *child,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Wide-BVH collapse + treelet extraction (host pipeline hot path; the numpy
+// versions in bvh/wide.py are Python-loop bound at animation rates).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Greedy binary→W-wide collapse (mirrors bvh/wide.py collapse_wide).
+// Outputs sized for worst case n_nodes wide nodes. Returns wide node count.
+int rfw_collapse_wide(const float *bmin, const float *bmax, const int *child,
+                      const int *count, int n_nodes, int width,
+                      float *out_bmin,   // (N, W, 3)
+                      float *out_bmax, int *out_child, int *out_count) {
+  if (n_nodes <= 0 || width < 2 || width > 16) return -1;
+  auto area = [&](int i) {
+    const float dx = std::max(bmax[3 * i] - bmin[3 * i], 0.f);
+    const float dy = std::max(bmax[3 * i + 1] - bmin[3 * i + 1], 0.f);
+    const float dz = std::max(bmax[3 * i + 2] - bmin[3 * i + 2], 0.f);
+    return dx * dy + dy * dz + dz * dx;
+  };
+
+  std::vector<std::pair<int, int>> pending;  // (wide idx, binary idx)
+  int n_wide = 1;
+  pending.push_back({0, 0});
+  std::vector<int> slots;
+  slots.reserve(width);
+
+  while (!pending.empty()) {
+    auto [w, b] = pending.back();
+    pending.pop_back();
+    slots.clear();
+    if (count[b] > 0) {
+      slots.push_back(b);
+    } else {
+      slots.push_back(child[b]);
+      slots.push_back(child[b] + 1);
+      while ((int)slots.size() < width) {
+        int pick = -1;
+        float best = -1.f;
+        for (size_t i = 0; i < slots.size(); ++i) {
+          if (count[slots[i]] == 0 && area(slots[i]) > best) {
+            best = area(slots[i]);
+            pick = (int)i;
+          }
+        }
+        if (pick < 0) break;
+        const int node = slots[pick];
+        slots.erase(slots.begin() + pick);
+        slots.push_back(child[node]);
+        slots.push_back(child[node] + 1);
+      }
+    }
+    for (int j = 0; j < width; ++j) {
+      float *obmin = out_bmin + (size_t)w * width * 3 + j * 3;
+      float *obmax = out_bmax + (size_t)w * width * 3 + j * 3;
+      if (j < (int)slots.size()) {
+        const int s = slots[j];
+        for (int k = 0; k < 3; ++k) {
+          obmin[k] = bmin[3 * s + k];
+          obmax[k] = bmax[3 * s + k];
+        }
+        if (count[s] > 0) {
+          out_child[(size_t)w * width + j] = child[s];
+          out_count[(size_t)w * width + j] = count[s];
+        } else {
+          const int nw = n_wide++;
+          out_child[(size_t)w * width + j] = nw;
+          out_count[(size_t)w * width + j] = -1;
+          pending.push_back({nw, s});
+        }
+      } else {
+        for (int k = 0; k < 3; ++k) {
+          obmin[k] = 0.f;
+          obmax[k] = 0.f;
+        }
+        out_child[(size_t)w * width + j] = -1;
+        out_count[(size_t)w * width + j] = -1;
+      }
+    }
+  }
+  return n_wide;
+}
+
+// Cut the binary BVH into subtrees of <= size triangles (mirrors
+// bvh/wide.py extract_treelets): emits (first, count, bmin, bmax) per
+// treelet in prim_order space. Returns treelet count.
+int rfw_extract_treelets(const float *bmin, const float *bmax,
+                         const int *child, const int *count, int n_nodes,
+                         int size, int *out_first, int *out_count,
+                         float *out_bmin, float *out_bmax) {
+  if (n_nodes <= 0 || size <= 0) return -1;
+  // subtree ranges bottom-up (children have higher indices than parents)
+  std::vector<int> lo(n_nodes), hi(n_nodes);
+  for (int i = n_nodes - 1; i >= 0; --i) {
+    if (count[i] > 0) {
+      lo[i] = child[i];
+      hi[i] = child[i] + count[i];
+    } else {
+      lo[i] = lo[child[i]];
+      hi[i] = hi[child[i] + 1];
+    }
+  }
+  int n_out = 0;
+  std::vector<int> stack;
+  stack.push_back(0);
+  while (!stack.empty()) {
+    const int i = stack.back();
+    stack.pop_back();
+    if (hi[i] - lo[i] <= size || count[i] > 0) {
+      out_first[n_out] = lo[i];
+      out_count[n_out] = hi[i] - lo[i];
+      for (int k = 0; k < 3; ++k) {
+        out_bmin[3 * n_out + k] = bmin[3 * i + k];
+        out_bmax[3 * n_out + k] = bmax[3 * i + k];
+      }
+      ++n_out;
+    } else {
+      stack.push_back(child[i]);
+      stack.push_back(child[i] + 1);
+    }
+  }
+  return n_out;
+}
+
+}  // extern "C"

@@ -18,6 +18,9 @@ def load_object(path: str, materials: MaterialList,
     if p.endswith(".obj"):
         from .obj import load_obj
         return load_obj(path, materials, material_override)
+    if p.endswith(".ply"):
+        from .ply import load_ply
+        return load_ply(path, materials, material_override)
     raise ValueError(f"unsupported model format: {path}")
 
 

@@ -79,3 +79,36 @@ def test_material_emissive_packing():
     assert bool(dev["emissive"][1])
     assert dev["color"].shape == (2, 3)
     assert dev["roughness"].dtype == np.float32
+
+
+def test_ply_roundtrip(tmp_path):
+    """Write ascii + binary PLY, load both, expect identical geometry."""
+    import struct
+    verts = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0)]
+    faces = [(0, 1, 2, 3)]  # quad -> 2 fan triangles
+
+    ascii_ply = tmp_path / "quad_ascii.ply"
+    ascii_ply.write_text(
+        "ply\nformat ascii 1.0\nelement vertex 4\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "element face 1\nproperty list uchar int vertex_indices\n"
+        "end_header\n"
+        + "".join(f"{x} {y} {z}\n" for x, y, z in verts)
+        + "4 0 1 2 3\n")
+
+    bin_ply = tmp_path / "quad_bin.ply"
+    header = (b"ply\nformat binary_little_endian 1.0\nelement vertex 4\n"
+              b"property float x\nproperty float y\nproperty float z\n"
+              b"element face 1\nproperty list uchar int vertex_indices\n"
+              b"end_header\n")
+    body = b"".join(struct.pack("<3f", *v) for v in verts)
+    body += struct.pack("<B4i", 4, *faces[0])
+    bin_ply.write_bytes(header + body)
+
+    from rfw_tpu.scene import MaterialList, load_object
+    a = load_object(str(ascii_ply), MaterialList())
+    b = load_object(str(bin_ply), MaterialList())
+    ta, tb = a.meshes[0].triangles(), b.meshes[0].triangles()
+    assert ta.count == tb.count == 2
+    assert np.allclose(ta.vertices, tb.vertices)
+    assert np.allclose(ta.area.sum(), 1.0, atol=1e-6)

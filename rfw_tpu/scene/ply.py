@@ -28,7 +28,12 @@ def load_ply(path: str, materials: MaterialList,
         data = f.read()
 
     # ---- header ----
-    end = data.index(b"end_header\n") + len(b"end_header\n")
+    if not data.startswith(b"ply"):
+        raise ValueError(f"{path}: not a PLY file")
+    try:
+        end = data.index(b"end_header\n") + len(b"end_header\n")
+    except ValueError:
+        raise ValueError(f"{path}: PLY header without end_header") from None
     header = data[:end].decode("ascii", errors="replace").splitlines()
     if not header or header[0].strip() != "ply":
         raise ValueError(f"{path}: not a PLY file")

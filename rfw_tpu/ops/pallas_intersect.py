@@ -335,17 +335,23 @@ def _sorted(tl, origins, directions):
 
 
 def closest_hit(scene, origins, directions, config: RenderConfig,
-                t_max=None):
+                t_max=None, sort: bool = True):
     """Intersector ABI: (t, prim, u, v) with prim in permuted order.
-    Lanes with t_max == 0 are dead and culled for free."""
+    Lanes with t_max == 0 are dead and culled for free. ``sort=False``
+    skips the coherence sort for ray sets already in a coherent order
+    (primary rays in pixel order) — three argsorts per call otherwise."""
     tl = scene["treelets"]
     k_size = int(tl["wplanes"].shape[2])   # static (from shape, jit-safe)
     if t_max is None:
         t_max = jnp.full(origins.shape[0], BIG_T)
-    order, inv = _sorted(tl, origins, directions)
-    origins = origins[order]
-    directions = directions[order]
-    t_max = jnp.broadcast_to(t_max, (origins.shape[0],))[order]
+    t_max = jnp.broadcast_to(t_max, (origins.shape[0],))
+    if sort:
+        order, inv = _sorted(tl, origins, directions)
+        origins = origins[order]
+        directions = directions[order]
+        t_max = t_max[order]
+    else:
+        inv = slice(None)
     o, d, tm, r = _pad_rays(origins, directions, t_max)
     n_treelets = tl["bmin"].shape[0]
     ids, counts, overflow, tnears = build_candidates(
@@ -391,15 +397,18 @@ def closest_hit(scene, origins, directions, config: RenderConfig,
             u[inv], v[inv])
 
 
-def any_hit(scene, origins, directions, dist, config: RenderConfig):
+def any_hit(scene, origins, directions, dist, config: RenderConfig,
+            sort: bool = True):
     """Occlusion test: True where something lies closer than ``dist``."""
     tl = scene["treelets"]
     k_size = int(tl["wplanes"].shape[2])
-    t_far = _scene_t_far(tl)
-    order, inv = _sorted(tl, origins, directions)
-    origins = origins[order]
-    directions = directions[order]
-    dist = dist[order]
+    if sort:
+        order, inv = _sorted(tl, origins, directions)
+        origins = origins[order]
+        directions = directions[order]
+        dist = dist[order]
+    else:
+        inv = slice(None)
     o, d, tm, r = _pad_rays(origins, directions, dist)
     ids, counts, overflow, tnears = build_candidates(
         o, d, tm, tl["bmin"], tl["bmax"])

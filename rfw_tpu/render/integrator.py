@@ -130,8 +130,9 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
         # dead lanes carry t_max 0: the intersectors' per-ray culls drop
         # them before any treelet work (mask-only wavefront compaction)
         ray_tmax = jnp.where(alive, jnp.float32(1e30), 0.0)
+        # primary rays arrive in pixel order (coherent) — skip the sort
         t, prim, u, v = intersector.closest(scene, origin, direction,
-                                            ray_tmax)
+                                            ray_tmax, sort=depth > 0)
         prim = jnp.where(alive, prim, -1)
         stats[f"ray_count_{depth}"] = jnp.sum(alive)
 
@@ -252,10 +253,14 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
             want_shadow = (alive & ~spec_mat & (n_dot_l > 0)
                            & (ls["light_pdf"] > 0) & (s_pdf > 0))
             s_origin = safe_origin(hit_pos, n_geom)
+            # depth-0 shadow rays start at pixel-ordered (coherent) hit
+            # points aimed at the same light cluster — skip the sort there;
+            # bounce-depth origins are scattered and need it
             occ = intersector.occluded(
                 scene, s_origin, l_dir,
                 jnp.where(want_shadow,
-                          dist - 2.0 * config.geometry_epsilon, 0.0))
+                          dist - 2.0 * config.geometry_epsilon, 0.0),
+                sort=depth > 0)
             radiance = radiance + jnp.where(
                 (want_shadow & ~occ)[..., None], nee, 0.0)
             stats[f"shadow_count_{depth}"] = jnp.sum(want_shadow)

@@ -28,7 +28,7 @@ def _tris_from_scene(scene):
 
 
 def make_brute_intersector(config: RenderConfig) -> Intersector:
-    def closest(scene, o, d, t_max=None):
+    def closest(scene, o, d, t_max=None, sort=True):
         t, prim, u, v = traverse.brute_force_closest(
             o, d, _tris_from_scene(scene), t_epsilon=config.t_epsilon)
         if t_max is not None:
@@ -36,7 +36,7 @@ def make_brute_intersector(config: RenderConfig) -> Intersector:
             t = jnp.where(prim >= 0, t, BIG_T)
         return t, prim, u, v
 
-    def occluded(scene, o, d, dist):
+    def occluded(scene, o, d, dist, sort=True):
         t, prim, _, _ = traverse.brute_force_closest(
             o, d, _tris_from_scene(scene), t_epsilon=config.t_epsilon)
         return (prim >= 0) & (t < dist)
@@ -46,12 +46,12 @@ def make_brute_intersector(config: RenderConfig) -> Intersector:
 
 def make_bvh_intersector(config: RenderConfig,
                          leaf_size: int = 4) -> Intersector:
-    def closest(scene, o, d, t_max=None):
+    def closest(scene, o, d, t_max=None, sort=True):
         return traverse.traverse_wide(
             o, d, scene["bvh"], _tris_from_scene(scene),
             leaf_size=leaf_size, t_epsilon=config.t_epsilon, t_max=t_max)
 
-    def occluded(scene, o, d, dist):
+    def occluded(scene, o, d, dist, sort=True):
         t, prim, _, _ = traverse.traverse_wide(
             o, d, scene["bvh"], _tris_from_scene(scene),
             leaf_size=leaf_size, t_max=dist, t_epsilon=config.t_epsilon,
@@ -72,7 +72,7 @@ def make_dense_intersector(config: RenderConfig) -> Intersector:
     — the Pallas kernel adds the dynamic skipping.
     """
 
-    def closest(scene, o, d, t_max=None):
+    def closest(scene, o, d, t_max=None, sort=True):
         tl = scene["treelets"]
         t, slot, u, v = closest_hit_woop(
             o, d, tl["woop"], jnp.arange(tl["woop"].shape[0]),
@@ -83,7 +83,7 @@ def make_dense_intersector(config: RenderConfig) -> Intersector:
         t = jnp.where(prim >= 0, t, BIG_T)
         return t, prim, u, v
 
-    def occluded(scene, o, d, dist):
+    def occluded(scene, o, d, dist, sort=True):
         tl = scene["treelets"]
         hit, t, u, v = intersect_woop(o, d, tl["woop"],
                                       t_epsilon=config.t_epsilon)
@@ -95,12 +95,13 @@ def make_dense_intersector(config: RenderConfig) -> Intersector:
 def make_pallas_intersector(config: RenderConfig) -> Intersector:
     from ..ops import pallas_intersect
 
-    def closest(scene, o, d, t_max=None):
+    def closest(scene, o, d, t_max=None, sort=True):
         return pallas_intersect.closest_hit(scene, o, d, config,
-                                            t_max=t_max)
+                                            t_max=t_max, sort=sort)
 
-    def occluded(scene, o, d, dist):
-        return pallas_intersect.any_hit(scene, o, d, dist, config)
+    def occluded(scene, o, d, dist, sort=True):
+        return pallas_intersect.any_hit(scene, o, d, dist, config,
+                                        sort=sort)
 
     return Intersector(closest, occluded)
 

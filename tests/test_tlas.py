@@ -1,0 +1,115 @@
+"""Two-level TLAS/BLAS vs flattened-world-space oracle (SURVEY §2.4 #24)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rfw_tpu.bvh.tlas import build_tlas, trace_tlas
+from rfw_tpu.ops import traverse
+
+
+def _mesh(n, seed, scale=1.0):
+    rng = np.random.default_rng(seed)
+    v0 = rng.uniform(-1, 1, (n, 3)).astype(np.float32) * scale
+    return np.stack([
+        v0, v0 + rng.uniform(-.3, .3, (n, 3)).astype(np.float32),
+        v0 + rng.uniform(-.3, .3, (n, 3)).astype(np.float32)], 1)
+
+
+def _xform(t, s=1.0, angle=0.0):
+    c, sn = np.cos(angle), np.sin(angle)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] = np.array([[c, 0, sn], [0, 1, 0], [-sn, 0, c]],
+                         np.float32) * s
+    m[:3, 3] = t
+    return m
+
+
+def _scene():
+    meshes = [_mesh(200, 1), _mesh(150, 2, scale=0.5)]
+    instances = [
+        (0, _xform([0, 0, 0])),
+        (0, _xform([3, 0.5, 0], s=0.7, angle=0.8)),   # shared BLAS
+        (1, _xform([-3, 0, 1], s=1.5, angle=-0.4)),
+    ]
+    return meshes, instances
+
+
+def _flatten(meshes, instances):
+    parts = []
+    inst_of = []
+    prim_of = []
+    for idx, (mi, m) in enumerate(instances):
+        v = meshes[mi] @ m[:3, :3].T + m[:3, 3]
+        parts.append(v.astype(np.float32))
+        inst_of.append(np.full(len(v), idx, np.int32))
+        prim_of.append(np.arange(len(v), dtype=np.int32))
+    verts = np.concatenate(parts)
+    return verts, np.concatenate(inst_of), np.concatenate(prim_of)
+
+
+def _rays(n=192, seed=7):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_tlas_matches_flattened_oracle():
+    meshes, instances = _scene()
+    tlas = build_tlas(meshes, instances)
+    o, d = _rays()
+    t, inst, prim, u, v = trace_tlas(tlas, o, d)
+
+    verts, inst_of, prim_of = _flatten(meshes, instances)
+    tris = (jnp.asarray(verts[:, 0]),
+            jnp.asarray(verts[:, 1] - verts[:, 0]),
+            jnp.asarray(verts[:, 2] - verts[:, 0]))
+    t_ref, flat_prim, _, _ = traverse.brute_force_closest(o, d, tris)
+
+    t, inst, prim = np.asarray(t), np.asarray(inst), np.asarray(prim)
+    t_ref, flat_prim = np.asarray(t_ref), np.asarray(flat_prim)
+    hit_a, hit_b = inst >= 0, flat_prim >= 0
+    assert (hit_a == hit_b).all()
+    # world-space t parity despite non-uniform instance scaling
+    assert np.allclose(t[hit_a], t_ref[hit_b], rtol=2e-4, atol=2e-4)
+    # (instance, mesh-local prim) must identify the same triangle
+    both = hit_a & hit_b
+    agree = ((inst[both] == inst_of[flat_prim[both]])
+             & (prim[both] == prim_of[flat_prim[both]]))
+    assert agree.mean() > 0.98   # ties on overlapping surfaces may differ
+
+
+def test_tlas_refit_moves_instances_without_rebuild():
+    meshes, instances = _scene()
+    tlas = build_tlas(meshes, instances)
+    blas_ids = [id(b) for b in tlas.blas_list]
+
+    # move instance 1 far away; refit only
+    new_t = [m for _, m in instances]
+    new_t[1] = _xform([30, 0, 0])
+    tlas.refit(np.stack(new_t))
+    assert [id(b) for b in tlas.blas_list] == blas_ids  # BLASes untouched
+
+    o, d = _rays(seed=9)
+    t, inst, prim, _, _ = trace_tlas(tlas, o, d)
+    # oracle with the new transforms
+    verts, inst_of, prim_of = _flatten(
+        meshes, list(zip([m for m, _ in instances], new_t)))
+    tris = (jnp.asarray(verts[:, 0]),
+            jnp.asarray(verts[:, 1] - verts[:, 0]),
+            jnp.asarray(verts[:, 2] - verts[:, 0]))
+    t_ref, flat_prim, _, _ = traverse.brute_force_closest(o, d, tris)
+    hit_a = np.asarray(inst) >= 0
+    hit_b = np.asarray(flat_prim) >= 0
+    assert (hit_a == hit_b).all()
+    assert np.allclose(np.asarray(t)[hit_a], np.asarray(t_ref)[hit_b],
+                       rtol=2e-4, atol=2e-4)
+
+
+def test_shared_blas_instances():
+    meshes, instances = _scene()
+    tlas = build_tlas(meshes, instances)
+    # instances 0 and 1 share mesh 0's BLAS object
+    assert tlas.inst_blas[0] == tlas.inst_blas[1]
+    assert len(tlas.blas_list) == 2

@@ -147,8 +147,8 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None):
             sd["color"] = jnp.where(has_tex0[..., None],
                                     sd["color"] * texel[..., :3],
                                     sd["color"])
-            alpha_cut = has_tex0 & (texel[..., 3] < 0.5) & scene.get(
-                "alpha_enabled", jnp.zeros((), bool))
+            alpha_cut = (has_tex0 & (texel[..., 3] < 0.5)
+                         & mats["alpha_cutout"][mat_id])
 
         if tf["rough"]:
             # roughness map (slot 3): glTF metallicRoughness (G=rough,

@@ -129,6 +129,12 @@ class EngineContext:
         if name not in known:
             raise KeyError(f"unknown setting {name!r}; available: {known}")
 
+    # -- validation (reference m_Context->validate(),
+    #    OptiXContext.cpp:369-378) ----------------------------------------
+
+    def validate(self) -> None:
+        """Check engine/scene invariants; raises on inconsistency."""
+
     # -- stats ---------------------------------------------------------------
 
     def get_stats(self) -> RenderStats:

@@ -309,6 +309,34 @@ class PathTracerEngine(EngineContext):
     def get_probe_results(self):
         return self._probe_result
 
+    def validate(self) -> None:
+        """Scene invariants: finite geometry, material ids in range, BVH
+        children contained (validate() ABI; the analog of the reference's
+        asserts at system.cpp:99-105,308-312)."""
+        self.update()
+        s = self._scene
+        verts = np.asarray(s["tri_vertices"])
+        if not np.isfinite(verts).all():
+            raise ValueError("non-finite triangle vertices")
+        n_mat = np.asarray(s["materials"]["color"]).shape[0]
+        mats = np.asarray(s["tri_material"])
+        if mats.min() < 0 or mats.max() >= n_mat:
+            raise ValueError(
+                f"material id out of range: [{mats.min()}, {mats.max()}] "
+                f"vs {n_mat} materials")
+        bvh = s["bvh"]
+        child = np.asarray(bvh["child"])
+        count = np.asarray(bvh["count"])
+        n_tri = verts.shape[0]
+        leaf = count > 0
+        if leaf.any():
+            firsts = child[leaf]
+            if firsts.min() < 0 or (firsts + count[leaf]).max() > n_tri:
+                raise ValueError("BVH leaf range out of bounds")
+        internal = (count < 0) & (child >= 0)
+        if internal.any() and child[internal].max() >= child.shape[0]:
+            raise ValueError("BVH child index out of bounds")
+
     # -- settings ------------------------------------------------------------
 
     def get_available_settings(self):

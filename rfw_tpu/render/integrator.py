@@ -158,9 +158,12 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
 
         hit_pos = origin + direction * t[..., None]
         cone_width = view["spread_angle"] * t
-        sd, n_geom, i_n, t_vec, b_vec, _alpha = get_shading_data(
+        sd, n_geom, i_n, t_vec, b_vec, alpha_cut = get_shading_data(
             scene, prim_safe, u, v, direction, cone_width,
             tex_flags=tex_flags)
+        # alpha cutout (Kernels.cu:636-648): the hit is transparent — the
+        # ray continues unchanged through the surface on the next bounce
+        alpha_cut = alpha_cut & alive
 
         if depth == 0:
             # aux feature buffers for the denoiser (ops/denoise.py)
@@ -177,7 +180,7 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
             ])
 
         # ---- emissive hit terminates path (Kernels.cu:651-692) ----
-        emissive = jnp.any(sd["color"] > 1.0, axis=-1)
+        emissive = jnp.any(sd["color"] > 1.0, axis=-1) & ~alpha_cut
         d_dot_nl = -dot3(direction, n_geom)
         if depth == 0:
             e_contrib = sd["color"]
@@ -208,6 +211,7 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
         n_geom = n_geom * flip[..., None]
         i_n = i_n * flip[..., None]
         backfacing = flip < 0
+        throughput_predpdf = throughput   # alpha lanes keep the postponed pdf
         throughput = throughput / jnp.maximum(last_pdf, 1e-20)[..., None]
 
         spec_mat = sd["roughness"] < config.min_roughness
@@ -250,7 +254,7 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
             nee = (throughput * s_val * ls["radiance"]
                    * (n_dot_l / jnp.maximum(denom, 1e-20))[..., None])
             nee = clamp_intensity(_no_nan(nee), clamp_v)
-            want_shadow = (alive & ~spec_mat & (n_dot_l > 0)
+            want_shadow = (alive & ~spec_mat & ~alpha_cut & (n_dot_l > 0)
                            & (ls["light_pdf"] > 0) & (s_pdf > 0))
             s_origin = safe_origin(hit_pos, n_geom)
             # depth-0 shadow rays start at pixel-ordered (coherent) hit
@@ -277,8 +281,8 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
                 e_contrib = (throughput * eb_val * e_rad
                              * (e_cos / jnp.maximum(e_denom, 1e-20))[..., None])
                 e_contrib = clamp_intensity(_no_nan(e_contrib), clamp_v)
-                e_want = (alive & ~spec_mat & (e_cos > 0) & (e_pdf > 0)
-                          & (eb_pdf > 0))
+                e_want = (alive & ~spec_mat & ~alpha_cut & (e_cos > 0)
+                          & (e_pdf > 0) & (eb_pdf > 0))
                 e_occ = intersector.occluded(
                     scene, safe_origin(hit_pos, n_geom), e_dir,
                     jnp.where(e_want, 1e30, 0.0))
@@ -300,17 +304,22 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
             # MAX_PATH_LENGTH=2 default the damage is bounded, here it isn't)
             survival = jnp.clip(survival_probability(throughput), 1e-6, 1.0)
             seed, rr = rng.random_float(seed)
-            alive = alive & (rr <= survival)
+            alive = alive & ((rr <= survival) | alpha_cut)
             new_throughput = new_throughput / survival[..., None]
         valid = ((new_pdf > 1e-6) & ~jnp.isnan(new_pdf)
                  & jnp.all(new_throughput >= 0.0, axis=-1)
                  & ~jnp.any(jnp.isnan(new_throughput), axis=-1))
-        alive = alive & valid
-        throughput = new_throughput
-        last_pdf = new_pdf
-        spec_bounce = spec_mat
-        last_n = i_n
-        origin = safe_origin(hit_pos, n_geom)
-        direction = wi
+        alive = alive & (valid | alpha_cut)
+        # alpha lanes pass straight through: state unchanged, origin nudged
+        # past the surface along the ray (Kernels.cu:641-644)
+        ac = alpha_cut[..., None]
+        throughput = jnp.where(ac, throughput_predpdf, new_throughput)
+        last_pdf = jnp.where(alpha_cut, last_pdf, new_pdf)
+        spec_bounce = jnp.where(alpha_cut, spec_bounce, spec_mat)
+        last_n = jnp.where(ac, last_n, i_n)
+        origin = jnp.where(
+            ac, hit_pos + direction * config.geometry_epsilon,
+            safe_origin(hit_pos, n_geom))
+        direction = jnp.where(ac, direction, wi)
 
     return radiance, probe, stats, aux

@@ -158,6 +158,8 @@ def _convert_material(gmat: dict, tex_ids: list[int]) -> HostMaterial:
             mat.maps[TEX_NORMAL].texture_id = tex_ids[ti]
             mat.maps[TEX_NORMAL].value_scale = float(
                 gmat["normalTexture"].get("scale", 1.0))
+    if gmat.get("alphaMode") in ("MASK", "BLEND"):
+        mat.alpha_cutout = True
     emissive = np.asarray(gmat.get("emissiveFactor", [0, 0, 0]), np.float32)
     strength = float(gmat.get("extensions", {}).get(
         "KHR_materials_emissive_strength", {}).get("emissiveStrength", 1.0))

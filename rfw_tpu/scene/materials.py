@@ -59,6 +59,8 @@ class HostMaterial:
     transmission: float = 0.0
     eta: float = 1.0
     flags: int = 0
+    alpha_cutout: bool = False   # HasAlpha: diffuse-map alpha < 0.5 discards
+    #                              (reference MatPropFlags HasAlpha)
     maps: list[MapProps] = dataclasses.field(
         default_factory=lambda: [MapProps() for _ in range(NUM_TEX_SLOTS)])
 
@@ -170,5 +172,7 @@ class MaterialList:
                          np.float32) for m in mats])
         out["emissive"] = np.array(
             [m.is_emissive() for m in mats], np.bool_)
+        out["alpha_cutout"] = np.array(
+            [getattr(m, "alpha_cutout", False) for m in mats], np.bool_)
         assert out["color"].shape == (n, 3)
         return out

@@ -90,6 +90,7 @@ def _parse_mtl(path: str, materials: MaterialList) -> dict[str, int]:
                 cur.maps[TEX_ALPHA] = MapProps(
                     texture_id=materials.add_texture_from_file(
                         os.path.join(basedir, parts[-1].replace("\\", "/"))))
+                cur.alpha_cutout = True
     flush()
     return out
 

@@ -257,16 +257,8 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
             want_shadow = (alive & ~spec_mat & ~alpha_cut & (n_dot_l > 0)
                            & (ls["light_pdf"] > 0) & (s_pdf > 0))
             s_origin = safe_origin(hit_pos, n_geom)
-            # depth-0 shadow rays start at pixel-ordered (coherent) hit
-            # points aimed at the same light cluster — skip the sort there;
-            # bounce-depth origins are scattered and need it
-            occ = intersector.occluded(
-                scene, s_origin, l_dir,
-                jnp.where(want_shadow,
-                          dist - 2.0 * config.geometry_epsilon, 0.0),
-                sort=depth > 0)
-            radiance = radiance + jnp.where(
-                (want_shadow & ~occ)[..., None], nee, 0.0)
+            s_dist = jnp.where(want_shadow,
+                               dist - 2.0 * config.geometry_epsilon, 0.0)
             stats[f"shadow_count_{depth}"] = jnp.sum(want_shadow)
 
             # ---- envmap NEE (new capability; reference skybox.h:37-39
@@ -283,11 +275,26 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
                 e_contrib = clamp_intensity(_no_nan(e_contrib), clamp_v)
                 e_want = (alive & ~spec_mat & ~alpha_cut & (e_cos > 0)
                           & (e_pdf > 0) & (eb_pdf > 0))
-                e_occ = intersector.occluded(
-                    scene, safe_origin(hit_pos, n_geom), e_dir,
-                    jnp.where(e_want, 1e30, 0.0))
+                # one fused occlusion launch for light + envmap shadow rays
+                # (halves per-call sort/cull/kernel overhead)
+                occ2 = intersector.occluded(
+                    scene,
+                    jnp.concatenate([s_origin, s_origin]),
+                    jnp.concatenate([l_dir, e_dir]),
+                    jnp.concatenate([s_dist, jnp.where(e_want, 1e30, 0.0)]),
+                    sort=depth > 0)
+                occ, e_occ = occ2[:n], occ2[n:]
+                radiance = radiance + jnp.where(
+                    (want_shadow & ~occ)[..., None], nee, 0.0)
                 radiance = radiance + jnp.where(
                     (e_want & ~e_occ)[..., None], e_contrib, 0.0)
+            else:
+                # depth-0 shadow rays start at pixel-ordered (coherent) hit
+                # points — skip the sort there; bounce origins are scattered
+                occ = intersector.occluded(scene, s_origin, l_dir, s_dist,
+                                           sort=depth > 0)
+                radiance = radiance + jnp.where(
+                    (want_shadow & ~occ)[..., None], nee, 0.0)
 
         if depth >= config.max_path_length:
             break

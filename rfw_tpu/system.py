@@ -93,9 +93,24 @@ class RenderSystem:
         self._mesh_slots += 1
         return slot
 
-    def add_object(self, path: str, material_override: int = -1
-                   ) -> GeometryRef:
+    def add_object(self, path: str, material_override: int = -1,
+                   normalize: bool = False) -> GeometryRef:
+        """Load a model (system.cpp:499-554). ``normalize`` rescales and
+        recenters it into a unit box at the origin (the reference's
+        normalize flag)."""
         obj = load_object(path, self._materials, material_override)
+        if normalize:
+            lo = np.min([m.positions.min(0) for m in obj.meshes], axis=0)
+            hi = np.max([m.positions.max(0) for m in obj.meshes], axis=0)
+            center = 0.5 * (lo + hi)
+            scale = 1.0 / max(float((hi - lo).max()), 1e-20)
+            for m in obj.meshes:
+                m.positions = ((m.positions - center) * scale).astype(
+                    np.float32)
+                if m.base_positions is not None:
+                    m.base_positions = ((m.base_positions - center)
+                                        * scale).astype(np.float32)
+                m.invalidate()
         for mesh in obj.meshes:
             mesh.mesh_slot = self.request_mesh_slot()
         self._objects.append(obj)

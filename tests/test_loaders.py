@@ -112,3 +112,36 @@ def test_ply_roundtrip(tmp_path):
     assert ta.count == tb.count == 2
     assert np.allclose(ta.vertices, tb.vertices)
     assert np.allclose(ta.area.sum(), 1.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("rel,min_tris", [
+    ("models/dragon.obj", 10000),
+    ("models/legocar.obj", 1000),
+])
+def test_obj_breadth(assets_dir, rel, min_tris):
+    """Larger OBJ assets load with sane geometry."""
+    path = os.path.join(assets_dir, rel)
+    if not os.path.exists(path) or os.path.getsize(path) == 0:
+        pytest.skip("asset missing or empty (git-lfs pointer)")
+    ml = MaterialList()
+    obj = load_object(path, ml)
+    total = sum(m.triangle_count for m in obj.meshes)
+    assert total >= min_tris
+    for m in obj.meshes:
+        tris = m.triangles()
+        assert np.isfinite(tris.vertices).all()
+        assert (tris.area >= 0).all()
+
+
+def test_glb_interpolation_asset(assets_dir):
+    """GLB with STEP/LINEAR/CUBICSPLINE channels loads and animates."""
+    path = os.path.join(assets_dir, "models/InterpolationTest.glb")
+    if not os.path.exists(path):
+        pytest.skip("asset missing")
+    ml = MaterialList()
+    obj = load_object(path, ml)
+    assert obj.animations
+    obj.set_time(0.5)
+    obj.set_time(1.5)
+    for m in obj.meshes:
+        assert np.isfinite(m.positions).all()

@@ -16,7 +16,6 @@ import numpy as np
 
 from .camera import Camera
 from .config import RenderConfig
-from .render.context import RenderStatus
 from .system import RenderSystem
 from .utils import Timer, image, logger
 

@@ -19,12 +19,11 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..ops import traverse
 from ..ops.intersect import BIG_T
-from .builder import BVH, build_bvh, triangle_bounds
+from .builder import build_bvh, triangle_bounds
 from .wide import WideBVH, collapse_wide
 
 

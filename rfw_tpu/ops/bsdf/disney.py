@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .common import (INV2PI, INVPI, PI, TWOPI, diffuse_reflection_cos_weighted,
+from .common import (INV2PI, INVPI, TWOPI, diffuse_reflection_cos_weighted,
                      diffuse_reflection_uniform, dot3, fr, gtr1, gtr2, lerp,
                      reflect, refract_dir, safe_normalize, schlick_fresnel,
                      smith_ggx, sqr, tangent_to_world)

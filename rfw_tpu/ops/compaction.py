@@ -13,7 +13,6 @@ the standard wavefront-coherence recipe.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -29,7 +29,6 @@ f32 cancellation of the dense form.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

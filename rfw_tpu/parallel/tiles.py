@@ -13,8 +13,6 @@ the driver's dryrun_multichip uses exactly that path.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

@@ -25,7 +25,7 @@ from .scene import (AreaLight, DirectionalLight, HostMaterial, MaterialList,
 from .scene.lights import pack_lights
 from .scene.object import SceneObject
 from .scene.texture import build_texture_atlas
-from .utils import Timer, logger
+from .utils import logger
 
 
 class Changed(enum.IntFlag):

@@ -1,0 +1,24 @@
+"""Accuracy evidence: TPU wavefront vs CPU megakernel oracle, Cornell 512spp.
+
+The BASELINE criterion is <1% RMSE vs the CPU reference (the role Embree
+plays in the reference project; here the bit-exact megakernel oracle).
+Writes .bench/rmse.json + the two images.
+"""
+import json, os, sys, time
+sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tests")
+import numpy as np
+
+size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+spp = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+
+from test_integrator import make_cornell
+from rfw_tpu.render import RenderStatus
+
+# TPU wavefront
+rs = make_cornell("wavefront", size=size)
+t0 = time.time()
+img_tpu = rs.render_frame(samples=spp)
+print(f"TPU wavefront {spp}spp: {time.time()-t0:.0f}s "
+      f"({spp/(time.time()-t0):.2f} spp/s)", flush=True)
+np.save("/root/repo/.bench/cornell_tpu_hi.npy", img_tpu)
+print("tpu mean:", float(img_tpu.mean()), flush=True)

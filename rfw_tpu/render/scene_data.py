@@ -86,6 +86,31 @@ def _woop_planes(pad_woop: np.ndarray, k_size: int) -> np.ndarray:
     return planes
 
 
+def _pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
+def _pad_wide(wide):
+    """Pad wide-BVH node arrays to a power-of-two count so animated scenes
+    keep stable shapes across frames (shape changes force re-jit — 80 s per
+    frame on TPU)."""
+    n = wide.bmin.shape[0]
+    cap = _pow2(n)
+    if cap == n:
+        return wide
+    pad = cap - n
+    w = wide.bmin.shape[1]
+    wide.bmin = np.concatenate(
+        [wide.bmin, np.zeros((pad, w, 3), np.float32)])
+    wide.bmax = np.concatenate(
+        [wide.bmax, np.zeros((pad, w, 3), np.float32)])
+    wide.child = np.concatenate(
+        [wide.child, np.full((pad, w), -1, np.int32)])
+    wide.count = np.concatenate(
+        [wide.count, np.full((pad, w), -1, np.int32)])
+    return wide
+
+
 def build_device_scene(
     instances: list[InstancedMesh],
     materials: dict[str, np.ndarray],
@@ -124,7 +149,7 @@ def build_device_scene(
     tmin, tmax = triangle_bounds(cat["vertices"])
     bvh = build_bvh(tmin, tmax, leaf_size=4)
     perm = bvh.prim_order
-    wide = collapse_wide(bvh, width=4)
+    wide = _pad_wide(collapse_wide(bvh, width=4))
     treelets = extract_treelets(bvh, tmin, tmax, size=config.treelet_size)
 
     verts = cat["vertices"][perm]
@@ -160,6 +185,24 @@ def build_device_scene(
                         -1).astype(np.int32)
     padded_verts = np.zeros((len(treelets.pad_map), 3, 3), np.float32)
     padded_verts[pad_valid] = cat["vertices"][treelets.pad_map[pad_valid]]
+    # pad treelet arrays to a power-of-two count (stable shapes across
+    # animation frames; empty treelets never overlap any ray)
+    n_tl = treelets.bmin.shape[0]
+    cap_tl = _pow2(n_tl)
+    if cap_tl != n_tl:
+        pad_n = cap_tl - n_tl
+        k = treelets.size
+        treelets.bmin = np.concatenate(
+            [treelets.bmin, np.full((pad_n, 3), 3e38, np.float32)])
+        treelets.bmax = np.concatenate(
+            [treelets.bmax, np.full((pad_n, 3), -3e38, np.float32)])
+        treelets.count = np.concatenate(
+            [treelets.count, np.zeros(pad_n, np.int32)])
+        pad_perm = np.concatenate(
+            [pad_perm, np.full(pad_n * k, -1, np.int32)])
+        padded_verts = np.concatenate(
+            [padded_verts, np.zeros((pad_n * k, 3, 3), np.float32)])
+
     pad_woop = woop_matrices(
         padded_verts[:, 0], padded_verts[:, 1], padded_verts[:, 2])
     scene["treelets"] = {

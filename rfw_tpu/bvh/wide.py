@@ -133,6 +133,71 @@ class Treelets:
     #                         treelet ids via count>0 ⇒ child = treelet id)
 
 
+def spatial_treelets(tri_min: np.ndarray, tri_max: np.ndarray,
+                     size: int = 128, top_width: int = 4) -> Treelets:
+    """Cut triangles into SPATIALLY DISJOINT cells of ≤ ``size`` members by
+    recursive centroid-median kd splits; cell bounds are tight AABBs over the
+    member triangles.
+
+    Why this replaces SAH-subtree extraction for the dense intersector:
+    measured on pica-4x (305k tris, tools/spatial_cut_proto.py), SAH-subtree
+    treelet AABBs overlap so heavily that a ray's slab path crosses ~75 of
+    2048 treelets *before its own hit distance* (front-to-back early exit
+    cannot help — the entry bounds are all earlier than the hit). Disjoint
+    centroid cells reduce entered-before-hit crossings to ~1 (primary) / ~2
+    (bounce) at K=128, i.e. ~40x less dense intersection work. The trade-off
+    — boundary triangles poke slightly past their cell (the cells' tight
+    bounds may overlap a little) — costs ~3 extra crossings per ray and
+    nothing in correctness: the intersector's conservative per-block
+    front-to-back bound logic never assumed disjointness.
+
+    Splits are size-aligned (the left child takes a multiple of ``size``), so
+    every cell except at most one per subtree is exactly full — dense-lane
+    occupancy stays near 100% where SAH cuts average ~60%.
+
+    This is the TPU answer to the reference's SBVH spatial splits
+    (top_level_bvh.cpp:41, rtbvh create_spatial_bvh): spatial partitioning
+    buys exactly what a lockstep dense intersector needs — short, genuinely
+    front-to-back candidate lists.
+    """
+    t = tri_min.shape[0]
+    c = 0.5 * (tri_min + tri_max)
+    cells: list[np.ndarray] = []
+    stack = [np.arange(t, dtype=np.int64)]
+    while stack:
+        idx = stack.pop()
+        if len(idx) <= size:
+            cells.append(idx)
+            continue
+        cc = c[idx]
+        ax = int(np.argmax(cc.max(0) - cc.min(0)))
+        order = np.argsort(cc[:, ax], kind="stable")
+        n_cells = -(-len(idx) // size)
+        half = (n_cells // 2) * size      # size-aligned split point
+        stack.append(idx[order[half:]])
+        stack.append(idx[order[:half]])
+
+    n = len(cells)
+    count = np.array([len(ci) for ci in cells], np.int32)
+    bmin = np.stack([tri_min[ci].min(0) for ci in cells]).astype(np.float32)
+    bmax = np.stack([tri_max[ci].max(0) for ci in cells]).astype(np.float32)
+    pad_map = np.full(n * size, -1, np.int32)
+    for k, ci in enumerate(cells):
+        pad_map[k * size:k * size + len(ci)] = ci
+
+    top_bin = build_bvh(bmin, bmax, leaf_size=1, use_native=False)
+    top = collapse_wide(top_bin, width=top_width)
+    leaf_mask = top.count > 0
+    top.child = np.where(
+        leaf_mask, top_bin.prim_order[np.clip(top.child, 0, n - 1)],
+        top.child)
+
+    return Treelets(
+        first=np.arange(n, dtype=np.int32) * size, count=count,
+        bmin=bmin, bmax=bmax, size=size, pad_map=pad_map, top=top,
+    )
+
+
 def extract_treelets(bvh: BVH, tri_min: np.ndarray, tri_max: np.ndarray,
                      size: int = 64, top_width: int = 4,
                      use_native: bool = True) -> Treelets:

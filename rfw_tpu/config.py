@@ -59,8 +59,10 @@ class RenderConfig:
     compaction: bool = True           # prefix-sum stream compaction between bounces
     max_rays_per_pass: int = 1 << 19  # chunk big frames: bounds HBM temps
     #                                   (1080p in one pass OOMs a 16GB chip)
-    treelet_size: int = 256           # triangles per dense-intersection treelet
-    #                                   (two VPU lane-widths per visit)
+    treelet_size: int = 128           # triangles per dense-intersection treelet
+    #                                   (one VPU lane-width per visit)
+    treelet_spatial: bool = True      # disjoint centroid-cell treelets (fast)
+    #                                   vs SAH-subtree ranges (legacy)
     ray_block: int = 256              # rays per Pallas block
     use_pallas: bool = True           # use the Pallas/MXU intersector when on TPU
 

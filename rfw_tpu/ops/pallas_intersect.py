@@ -302,9 +302,14 @@ def _pack_rays(origins, directions, t_max):
     return jnp.concatenate([o, tm, d, zero], axis=1)
 
 
+def _scene_bounds(tl):
+    if "scene_lo" in tl:
+        return tl["scene_lo"], tl["scene_hi"]
+    return tl["bmin"].min(axis=0), tl["bmax"].max(axis=0)
+
+
 def _scene_t_far(tl):
-    lo = tl["bmin"].min(axis=0)
-    hi = tl["bmax"].max(axis=0)
+    lo, hi = _scene_bounds(tl)
     return jnp.sqrt(jnp.sum((hi - lo) ** 2)) * 2.0 + 1.0
 
 
@@ -325,8 +330,7 @@ def _sorted(tl, origins, directions):
     rays from one jit lane-layout are scattered; without sorting their
     128-ray blocks overflow the candidate list and fall back to full
     treelet scans (compaction.py)."""
-    lo = tl["bmin"].min(axis=0)
-    hi = tl["bmax"].max(axis=0)
+    lo, hi = _scene_bounds(tl)
     keys = ray_sort_keys(origins, directions, lo, hi)
     order = jnp.argsort(keys).astype(jnp.int32)
     inv = jnp.argsort(order).astype(jnp.int32)

@@ -22,7 +22,7 @@ import dataclasses
 import numpy as np
 
 from ..bvh.builder import build_bvh, triangle_bounds
-from ..bvh.wide import collapse_wide, extract_treelets
+from ..bvh.wide import collapse_wide, extract_treelets, spatial_treelets
 from ..config import RenderConfig
 from ..ops.intersect import woop_matrices
 from ..scene.mesh import TriangleSoA
@@ -150,7 +150,11 @@ def build_device_scene(
     bvh = build_bvh(tmin, tmax, leaf_size=4)
     perm = bvh.prim_order
     wide = _pad_wide(collapse_wide(bvh, width=4))
-    treelets = extract_treelets(bvh, tmin, tmax, size=config.treelet_size)
+    if config.treelet_spatial:
+        treelets = spatial_treelets(tmin, tmax, size=config.treelet_size)
+    else:
+        treelets = extract_treelets(bvh, tmin, tmax,
+                                    size=config.treelet_size)
 
     verts = cat["vertices"][perm]
     scene = {
@@ -186,16 +190,19 @@ def build_device_scene(
     padded_verts = np.zeros((len(treelets.pad_map), 3, 3), np.float32)
     padded_verts[pad_valid] = cat["vertices"][treelets.pad_map[pad_valid]]
     # pad treelet arrays to a power-of-two count (stable shapes across
-    # animation frames; empty treelets never overlap any ray)
+    # animation frames). Pad boxes are a far-away POINT (lo == hi == 3e37):
+    # its slab tnear is ~3e37 > any ray t_max, so it is never a candidate.
+    # (An "inverted" lo=+big/hi=-big box does NOT work: per-axis entry/exit
+    # straddle ±inf and the slab test passes with tnear 0.)
     n_tl = treelets.bmin.shape[0]
     cap_tl = _pow2(n_tl)
     if cap_tl != n_tl:
         pad_n = cap_tl - n_tl
         k = treelets.size
         treelets.bmin = np.concatenate(
-            [treelets.bmin, np.full((pad_n, 3), 3e38, np.float32)])
+            [treelets.bmin, np.full((pad_n, 3), 3e37, np.float32)])
         treelets.bmax = np.concatenate(
-            [treelets.bmax, np.full((pad_n, 3), -3e38, np.float32)])
+            [treelets.bmax, np.full((pad_n, 3), 3e37, np.float32)])
         treelets.count = np.concatenate(
             [treelets.count, np.zeros(pad_n, np.int32)])
         pad_perm = np.concatenate(
@@ -217,6 +224,10 @@ def build_device_scene(
         "bmin": treelets.bmin, "bmax": treelets.bmax,
         "count": treelets.count,
         "size": treelets.size,
+        # true scene bounds (treelet rows may include far-away pad points,
+        # so consumers must not reduce bmin/bmax for these)
+        "scene_lo": tmin.min(axis=0).astype(np.float32),
+        "scene_hi": tmax.max(axis=0).astype(np.float32),
         "top": {
             "bmin": treelets.top.bmin, "bmax": treelets.top.bmax,
             "child": treelets.top.child, "count": treelets.top.count,

@@ -114,3 +114,28 @@ def test_treelets_cover_all_triangles():
         tri_ids = tl.pad_map[k * tl.size:k * tl.size + tl.count[k]]
         assert (verts[tri_ids].reshape(-1, 3) >= tl.bmin[k] - 1e-4).all()
         assert (verts[tri_ids].reshape(-1, 3) <= tl.bmax[k] + 1e-4).all()
+
+
+def test_spatial_treelets_cover_and_occupancy():
+    from rfw_tpu.bvh import spatial_treelets
+    verts = random_tris(923, seed=11)
+    tmin, tmax = triangle_bounds(verts)
+    tl = spatial_treelets(tmin, tmax, size=64)
+    ids = tl.pad_map[tl.pad_map >= 0]
+    assert sorted(ids.tolist()) == list(range(923))
+    assert (tl.count <= 64).all()
+    # size-aligned splits: padding waste stays small
+    assert tl.count.sum() / (len(tl.count) * 64) > 0.85
+    # cell AABBs contain their members
+    for k in range(len(tl.count)):
+        tri_ids = tl.pad_map[k * tl.size:k * tl.size + tl.count[k]]
+        assert (verts[tri_ids].reshape(-1, 3) >= tl.bmin[k] - 1e-4).all()
+        assert (verts[tri_ids].reshape(-1, 3) <= tl.bmax[k] + 1e-4).all()
+
+
+def test_spatial_treelets_tiny():
+    from rfw_tpu.bvh import spatial_treelets
+    verts = random_tris(5, seed=2)
+    tmin, tmax = triangle_bounds(verts)
+    tl = spatial_treelets(tmin, tmax, size=64)
+    assert len(tl.count) == 1 and tl.count[0] == 5

@@ -191,8 +191,14 @@ class PathTracerEngine(EngineContext):
         intersector = FACTORIES[self._intersector_name](cfg)
         n_total = width * height
         n_chunks = max(1, -(-n_total // cfg.max_rays_per_pass))
-        while n_total % n_chunks:      # equal chunks → one compiled shape
+        # equal chunks → one compiled shape; prefer chunks of whole image
+        # rows so the integrator's 16x16-tile lane ordering stays available
+        while height % n_chunks and n_chunks < height:
             n_chunks += 1
+        if height % n_chunks:
+            n_chunks = max(1, -(-n_total // cfg.max_rays_per_pass))
+            while n_total % n_chunks:
+                n_chunks += 1
         n_local = n_total // n_chunks
 
         mats = self._materials or {}

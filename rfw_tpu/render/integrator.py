@@ -19,6 +19,7 @@ import math
 from typing import Callable, NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import RenderConfig
 from ..ops import light_sampling, raygen, rng
@@ -86,6 +87,26 @@ def _no_nan(x):
     return jnp.where(jnp.isnan(x), 0.0, x)
 
 
+def _tile_permutation(width: int, n: int, tile: int = 16):
+    """Static pixel→lane permutation grouping 16×16 image tiles into
+    contiguous lanes. Row-major lanes put 256 consecutive pixels of ONE
+    row in a block — a long thin strip whose ray envelope crosses far more
+    BVH cells than a square tile's (the Pallas cull works per 256-ray
+    block envelope). Returns (perm, inv) as numpy int32, or None when the
+    range isn't tileable."""
+    if n % width != 0:
+        return None
+    rows = n // width
+    if rows < tile or width < tile:
+        return None
+    y, x = np.divmod(np.arange(n, dtype=np.int64), width)
+    key = (((y // tile) * (width // tile + 1) + x // tile) * (tile * tile)
+           + (y % tile) * tile + (x % tile))
+    perm = np.argsort(key, kind="stable").astype(np.int32)
+    inv = np.argsort(perm, kind="stable").astype(np.int32)
+    return perm, inv
+
+
 def trace_sample(scene, view, width: int, height: int, sample_index,
                  probe_index, config: RenderConfig,
                  intersector: Intersector, pixel_offset=0,
@@ -105,8 +126,19 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
     n_area = lights["area_v0"].shape[0]
     bn_mask = scene.get("blue_noise")
 
-    pid = (jnp.arange(n, dtype=jnp.uint32)
-           + jnp.asarray(pixel_offset, jnp.uint32))
+    # lanes hold pixels in 16×16-tile order (square ray-block envelopes for
+    # the intersector cull); results are scattered back to row-major at
+    # the end. The permutation is static — pixel_offset/width/n are python.
+    tp = _tile_permutation(width, n)
+    if tp is not None:
+        perm_np, inv_np = tp
+        pid = (jnp.asarray(perm_np.astype(np.uint32))
+               + jnp.asarray(pixel_offset, jnp.uint32))
+        inv_lane = jnp.asarray(inv_np)
+    else:
+        pid = (jnp.arange(n, dtype=jnp.uint32)
+               + jnp.asarray(pixel_offset, jnp.uint32))
+        inv_lane = None
     use_bn = config.blue_noise and bn_mask is not None
     origin, direction = raygen.generate_primary_rays(
         view, width, height, sample_index,
@@ -169,14 +201,17 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
             # aux feature buffers for the denoiser (ops/denoise.py)
             aux["normal"] = jnp.where(miss[..., None], 0.0, i_n)
             aux["depth"] = jnp.where(miss, 0.0, t)
-            # probe readback (Kernels.cu:628-633)
+            # probe readback (Kernels.cu:628-633); with tiled lanes the
+            # probed pixel lives at lane inv_lane[probe_index]
+            probe_lane = (probe_index if inv_lane is None
+                          else inv_lane[probe_index])
             probe = jnp.stack([
-                scene["tri_instance"][prim_safe][probe_index].astype(
+                scene["tri_instance"][prim_safe][probe_lane].astype(
                     jnp.float32),
-                scene["tri_prim"][prim_safe][probe_index].astype(
+                scene["tri_prim"][prim_safe][probe_lane].astype(
                     jnp.float32),
-                jnp.where(miss[probe_index], jnp.float32(-1.0),
-                          t[probe_index]),
+                jnp.where(miss[probe_lane], jnp.float32(-1.0),
+                          t[probe_lane]),
             ])
 
         # ---- emissive hit terminates path (Kernels.cu:651-692) ----
@@ -276,13 +311,16 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
                 e_want = (alive & ~spec_mat & ~alpha_cut & (e_cos > 0)
                           & (e_pdf > 0) & (eb_pdf > 0))
                 # one fused occlusion launch for light + envmap shadow rays
-                # (halves per-call sort/cull/kernel overhead)
+                # (halves per-call overhead). ALWAYS sorted: envmap
+                # directions are random per lane, and unsorted mixed-octant
+                # blocks degenerate the envelope cull to full scans
+                # (measured 11.4 s/sample at 1080p with sort=False).
                 occ2 = intersector.occluded(
                     scene,
                     jnp.concatenate([s_origin, s_origin]),
                     jnp.concatenate([l_dir, e_dir]),
                     jnp.concatenate([s_dist, jnp.where(e_want, 1e30, 0.0)]),
-                    sort=depth > 0)
+                    sort=True)
                 occ, e_occ = occ2[:n], occ2[n:]
                 radiance = radiance + jnp.where(
                     (want_shadow & ~occ)[..., None], nee, 0.0)
@@ -329,4 +367,7 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
             safe_origin(hit_pos, n_geom))
         direction = jnp.where(ac, direction, wi)
 
+    if inv_lane is not None:   # tiled lanes → row-major pixel order
+        radiance = radiance[inv_lane]
+        aux = {k: v[inv_lane] for k, v in aux.items()}
     return radiance, probe, stats, aux

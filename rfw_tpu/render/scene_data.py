@@ -189,13 +189,15 @@ def build_device_scene(
                         -1).astype(np.int32)
     padded_verts = np.zeros((len(treelets.pad_map), 3, 3), np.float32)
     padded_verts[pad_valid] = cat["vertices"][treelets.pad_map[pad_valid]]
-    # pad treelet arrays to a power-of-two count (stable shapes across
-    # animation frames). Pad boxes are a far-away POINT (lo == hi == 3e37):
-    # its slab tnear is ~3e37 > any ray t_max, so it is never a candidate.
-    # (An "inverted" lo=+big/hi=-big box does NOT work: per-axis entry/exit
-    # straddle ±inf and the slab test passes with tnear 0.)
+    # pad treelet arrays to a power-of-two count >= SUPER_G (stable shapes
+    # across animation frames + whole supers). Pad boxes are a far-away
+    # POINT (lo == hi == 3e37): its slab tnear is ~3e37 > any ray t_max, so
+    # it is never a candidate. (An "inverted" lo=+big/hi=-big box does NOT
+    # work: per-axis entry/exit straddle ±inf and the slab test passes with
+    # tnear 0.)
+    from ..ops.pallas_intersect import SUPER_G
     n_tl = treelets.bmin.shape[0]
-    cap_tl = _pow2(n_tl)
+    cap_tl = max(_pow2(n_tl), SUPER_G)
     if cap_tl != n_tl:
         pad_n = cap_tl - n_tl
         k = treelets.size
@@ -212,6 +214,27 @@ def build_device_scene(
 
     pad_woop = woop_matrices(
         padded_verts[:, 0], padded_verts[:, 1], padded_verts[:, 2])
+    # super grouping for the Pallas kernel: SUPER_G consecutive cells form
+    # one DMA/cull unit. Consecutive kd cells are siblings, so supers are
+    # spatially tight. cbounds packs per-cell AABBs for the in-kernel
+    # per-cell skip; sbmin/sbmax are the cull-level super bounds.
+    n_cells = treelets.bmin.shape[0]
+    n_super = n_cells // SUPER_G
+    # (T_s, 8, G) component-major: row k is component k (lo.xyz, hi.xyz,
+    # pad, pad) across the super's G cells — one contiguous (1, G) read
+    # per component in the kernel.
+    cbounds = np.full((n_super, 8, SUPER_G), 3e37, np.float32)
+    cbounds[:, 0:3, :] = treelets.bmin.reshape(
+        n_super, SUPER_G, 3).transpose(0, 2, 1)
+    cbounds[:, 3:6, :] = treelets.bmax.reshape(
+        n_super, SUPER_G, 3).transpose(0, 2, 1)
+    sbmin = treelets.bmin.reshape(n_super, SUPER_G, 3).min(axis=1)
+    smax_raw = np.where(treelets.bmax.reshape(n_super, SUPER_G, 3) > 1e37,
+                        -3e38, treelets.bmax.reshape(n_super, SUPER_G, 3))
+    sbmax = smax_raw.max(axis=1)
+    empty = sbmax[:, 0] < sbmin[:, 0]   # all-pad super → far point box
+    sbmin[empty] = 3e37
+    sbmax[empty] = 3e37
     scene["treelets"] = {
         "woop": pad_woop,
         # Pallas kernel layout: per treelet a (16, K) block — rows 0-3 the
@@ -224,6 +247,9 @@ def build_device_scene(
         "bmin": treelets.bmin, "bmax": treelets.bmax,
         "count": treelets.count,
         "size": treelets.size,
+        "cbounds": cbounds.astype(np.float32),
+        "sbmin": sbmin.astype(np.float32),
+        "sbmax": sbmax.astype(np.float32),
         # true scene bounds (treelet rows may include far-away pad points,
         # so consumers must not reduce bmin/bmax for these)
         "scene_lo": tmin.min(axis=0).astype(np.float32),

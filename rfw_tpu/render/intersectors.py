@@ -106,9 +106,26 @@ def make_pallas_intersector(config: RenderConfig) -> Intersector:
     return Intersector(closest, occluded)
 
 
+def make_pairs_intersector(config: RenderConfig) -> Intersector:
+    """Per-ray pair-expansion Pallas kernel (ops/pair_intersect.py) — the
+    scattered-ray fast path (exact per-ray candidate cells instead of the
+    per-block envelope union)."""
+    from ..ops import pair_intersect
+
+    def closest(scene, o, d, t_max=None, sort=True):
+        return pair_intersect.closest_hit(scene, o, d, config,
+                                          t_max=t_max, sort=sort)
+
+    def occluded(scene, o, d, dist, sort=True):
+        return pair_intersect.any_hit(scene, o, d, dist, config, sort=sort)
+
+    return Intersector(closest, occluded)
+
+
 FACTORIES = {
     "brute": make_brute_intersector,
     "bvh": make_bvh_intersector,
     "dense": make_dense_intersector,
     "pallas": make_pallas_intersector,
+    "pairs": make_pairs_intersector,
 }

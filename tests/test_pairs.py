@@ -1,0 +1,108 @@
+"""Pair-expansion intersector (ops/pair_intersect.py) parity vs brute force.
+
+SURVEY §4 oracle pattern: traversal == brute-force intersect on random
+scenes. Runs the Pallas kernel in interpret mode on CPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rfw_tpu.config import RenderConfig
+from rfw_tpu.ops import pair_intersect, traverse
+from rfw_tpu.ops.intersect import BIG_T
+from rfw_tpu.render import scene_data
+from rfw_tpu.scene.lights import pack_lights
+from rfw_tpu.scene.materials import MaterialList
+from rfw_tpu.scene.mesh import build_triangles
+
+
+@pytest.fixture(scope="module")
+def soup_scene():
+    rng = np.random.default_rng(7)
+    nt = 800
+    centers = rng.uniform(-10, 10, (16, 3))
+    tri_c = centers[rng.integers(0, 16, nt)] + rng.normal(0, 1.2, (nt, 3))
+    verts = (tri_c[:, None, :] + rng.normal(0, 0.35, (nt, 3, 3))).astype(
+        np.float32)
+    soa = build_triangles(verts.reshape(-1, 3),
+                          np.arange(nt * 3).reshape(nt, 3))
+    inst = scene_data.InstancedMesh(
+        triangles=soa, transform=np.eye(4, dtype=np.float32),
+        instance_id=0, mesh_slot=0)
+    cfg = RenderConfig()
+    scene = scene_data.build_device_scene(
+        [inst], MaterialList().generate_device_materials(),
+        pack_lights([], [], [], []), None, None, cfg)
+    scene.pop("_bvh_host")
+    scene = jax.tree.map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, scene)
+    return scene, cfg
+
+
+def _rays(n, seed=0, dead_frac=0.3):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-14, 14, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tm = np.full(n, 1e30, np.float32)
+    tm[rng.random(n) < dead_frac] = 0.0
+    return jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm)
+
+
+def test_pairs_closest_matches_brute(soup_scene):
+    scene, cfg = soup_scene
+    o, d, tm = _rays(1024)
+    t_p, prim_p, _, _ = pair_intersect.closest_hit(scene, o, d, cfg,
+                                                   t_max=tm)
+    tris = (scene["tri_vertices"][:, 0],
+            scene["tri_vertices"][:, 1] - scene["tri_vertices"][:, 0],
+            scene["tri_vertices"][:, 2] - scene["tri_vertices"][:, 0])
+    t_b, prim_b, _, _ = traverse.brute_force_closest(
+        o, d, tris, t_epsilon=cfg.t_epsilon)
+    prim_b = jnp.where((t_b < tm) & (prim_b >= 0), prim_b, -1)
+    t_p, prim_p = np.asarray(t_p), np.asarray(prim_p)
+    t_b, prim_b = np.asarray(t_b), np.asarray(prim_b)
+    assert ((prim_p >= 0) == (prim_b >= 0)).all()
+    both = (prim_p >= 0) & (prim_b >= 0)
+    assert (prim_p[both] == prim_b[both]).mean() > 0.999
+    terr = np.abs(t_p[both] - np.where(both, t_b, 1.0)[both])
+    assert (terr / np.maximum(t_b[both], 1e-6)).max() < 1e-4
+
+
+def test_pairs_any_hit_matches_brute(soup_scene):
+    scene, cfg = soup_scene
+    o, d, _ = _rays(1024, seed=3, dead_frac=0.0)
+    rng = np.random.default_rng(5)
+    dist = np.full(1024, 6.0, np.float32)
+    dist[rng.random(1024) < 0.3] = 0.0
+    dist = jnp.asarray(dist)
+    occ = np.asarray(pair_intersect.any_hit(scene, o, d, dist, cfg))
+    tris = (scene["tri_vertices"][:, 0],
+            scene["tri_vertices"][:, 1] - scene["tri_vertices"][:, 0],
+            scene["tri_vertices"][:, 2] - scene["tri_vertices"][:, 0])
+    t_b, prim_b, _, _ = traverse.brute_force_closest(
+        o, d, tris, t_epsilon=cfg.t_epsilon)
+    occ_b = np.asarray((prim_b >= 0) & (np.asarray(t_b) < np.asarray(dist)))
+    assert (occ == occ_b).all()
+
+
+def test_pairs_windowed_passes(soup_scene):
+    """Rays engineered to cross many supers (long diagonals through the
+    whole soup) exercise the multi-pass window path."""
+    scene, cfg = soup_scene
+    n = 256
+    rng = np.random.default_rng(11)
+    o = np.full((n, 3), -20.0, np.float32) + rng.normal(0, 0.5, (n, 3))
+    d = np.tile([[1.0, 1.0, 1.0]], (n, 1)) + rng.normal(0, 0.05, (n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o.astype(np.float32)), jnp.asarray(
+        d.astype(np.float32))
+    t_p, prim_p, _, _ = pair_intersect.closest_hit(scene, o, d, cfg)
+    tris = (scene["tri_vertices"][:, 0],
+            scene["tri_vertices"][:, 1] - scene["tri_vertices"][:, 0],
+            scene["tri_vertices"][:, 2] - scene["tri_vertices"][:, 0])
+    t_b, prim_b, _, _ = traverse.brute_force_closest(
+        o, d, tris, t_epsilon=cfg.t_epsilon)
+    assert (np.asarray(prim_p) == np.asarray(prim_b)).mean() > 0.999

@@ -56,7 +56,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
-from .compaction import ray_sort_keys
 from .intersect import BIG_T, intersect_tri, safe_inv_dir
 
 PBLOCK = 512       # pairs per kernel program
@@ -171,17 +170,17 @@ def block_visit_lists(pair_sid, t_s: int):
 # ---------------------------------------------------------------------------
 
 def _pair_kernel(super_g: int, k_size: int, t_epsilon: float, any_hit: bool,
+                 use_skip: bool,
                  # SMEM (windowed over 8 grid rows)
                  visits_ref, nvisit_ref,
                  # VMEM
                  rays_ref,               # (8, PBLOCK) ox,oy,oz,tmax,dx,dy,dz,0
                  sid_ref,                # (PBLOCK, 1) pair super ids
                  wsup_hbm,               # (T_s, G*16, K) woop planes
-                 cb_hbm,                 # (T_s, 8, G) cell bounds per super
                  # outputs
                  t_out, slot_out,
                  # scratch
-                 bt_s, bs_s, wp_s, cb_s, sems, csems):
+                 bt_s, bs_s, wp_s, sems):
     row = jnp.remainder(pl.program_id(0), 8)
     n_visit = nvisit_ref[row, 0]
 
@@ -211,15 +210,10 @@ def _pair_kernel(super_g: int, k_size: int, t_epsilon: float, any_hit: bool,
         return pltpu.make_async_copy(
             wsup_hbm.at[sid], wp_s.at[slot], sems.at[slot])
 
-    def cdma(slot, sid):
-        return pltpu.make_async_copy(
-            cb_hbm.at[sid], cb_s.at[slot], csems.at[slot])
-
     for k in range(PIPE - 1):
         @pl.when(k < n_visit)
         def _(k=k):
             dma(k, visit_id(k)).start()
-            cdma(k, visit_id(k)).start()
 
     def body(state):
         i, _ = state
@@ -227,35 +221,18 @@ def _pair_kernel(super_g: int, k_size: int, t_epsilon: float, any_hit: bool,
 
         @pl.when(i + PIPE - 1 < n_visit)
         def _():
-            nslot = jnp.remainder(i + PIPE - 1, PIPE)
-            dma(nslot, visit_id(i + PIPE - 1)).start()
-            cdma(nslot, visit_id(i + PIPE - 1)).start()
+            dma(jnp.remainder(i + PIPE - 1, PIPE),
+                visit_id(i + PIPE - 1)).start()
 
         dma(slot, visit_id(i)).wait()
-        cdma(slot, visit_id(i)).wait()
         cur = visit_id(i)
         wp = wp_s[slot]                       # (G*16, K)
-        cb = cb_s[slot]                       # (8, G)
         mine_lane = my_sid == cur             # (PBLOCK, 1)
 
         for j in range(super_g):
             base = 16 * j
 
-            # cell-interest skip: conservative slab of ALL lanes vs cell j
-            # (measured: a dense visit costs ~0.9 µs, this test ~0.1 µs,
-            # and a super's G cells are disjoint so most lanes enter 1-2)
-            tn_r = zeros
-            tf_r = jnp.full((1, PBLOCK), 1e30, jnp.float32)
-            for ax in range(3):
-                t1 = (cb[ax, j] - rays[ax:ax + 1, :]) * inv_r[ax]
-                t2 = (cb[3 + ax, j] - rays[ax:ax + 1, :]) * inv_r[ax]
-                tn_r = jnp.maximum(tn_r, jnp.minimum(t1, t2))
-                tf_r = jnp.minimum(tf_r, jnp.maximum(t1, t2))
-            interest = jnp.any(jnp.maximum(tn_r, 0.0)
-                               < jnp.minimum(tf_r, t_hi_row))
-
-            @pl.when(interest)
-            def _(j=j, base=base):
+            def dense(j=j, base=base):
                 bt = bt_s[:]
 
                 def xf(a, r0):
@@ -284,6 +261,26 @@ def _pair_kernel(super_g: int, k_size: int, t_epsilon: float, any_hit: bool,
                     mine, (cur * super_g + j) * k_size + kbest, bs_s[:])
                 bt_s[:] = jnp.where(mine, tmin, bt)
 
+            if use_skip:
+                # cell-interest skip: conservative slab of ALL lanes vs
+                # cell j (bounds ride in wp row base+12 lanes 0-5 — same
+                # DMA). Measured NET LOSS at visits≈1/block (108 vs 60 ms,
+                # tools/pairs_kernel_ab.py) — kept only as an ablation.
+                tn_r = zeros
+                tf_r = jnp.full((1, PBLOCK), 1e30, jnp.float32)
+                for ax in range(3):
+                    t1 = (wp[base + 12, ax]
+                          - rays[ax:ax + 1, :]) * inv_r[ax]
+                    t2 = (wp[base + 12, 3 + ax]
+                          - rays[ax:ax + 1, :]) * inv_r[ax]
+                    tn_r = jnp.maximum(tn_r, jnp.minimum(t1, t2))
+                    tf_r = jnp.minimum(tf_r, jnp.maximum(t1, t2))
+                interest = jnp.any(jnp.maximum(tn_r, 0.0)
+                                   < jnp.minimum(tf_r, t_hi_row))
+                pl.when(interest)(dense)
+            else:
+                dense()
+
         if any_hit:
             done = ~jnp.any((bs_s[:] < 0) & (t_max0 > 0) & (my_sid >= cur))
         else:
@@ -301,8 +298,6 @@ def _pair_kernel(super_g: int, k_size: int, t_epsilon: float, any_hit: bool,
         @pl.when(i_end + k < n_visit)
         def _(k=k):
             dma(jnp.remainder(i_end + k, PIPE), visit_id(i_end + k)).wait()
-            cdma(jnp.remainder(i_end + k, PIPE),
-                 visit_id(i_end + k)).wait()
 
     # (PBLOCK, 1) → (1, PBLOCK) relayout: minor-dim-8 output blocks DMA as
     # hundreds of 32-byte strided segments (~5 µs/program — measured as the
@@ -314,10 +309,11 @@ def _pair_kernel(super_g: int, k_size: int, t_epsilon: float, any_hit: bool,
 
 
 @functools.partial(jax.jit, static_argnames=("super_g", "k_size",
-                                             "t_epsilon", "any_hit"))
-def _run_pair_kernel(rays8, sid_col, visits, nvisit, wsup, cbounds,
+                                             "t_epsilon", "any_hit",
+                                             "use_skip"))
+def _run_pair_kernel(rays8, sid_col, visits, nvisit, wsup,
                      super_g: int, k_size: int, t_epsilon: float,
-                     any_hit: bool):
+                     any_hit: bool, use_skip: bool = False):
     """rays8 (NB*8, PBLOCK); sid_col (NB*PBLOCK, 1); visits (NB, D);
     nvisit (NB,). Returns per-pair (t (P,), slot (P,))."""
     nb = visits.shape[0]
@@ -336,7 +332,6 @@ def _run_pair_kernel(rays8, sid_col, visits, nvisit, wsup, cbounds,
         pl.BlockSpec((PBLOCK, 1), lambda b: (b, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
     ]
     out_specs = [
         pl.BlockSpec((1, 8, PBLOCK), lambda b: (b, 0, 0),
@@ -345,7 +340,7 @@ def _run_pair_kernel(rays8, sid_col, visits, nvisit, wsup, cbounds,
                      memory_space=pltpu.VMEM),
     ]
     kernel = functools.partial(_pair_kernel, super_g, k_size, t_epsilon,
-                               any_hit)
+                               any_hit, use_skip)
     interpret = jax.default_backend() == "cpu"
     t, slot = pl.pallas_call(
         kernel,
@@ -359,15 +354,13 @@ def _run_pair_kernel(rays8, sid_col, visits, nvisit, wsup, cbounds,
             pltpu.VMEM((PBLOCK, 1), jnp.float32),
             pltpu.VMEM((PBLOCK, 1), jnp.int32),
             pltpu.VMEM((PIPE, super_g * 16, k_size), jnp.float32),
-            pltpu.VMEM((PIPE, 8, super_g), jnp.float32),
-            pltpu.SemaphoreType.DMA((PIPE,)),
             pltpu.SemaphoreType.DMA((PIPE,)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, 8, PBLOCK), jnp.float32),
             jax.ShapeDtypeStruct((nb, 8, PBLOCK), jnp.int32),
         ],
-    )(visits, nvisit.reshape(-1, 1), rays8, sid_col, wsup, cbounds)
+    )(visits, nvisit.reshape(-1, 1), rays8, sid_col, wsup)
     return t[:, 0, :].reshape(-1), slot[:, 0, :].reshape(-1)
 
 
@@ -379,17 +372,6 @@ def _scene_bounds(tl):
     if "scene_lo" in tl:
         return tl["scene_lo"], tl["scene_hi"]
     return tl["bmin"].min(axis=0), tl["bmax"].max(axis=0)
-
-
-def _sorted(tl, origins, directions, t_max):
-    """Octant+Morton coherence order, dead lanes last (compaction.py)."""
-    lo, hi = _scene_bounds(tl)
-    keys = ray_sort_keys(origins, directions, lo, hi)
-    keys = keys + jnp.where(t_max <= 0, jnp.uint32(1) << 28, 0).astype(
-        jnp.uint32)
-    order = jnp.argsort(keys).astype(jnp.int32)
-    inv = jnp.argsort(order).astype(jnp.int32)
-    return order, inv
 
 
 def _wsup(tl, super_g: int):
@@ -446,8 +428,7 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
             nb * 8, PBLOCK)
         t_pair, slot_pair = _run_pair_kernel(
             rays8, pair_sid.reshape(-1, 1), visits, nvisit, wsup,
-            tl["cbounds"], super_g, k_size, float(config.t_epsilon),
-            any_hit)
+            super_g, k_size, float(config.t_epsilon), any_hit)
 
         # combine: sort results back to (N, c_max) pre-expansion order
         # (scatter-free inverse of the pair sort), then reduce per row
@@ -488,18 +469,18 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
 
 def closest_hit(scene, origins, directions, config: RenderConfig,
                 t_max=None, sort: bool = True):
-    """Intersector ABI: (t, prim, u, v); lanes with t_max == 0 are dead."""
+    """Intersector ABI: (t, prim, u, v); lanes with t_max == 0 are dead.
+
+    ``sort`` is accepted for ABI parity but unused: the global pair sort
+    fully determines kernel block composition, so pre-sorting rays buys
+    nothing here (measured: it cost ~80 ms/stage at 518k rays)."""
+    del sort
     tl = scene["treelets"]
     n = origins.shape[0]
     if t_max is None:
         t_max = jnp.full(n, BIG_T)
     t_max = jnp.broadcast_to(t_max, (n,))
-    if sort:
-        order, inv = _sorted(tl, origins, directions, t_max)
-        origins, directions, t_max = (origins[order], directions[order],
-                                      t_max[order])
-    else:
-        inv = slice(None)
+    inv = slice(None)
     t, slot = _trace(scene, origins, directions, t_max, config,
                      any_hit=False)
     found = slot >= 0
@@ -521,16 +502,13 @@ def closest_hit(scene, origins, directions, config: RenderConfig,
 
 def any_hit(scene, origins, directions, dist, config: RenderConfig,
             sort: bool = True):
-    """Occlusion: True where something lies closer than ``dist``."""
+    """Occlusion: True where something lies closer than ``dist``.
+    ``sort`` unused (see closest_hit)."""
+    del sort
     tl = scene["treelets"]
     n = origins.shape[0]
     dist = jnp.broadcast_to(dist, (n,))
-    if sort:
-        order, inv = _sorted(tl, origins, directions, dist)
-        origins, directions, dist = (origins[order], directions[order],
-                                     dist[order])
-    else:
-        inv = slice(None)
+    inv = slice(None)
     _, slot = _trace(scene, origins, directions, dist, config, any_hit=True)
     hit = slot >= 0
     prim = jnp.where(hit, tl["slot_to_prim"][jnp.maximum(slot, 0)], -1)

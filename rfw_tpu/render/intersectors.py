@@ -122,10 +122,33 @@ def make_pairs_intersector(config: RenderConfig) -> Intersector:
     return Intersector(closest, occluded)
 
 
+def make_hybrid_intersector(config: RenderConfig) -> Intersector:
+    """Best-of-both TPU intersector: the super-cell envelope kernel for
+    coherent ray sets (primaries arrive in pixel order → sort=False) and
+    the per-ray pair-expansion kernel for scattered sets (bounce /
+    mixed-direction rays → sort=True). The ``sort`` flag the integrator
+    already passes is exactly the coherence hint this split needs."""
+    sup = make_pallas_intersector(config)
+    prs = make_pairs_intersector(config)
+
+    def closest(scene, o, d, t_max=None, sort=True):
+        if sort:
+            return prs.closest(scene, o, d, t_max=t_max)
+        return sup.closest(scene, o, d, t_max=t_max, sort=False)
+
+    def occluded(scene, o, d, dist, sort=True):
+        if sort:
+            return prs.occluded(scene, o, d, dist)
+        return sup.occluded(scene, o, d, dist, sort=False)
+
+    return Intersector(closest, occluded)
+
+
 FACTORIES = {
     "brute": make_brute_intersector,
     "bvh": make_bvh_intersector,
     "dense": make_dense_intersector,
     "pallas": make_pallas_intersector,
     "pairs": make_pairs_intersector,
+    "hybrid": make_hybrid_intersector,
 }

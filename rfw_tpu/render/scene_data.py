@@ -75,14 +75,26 @@ def _transform_triangles(tris: TriangleSoA, m: np.ndarray) -> dict:
     }
 
 
-def _woop_planes(pad_woop: np.ndarray, k_size: int) -> np.ndarray:
-    """(T_pad, 3, 4) Woop matrices → (n_treelets, 16, k_size) DMA blocks."""
+def _woop_planes(pad_woop: np.ndarray, k_size: int,
+                 cell_bmin: np.ndarray | None = None,
+                 cell_bmax: np.ndarray | None = None) -> np.ndarray:
+    """(T_pad, 3, 4) Woop matrices → (n_treelets, 16, k_size) DMA blocks.
+
+    Rows 0-11 are the Woop transform rows; row 12 carries the cell's AABB
+    in lanes 0-5 (lo.xyz, hi.xyz) so kernels get the bounds in the same
+    DMA (the pair kernel's per-cell interest skip reads them as scalars —
+    a separate (T, 8, G) bounds array is not DMA-able: Mosaic requires
+    128-aligned minor dims). Rows 13-15 stay zero (sublane alignment).
+    """
     t_pad = pad_woop.shape[0]
     n_treelets = t_pad // k_size
     # (n, k, 3, 4) → transpose to component-major rows (n, 3, 4, k)
     w = pad_woop.reshape(n_treelets, k_size, 3, 4).transpose(0, 2, 3, 1)
     planes = np.zeros((n_treelets, 16, k_size), np.float32)
     planes[:, 0:12] = w.reshape(n_treelets, 12, k_size)
+    if cell_bmin is not None:
+        planes[:, 12, 0:3] = cell_bmin
+        planes[:, 12, 3:6] = cell_bmax
     return planes
 
 
@@ -241,7 +253,8 @@ def build_device_scene(
         # Woop rows producing barycentric u for the K triangles, 4-7 → v,
         # 8-11 → w, 12-15 zero padding (sublane alignment). One aligned DMA
         # per treelet (ops/pallas_intersect.py).
-        "wplanes": _woop_planes(pad_woop, config.treelet_size),
+        "wplanes": _woop_planes(pad_woop, config.treelet_size,
+                                treelets.bmin, treelets.bmax),
         "verts": padded_verts,
         "slot_to_prim": pad_perm,
         "bmin": treelets.bmin, "bmax": treelets.bmax,

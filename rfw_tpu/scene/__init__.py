@@ -21,6 +21,12 @@ def load_object(path: str, materials: MaterialList,
     if p.endswith(".ply"):
         from .ply import load_ply
         return load_ply(path, materials, material_override)
+    if p.endswith(".stl"):
+        from .stl import load_stl
+        return load_stl(path, materials, material_override)
+    if p.endswith(".dae"):
+        from .collada import load_collada
+        return load_collada(path, materials, material_override)
     raise ValueError(f"unsupported model format: {path}")
 
 

@@ -145,3 +145,109 @@ def test_glb_interpolation_asset(assets_dir):
     obj.set_time(1.5)
     for m in obj.meshes:
         assert np.isfinite(m.positions).all()
+
+
+def test_stl_roundtrip(tmp_path):
+    """Binary + ASCII STL of the same two triangles load identically."""
+    import struct
+    tris = np.array([[[0, 0, 0], [1, 0, 0], [1, 1, 0]],
+                     [[0, 0, 0], [1, 1, 0], [0, 1, 0]]], np.float32)
+
+    a = tmp_path / "quad_ascii.stl"
+    lines = ["solid quad"]
+    for t in tris:
+        lines += ["facet normal 0 0 1", "outer loop"]
+        lines += [f"vertex {v[0]} {v[1]} {v[2]}" for v in t]
+        lines += ["endloop", "endfacet"]
+    lines.append("endsolid quad")
+    a.write_text("\n".join(lines))
+
+    b = tmp_path / "quad_bin.stl"
+    body = b"\x00" * 80 + struct.pack("<I", len(tris))
+    for t in tris:
+        body += struct.pack("<3f", 0, 0, 1)
+        for v in t:
+            body += struct.pack("<3f", *v)
+        body += b"\x00\x00"
+    b.write_bytes(body)
+
+    from rfw_tpu.scene import MaterialList, load_object
+    oa = load_object(str(a), MaterialList())
+    ob = load_object(str(b), MaterialList())
+    ta, tb = oa.meshes[0].triangles(), ob.meshes[0].triangles()
+    assert ta.count == tb.count == 2
+    assert np.allclose(np.sort(ta.vertices.reshape(-1, 3), axis=0),
+                       np.sort(tb.vertices.reshape(-1, 3), axis=0))
+    assert np.allclose(ta.area.sum(), 1.0, atol=1e-6)
+    # smooth normals are unit
+    assert np.allclose(np.linalg.norm(ta.normals, axis=-1), 1.0, atol=1e-5)
+
+
+_DAE = """<?xml version="1.0"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+ <asset><up_axis>Y_UP</up_axis></asset>
+ <library_effects>
+  <effect id="red-fx"><profile_COMMON><technique sid="common">
+   <lambert><diffuse><color>0.8 0.1 0.1 1</color></diffuse></lambert>
+  </technique></profile_COMMON></effect>
+ </library_effects>
+ <library_materials>
+  <material id="red"><instance_effect url="#red-fx"/></material>
+ </library_materials>
+ <library_geometries>
+  <geometry id="quad"><mesh>
+   <source id="pos"><float_array id="pa" count="12">
+     0 0 0  1 0 0  1 1 0  0 1 0</float_array>
+    <technique_common><accessor source="#pa" count="4" stride="3">
+     <param name="X" type="float"/><param name="Y" type="float"/>
+     <param name="Z" type="float"/></accessor></technique_common>
+   </source>
+   <vertices id="vtx"><input semantic="POSITION" source="#pos"/></vertices>
+   <polylist material="m0" count="1">
+    <input semantic="VERTEX" source="#vtx" offset="0"/>
+    <vcount>4</vcount>
+    <p>0 1 2 3</p>
+   </polylist>
+  </mesh></geometry>
+ </library_geometries>
+ <library_visual_scenes>
+  <visual_scene id="scene">
+   <node id="n0">
+    <translate>2 0 0</translate>
+    <instance_geometry url="#quad">
+     <bind_material><technique_common>
+      <instance_material symbol="m0" target="#red"/>
+     </technique_common></bind_material>
+    </instance_geometry>
+   </node>
+  </visual_scene>
+ </library_visual_scenes>
+ <scene><instance_visual_scene url="#scene"/></scene>
+</COLLADA>
+"""
+
+
+def test_collada_polylist(tmp_path):
+    """Fan-triangulated polylist, node translate, material binding."""
+    p = tmp_path / "quad.dae"
+    p.write_text(_DAE)
+    from rfw_tpu.scene import MaterialList, load_object
+    ml = MaterialList()
+    obj = load_object(str(p), ml)
+    tri = obj.meshes[0].triangles()
+    assert tri.count == 2
+    # node translate applied
+    assert tri.vertices[..., 0].min() >= 2.0 - 1e-6
+    assert np.allclose(tri.area.sum(), 1.0, atol=1e-6)
+    # bound material has the lambert diffuse color
+    mats = ml.generate_device_materials()
+    mid = int(np.atleast_1d(tri.material)[0])
+    assert np.allclose(mats["color"][mid], [0.8, 0.1, 0.1], atol=1e-6)
+
+
+def test_collada_malformed(tmp_path):
+    p = tmp_path / "bad.dae"
+    p.write_text("<notcollada/>")
+    from rfw_tpu.scene import MaterialList, load_object
+    with pytest.raises(ValueError):
+        load_object(str(p), MaterialList())

@@ -103,7 +103,7 @@ def profile(tag, o, d, t_max):
                   o, d, t_max)
 
     f_kern = jax.jit(lambda r8, sc, v, nv2: pri._run_pair_kernel(
-        r8, sc, v, nv2, wsup, tl["cbounds"], 8, k_size,
+        r8, sc, v, nv2, wsup, 8, k_size,
         float(cfg.t_epsilon), False))
     t_pair, slot_pair = bench("kernel only", f_kern, rays8,
                               pair_sid.reshape(-1, 1), visits, nvisit)

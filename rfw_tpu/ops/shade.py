@@ -84,6 +84,55 @@ def fetch_texel_trilinear(atlas, desc, tex_id, uv, lam):
     return (1.0 - f) * p0 + f * p1
 
 
+def _unpack_rgba8(word):
+    """(R,) u32 RGBA8 → (R, 4) f32 in [0, 1] (r in bits 0-7)."""
+    return jnp.stack(
+        [word & 0xFF, (word >> 8) & 0xFF, (word >> 16) & 0xFF,
+         (word >> 24) & 0xFF], axis=-1).astype(jnp.float32) * (1.0 / 255.0)
+
+
+def fetch_merged_trilinear(matlas, desc, eid, uv, lam):
+    """Trilinear fetch from the merged material atlas (texture.py
+    build_merged_material_atlas): ONE tap per corner serves the diffuse,
+    normal and roughness maps at once — 8 row gathers instead of 24, which
+    is the dominant shading cost on TPU (gather count, not bytes; measured
+    in tools/shade_opt.py).
+
+    matlas: (N, 4) u32 rows (word0 diffuse, word1 normal, word2 rough/metal).
+    Returns (diffuse (R,4), normal (R,4), rough (R,4)) f32 in [0,1].
+    """
+    levels = desc.shape[1]
+    lam = jnp.clip(lam, 0.0, levels - 1)
+    l0 = jnp.floor(lam).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, levels - 1)
+    lf = lam - l0.astype(jnp.float32)
+    acc = [0.0, 0.0, 0.0]
+    for lvl, lw in ((l0, 1.0 - lf), (l1, lf)):
+        d = desc[eid, lvl]
+        addr, width, height = d[..., 0], d[..., 1], d[..., 2]
+        x = uv[..., 0] * width.astype(jnp.float32) - 0.5
+        y = uv[..., 1] * height.astype(jnp.float32) - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+
+        def wrap(i, n):
+            return jnp.mod(i.astype(jnp.int32), jnp.maximum(n, 1))
+
+        x0i, x1i = wrap(x0, width), wrap(x0 + 1, width)
+        y0i, y1i = wrap(y0, height), wrap(y0 + 1, height)
+        for xi, yi, cw in ((x0i, y0i, (1 - fx) * (1 - fy)),
+                           (x1i, y0i, fx * (1 - fy)),
+                           (x0i, y1i, (1 - fx) * fy),
+                           (x1i, y1i, fx * fy)):
+            px = matlas[addr + yi * width + xi]        # (R, 4) u32
+            w = (lw * cw)[..., None]
+            for c in range(3):
+                acc[c] = acc[c] + w * _unpack_rgba8(px[:, c])
+    return acc[0], acc[1], acc[2]
+
+
 # ---------------------------------------------------------------------------
 # ShadingData assembly
 # ---------------------------------------------------------------------------
@@ -127,7 +176,44 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None):
     alpha_cut = jnp.zeros_like(u, dtype=bool)
 
     tf = tex_flags or {"diffuse": True, "normal": True, "rough": True}
-    if "atlas" in scene and scene["atlas"] is not None:
+    if scene.get("matlas") is not None and any(tf.values()):
+        # merged-atlas fast path: one trilinear fetch for all three maps
+        matlas = scene["matlas"]
+        desc = scene["matlas_desc"]
+        eid = mats["mtex_id"][mat_id]
+        tex0 = mats["tex0_id"][mat_id]
+        has_tex0 = tex0 >= 0
+        uvt = mats["tex0_uvtransform"][mat_id]
+        uv0 = uvt[..., 0:2] * (uvt[..., 2:4] + uv_i)
+        base_w = desc[eid, 0, 1].astype(jnp.float32)
+        lam = (jnp.log2(jnp.maximum(
+            base_w * cone_width
+            / jnp.maximum(jnp.abs(dot3(-d, n_geom)), 1e-4), 1e-20))
+            - lod_base)
+        texel, nm, mr = fetch_merged_trilinear(matlas, desc, eid, uv0, lam)
+        if tf["diffuse"]:
+            sd["color"] = jnp.where(has_tex0[..., None],
+                                    sd["color"] * texel[..., :3],
+                                    sd["color"])
+            alpha_cut = (has_tex0 & (texel[..., 3] < 0.5)
+                         & mats["alpha_cutout"][mat_id])
+        if tf["rough"]:
+            has_r = mats["tex3_id"][mat_id] >= 0
+            sd["roughness"] = jnp.where(
+                has_r, jnp.maximum(sd["roughness"] * mr[..., 1],
+                                   _MIN_ROUGHNESS_PARAM), sd["roughness"])
+            sd["metallic"] = jnp.where(has_r, sd["metallic"] * mr[..., 2],
+                                       sd["metallic"])
+        if tf["normal"]:
+            has_n = mats["tex1_id"][mat_id] >= 0
+            tangent = scene["tri_tangent"][prim]
+            bitangent = scene["tri_bitangent"][prim]
+            nm_vec = nm[..., :3] * 2.0 - 1.0
+            mapped = safe_normalize(
+                nm_vec[..., 0:1] * tangent + nm_vec[..., 1:2] * bitangent
+                + nm_vec[..., 2:3] * i_n)
+            i_n = jnp.where(has_n[..., None], mapped, i_n)
+    elif "atlas" in scene and scene["atlas"] is not None:
         atlas = scene["atlas"]
         desc = scene["atlas_desc"]
         # diffuse map (slot 0)

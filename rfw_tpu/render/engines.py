@@ -151,6 +151,12 @@ class PathTracerEngine(EngineContext):
             if self._atlas is not None:
                 scene["atlas"] = self._atlas["atlas"]
                 scene["atlas_desc"] = self._atlas["desc"]
+                if "matlas" in self._atlas:
+                    scene["matlas"] = self._atlas["matlas"]
+                    scene["matlas_desc"] = self._atlas["matlas_desc"]
+                else:
+                    scene.pop("matlas", None)
+                    scene.pop("matlas_desc", None)
         else:
             scene = scene_data.build_device_scene(
                 instances, self._materials, self._lights, self._skybox,

@@ -280,6 +280,9 @@ def build_device_scene(
     if atlas is not None:
         scene["atlas"] = atlas["atlas"]
         scene["atlas_desc"] = atlas["desc"]
+        if "matlas" in atlas:
+            scene["matlas"] = atlas["matlas"]
+            scene["matlas_desc"] = atlas["matlas_desc"]
     else:
         scene["atlas"] = None
         scene["atlas_desc"] = None

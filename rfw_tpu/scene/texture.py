@@ -74,6 +74,123 @@ def _downsample2x(img: np.ndarray) -> np.ndarray:
     return padded.reshape(h2, 2, w2, 2, c).mean(axis=(1, 3)).astype(np.float32)
 
 
+def _resample_bilinear_wrap(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Bilinear resample (H0, W0, 4) → (h, w, 4) with repeat wrap."""
+    h0, w0, _ = img.shape
+    if (h0, w0) == (h, w):
+        return img
+    x = (np.arange(w, dtype=np.float32) + 0.5) / w * w0 - 0.5
+    y = (np.arange(h, dtype=np.float32) + 0.5) / h * h0 - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    fx = (x - x0)[None, :, None]
+    fy = (y - y0)[:, None, None]
+    x0w, x1w = x0 % w0, (x0 + 1) % w0
+    y0w, y1w = y0 % h0, (y0 + 1) % h0
+    top = (1 - fx) * img[y0w][:, x0w] + fx * img[y0w][:, x1w]
+    bot = (1 - fx) * img[y1w][:, x0w] + fx * img[y1w][:, x1w]
+    return ((1 - fy) * top + fy * bot).astype(np.float32)
+
+
+def _pack_rgba8(img: np.ndarray) -> np.ndarray:
+    """(H, W, 4) f32 [0,1] → (H*W,) u32 RGBA8 (r in bits 0-7)."""
+    q = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint32)
+    return (q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)
+            | (q[..., 3] << 24)).reshape(-1)
+
+
+_FLAT_NORMAL = np.array([0.5, 0.5, 1.0, 1.0], np.float32)
+
+
+def build_merged_material_atlas(materials, textures: list[Texture]):
+    """Merge each material's diffuse/normal/roughness maps into ONE texture
+    whose texels pack all three as RGBA8 u32 words, so shading needs one
+    trilinear fetch (8 row gathers) instead of three (24) — the gather count,
+    not bandwidth, is the TPU cost (measured: 24 separate row gathers cost
+    ~264 ms per 518k lanes; one fused (R,24) gather is worse; multi-row
+    slice gathers are 30x worse — tools/shade_opt.py).
+
+    Texel layout: word0 = diffuse RGBA8, word1 = normal-map RGBA8,
+    word2 = roughness/metalness RGBA8 (glTF convention: G=rough, B=metal),
+    word3 = 0 (spare). Unbound slots bake neutral texels (white / flat
+    normal) but shading still applies its has-texture masks, so unbound
+    behavior is bit-identical to the legacy path.
+
+    8-bit quantization matches the reference's RGBA8 texture storage
+    (texture.cpp LDR path). Entries are deduped by (tex0, tex1, tex3)
+    triple; resolutions unify to the max of the bound maps per mip.
+
+    Returns (matlas dict | None, mtex_id (M,) i32). None = scene ineligible
+    (an HDR map bound to a material slot, or a non-identity UV transform on
+    a material that also binds normal/rough maps — those need per-slot UVs).
+    """
+    from .materials import TEX_DIFFUSE, TEX_NORMAL, TEX_ROUGHNESS
+
+    mats = materials or []
+    mtex_id = np.zeros(max(len(mats), 1), np.int32)
+    if not textures or not mats:
+        return None, mtex_id
+
+    entries: dict[tuple, int] = {}
+    chunks: list[np.ndarray] = []
+    desc_rows: list[np.ndarray] = []
+    addr = 0
+
+    def add_entry(t0: int, t1: int, t3: int) -> int:
+        nonlocal addr
+        key = (t0, t1, t3)
+        if key in entries:
+            return entries[key]
+        bound = [textures[t] for t in (t0, t1, t3) if t >= 0]
+        bw = max((t.width for t in bound), default=1)
+        bh = max((t.height for t in bound), default=1)
+        drow = np.zeros((MIP_LEVEL_COUNT, 3), np.int64)
+        for level in range(MIP_LEVEL_COUNT):
+            w = max(bw >> level, 1)
+            h = max(bh >> level, 1)
+            words = []
+            for tid, default in ((t0, np.ones(4, np.float32)),
+                                 (t1, _FLAT_NORMAL),
+                                 (t3, np.ones(4, np.float32))):
+                if tid < 0:
+                    img = np.broadcast_to(default, (h, w, 4))
+                else:
+                    mips = textures[tid].mips
+                    img = _resample_bilinear_wrap(
+                        mips[min(level, len(mips) - 1)], w, h)
+                words.append(_pack_rgba8(img))
+            texels = np.zeros((w * h, 4), np.uint32)
+            texels[:, 0], texels[:, 1], texels[:, 2] = words
+            chunks.append(texels)
+            drow[level] = (addr, w, h)
+            addr += w * h
+        desc_rows.append(drow)
+        eid = len(desc_rows) - 1
+        entries[key] = eid
+        return eid
+
+    add_entry(-1, -1, -1)   # entry 0: neutral (untextured materials)
+    for i, m in enumerate(mats):
+        t0 = m.maps[TEX_DIFFUSE].texture_id
+        t1 = m.maps[TEX_NORMAL].texture_id
+        t3 = m.maps[TEX_ROUGHNESS].texture_id
+        for t in (t0, t1, t3):
+            if t >= 0 and textures[t].is_hdr:
+                return None, np.zeros(max(len(mats), 1), np.int32)
+        mp = m.maps[TEX_DIFFUSE]
+        identity_uv = (tuple(mp.uv_scale) == (1.0, 1.0)
+                       and tuple(mp.uv_offset) == (0.0, 0.0))
+        if not identity_uv and (t1 >= 0 or t3 >= 0):
+            return None, np.zeros(max(len(mats), 1), np.int32)
+        mtex_id[i] = add_entry(t0, t1, t3)
+
+    matlas = {
+        "matlas": np.concatenate(chunks, axis=0),
+        "matlas_desc": np.stack(desc_rows).astype(np.int32),
+    }
+    return matlas, mtex_id
+
+
 def build_texture_atlas(textures: list[Texture]) -> dict[str, np.ndarray]:
     """Pack all textures' mip chains into one flat (N, 4) array.
 

@@ -21,7 +21,8 @@ tl = scene["treelets"]
 n = W * H
 view = rs.camera.get_view().as_pytree()
 perm, invp = _tile_permutation(W, n)
-pid = jnp.asarray(perm.astype(np.uint32))
+# middle chunk (rows 405-674): real geometry, not the sky-only top rows
+pid = jnp.asarray(perm.astype(np.uint32)) + np.uint32(1920 * 405)
 O, D = raygen.generate_primary_rays(view, 1920, 1080, 0, pixel_ids=pid)
 O = jnp.asarray(np.asarray(O)); D = jnp.asarray(np.asarray(D))
 

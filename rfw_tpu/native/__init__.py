@@ -26,6 +26,19 @@ def _load():
     _TRIED = True
     path = os.path.join(os.path.dirname(__file__), "librfw_bvh.so")
     if not os.path.exists(path):
+        # best-effort first-use compile (the .so is a build artifact, not
+        # checked in; g++ is a baseline dependency of this image)
+        try:
+            import subprocess
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-ffast-math", "-fPIC",
+                 "-std=c++17", "-shared", "-o", path,
+                 os.path.join(os.path.dirname(__file__),
+                              "bvh_builder.cpp")],
+                check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    if not os.path.exists(path):
         return None
     try:
         lib = ctypes.CDLL(path)

@@ -395,7 +395,7 @@ class WavefrontEngine(PathTracerEngine):
         on_tpu = any(d.platform == "tpu" for d in jax.devices()) or \
             jax.default_backend() not in ("cpu",)
         if (config or RenderConfig()).use_pallas and on_tpu:
-            self._intersector_name = "pallas"
+            self._intersector_name = "hybrid"
         else:
             self._intersector_name = "bvh"
 

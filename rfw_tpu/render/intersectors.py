@@ -123,11 +123,17 @@ def make_pairs_intersector(config: RenderConfig) -> Intersector:
 
 
 def make_hybrid_intersector(config: RenderConfig) -> Intersector:
-    """Best-of-both TPU intersector: the super-cell envelope kernel for
-    coherent ray sets (primaries arrive in pixel order → sort=False) and
-    the per-ray pair-expansion kernel for scattered sets (bounce /
-    mixed-direction rays → sort=True). The ``sort`` flag the integrator
-    already passes is exactly the coherence hint this split needs."""
+    """Best-of-both TPU intersector, routed by MEASUREMENT on the bench
+    workload (tools/bounce_ab.py, 518k-ray middle chunk of 1080p pica-4x):
+
+    * scattered closest (bounce rays, sort=True): per-ray pair expansion
+      wins — 787 ms vs the super-cell kernel's 1103 ms (exact agreement).
+    * occlusion (even scattered env rays): super-cell wins — 1079 ms vs
+      pairs' 1568 ms for a 1M-ray fused light+env launch. Pairs' windowed
+      enumeration re-pays its per-pass sorts for sky-bound rays, which an
+      any-hit query can't cut short.
+    * coherent closest (primaries, sort=False): super-cell envelope cull.
+    """
     sup = make_pallas_intersector(config)
     prs = make_pairs_intersector(config)
 
@@ -137,9 +143,7 @@ def make_hybrid_intersector(config: RenderConfig) -> Intersector:
         return sup.closest(scene, o, d, t_max=t_max, sort=False)
 
     def occluded(scene, o, d, dist, sort=True):
-        if sort:
-            return prs.occluded(scene, o, d, dist)
-        return sup.occluded(scene, o, d, dist, sort=False)
+        return sup.occluded(scene, o, d, dist, sort=sort)
 
     return Intersector(closest, occluded)
 

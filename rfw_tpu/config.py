@@ -44,6 +44,18 @@ class RenderConfig:
     ibl_width: int = 512
     ibl_height: int = 256
     envmap_nee: bool = True
+    # deepest path vertex that shoots an envmap NEE ray. Bounce-vertex env
+    # NEE adds a SCATTERED 2n-ray occlusion launch per depth (~1.1 s per
+    # 518k-lane chunk on v5e — the single most expensive launch in the
+    # pipeline) for a modest variance win; BSDF-sampling MIS still collects
+    # bounced sky light unbiasedly at deeper vertices. -1 = every vertex.
+    envmap_nee_max_depth: int = 0
+    # lanes sharing one envmap NEE sample (interleaved sampling, Keller &
+    # Heidrich): 256 = one env direction per 16x16 pixel tile, which turns
+    # the env occlusion launch from fully-scattered (~1.1 s per 518k-lane
+    # chunk) into near-parallel coherent rays. Unbiased — per-pixel noise
+    # becomes per-tile noise that averages out across samples. 0/1 = off.
+    env_nee_interleave: int = 256
 
     # Animation
     animation_enabled: bool = True

@@ -174,7 +174,12 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
         env_nee_active = (config.envmap_nee and config.variance_reduction
                           and "skybox" in scene
                           and "pdf" in scene.get("skybox", {}))
-        if env_nee_active and depth > 0:
+
+        def env_depth_ok(d: int) -> bool:
+            return config.envmap_nee_max_depth < 0 or \
+                d <= config.envmap_nee_max_depth
+
+        if env_nee_active and depth > 0 and env_depth_ok(depth - 1):
             # MIS against envmap NEE at the previous vertex (no-op for
             # specular bounces, which shot no NEE ray)
             e_pdf = skybox_pdf(scene, direction)
@@ -298,8 +303,29 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
 
             # ---- envmap NEE (new capability; reference skybox.h:37-39
             # declares the tables but never fills them) ----
-            if env_nee_active:
-                seed, re = rng.random_float(seed)
+            if env_nee_active and env_depth_ok(depth):
+                il = config.env_nee_interleave
+                if il > 1:
+                    # interleaved sampling (Keller & Heidrich): one env
+                    # sample per sqrt(il) x sqrt(il) IMAGE tile, derived
+                    # from absolute pixel coords — identical regardless
+                    # of chunking or multi-chip tiling (keeps tiled ==
+                    # single-device bitwise). A 16x16 tile is exactly one
+                    # intersector lane block, so its occlusion rays are
+                    # parallel → coherent blocks for the envelope cull.
+                    # Unbiased: every pixel applies a validly-distributed
+                    # env sample with its own BSDF weight; only the noise
+                    # is tile-correlated and averages out over samples.
+                    tb = max(int(round(il ** 0.5)), 1)
+                    gid = ((py // tb).astype(jnp.uint32)
+                           * jnp.uint32((width + tb - 1) // tb)
+                           + (px // tb).astype(jnp.uint32))
+                    gseed = rng.wang_hash(
+                        rng.path_seed(gid, sample_index, depth)
+                        ^ jnp.uint32(0x517CC1B7))
+                    _, re = rng.random_float(gseed)
+                else:
+                    seed, re = rng.random_float(seed)
                 e_dir, e_pdf, e_rad = sample_envmap(scene, re)
                 e_cos = dot3(e_dir, i_n)
                 eb_val, eb_pdf = bsdf.evaluate_bsdf(

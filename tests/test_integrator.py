@@ -69,6 +69,59 @@ def test_furnace_lambert():
     assert abs(img[16, 16].mean() - albedo) < 0.01
 
 
+def test_envmap_nee_depth_policy_unbiased():
+    """Restricting envmap NEE to depth 0 (the perf default — bounce-vertex
+    env NEE costs a scattered occlusion launch per depth) must not bias the
+    estimator: BSDF-sampling MIS picks up the dropped sky contribution."""
+    import dataclasses
+
+    def render(max_depth):
+        cfg = RenderConfig(**_FAST, max_path_length=2,
+                           envmap_nee_max_depth=max_depth)
+        rs = RenderSystem("megakernel", cfg)
+        m = rs.add_material([0.6] * 3)
+        g = rs.add_quad([0, 1, 0], [0, 0, 0], 8, 8, m)
+        rs.add_instance(g)
+        wall = rs.add_quad([0, 0, -1], [0, 2.0, 3.0], 8, 4,
+                           rs.add_material([0.4, 0.5, 0.6]))
+        rs.add_instance(wall)
+        sky = np.ones((16, 32, 3), np.float32)
+        sky[:6] *= 4.0      # bright band → env NEE matters
+        rs.set_skybox(sky)
+        rs.camera.resize(24, 24)
+        rs.camera.fov = 45
+        rs.camera.look_at([0, 2.0, -4.0], [0, 0.5, 0.0])
+        return rs.render_frame(samples=64)
+
+    a = render(0)
+    b = render(-1)
+    assert abs(a.mean() - b.mean()) / b.mean() < 0.05
+    assert np.mean(np.abs(a - b)) / b.mean() < 0.15
+
+
+def test_env_interleaved_sampling_unbiased():
+    """Sharing one env sample per lane group (interleaved sampling) must
+    leave the estimator mean unchanged — only the noise structure moves."""
+    def render(interleave):
+        cfg = RenderConfig(**_FAST, max_path_length=1,
+                           env_nee_interleave=interleave)
+        rs = RenderSystem("megakernel", cfg)
+        m = rs.add_material([0.7] * 3)
+        g = rs.add_quad([0, 1, 0], [0, 0, 0], 10, 10, m)
+        rs.add_instance(g)
+        sky = np.ones((16, 32, 3), np.float32)
+        sky[:5, 8:16] *= 8.0            # hot patch drives env NEE
+        rs.set_skybox(sky)
+        rs.camera.resize(32, 32)        # 1024 lanes → 4 groups of 256
+        rs.camera.fov = 40
+        rs.camera.look_at([0, 2.5, -4.0], [0, 0.0, 0.0])
+        return rs.render_frame(samples=96)
+
+    a = render(256)
+    b = render(0)
+    assert abs(a.mean() - b.mean()) / b.mean() < 0.04
+
+
 def test_engines_agree_bitwise():
     """bruteforce and megakernel(BVH) share math+RNG → identical images."""
     imgs = {}

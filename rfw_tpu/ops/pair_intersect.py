@@ -59,7 +59,11 @@ from ..config import RenderConfig
 from .intersect import BIG_T, intersect_tri, safe_inv_dir
 
 PBLOCK = 512       # pairs per kernel program
-C_MAX = 8          # candidate supers enumerated per ray per pass (pow2)
+C_MAX = 24         # candidate supers enumerated per ray per pass. Each
+#                    windowed pass pays fixed sort costs, so fatter passes
+#                    win until the pair-sort size dominates: bench bounce
+#                    closest 807/701/651/761 ms at 8/16/24/32
+#                    (tools/cmax_sweep.py, 518k scattered rays, pica-4x)
 PIPE = 4           # in-flight super DMAs
 MAX_PASSES = 64    # hard bound on windowed passes (termination guard)
 _BIGKEY = jnp.float32(1 << 25)   # > any packed (q, sid) key

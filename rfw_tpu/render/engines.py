@@ -158,10 +158,13 @@ class PathTracerEngine(EngineContext):
                     scene.pop("matlas", None)
                     scene.pop("matlas_desc", None)
         else:
+            if not hasattr(self, "_shape_caps"):
+                self._shape_caps = {}
             scene = scene_data.build_device_scene(
                 instances, self._materials, self._lights, self._skybox,
                 self._atlas, self.config,
-                area_light_overrides=self._light_overrides)
+                area_light_overrides=self._light_overrides,
+                shape_caps=self._shape_caps)
             self._geo_key = geo_key
         scene.pop("_bvh_host", None)
         if self.config.blue_noise:

@@ -102,12 +102,14 @@ def _pow2(n: int) -> int:
     return 1 << max(int(n) - 1, 0).bit_length()
 
 
-def _pad_wide(wide):
-    """Pad wide-BVH node arrays to a power-of-two count so animated scenes
-    keep stable shapes across frames (shape changes force re-jit — 80 s per
-    frame on TPU)."""
+def _pad_wide(wide, min_cap: int = 0):
+    """Pad wide-BVH node arrays to a power-of-two count (>= ``min_cap``) so
+    animated scenes keep stable shapes across frames (shape changes force
+    re-jit — 80 s per frame on TPU). ``min_cap`` carries the engine's
+    high-water mark: a deforming mesh whose node count crosses a power of
+    two would otherwise still flip shapes mid-animation."""
     n = wide.bmin.shape[0]
-    cap = _pow2(n)
+    cap = max(_pow2(n), min_cap)
     if cap == n:
         return wide
     pad = cap - n
@@ -131,6 +133,7 @@ def build_device_scene(
     atlas: dict[str, np.ndarray] | None,
     config: RenderConfig,
     area_light_overrides: dict[tuple[int, int], np.ndarray] | None = None,
+    shape_caps: dict | None = None,
 ) -> dict:
     """Assemble the flat device scene. Returns a dict of numpy arrays
     (engines move them to device / shard them as needed).
@@ -139,8 +142,13 @@ def build_device_scene(
     area-light index, written into the flattened light_tri_idx plane (the
     analog of update_area_lights writing lightTriIdx back into Triangle —
     system.cpp:1020).
+
+    ``shape_caps`` (engine-held, mutated here) remembers high-water padded
+    sizes so per-frame animation updates NEVER change array shapes (each
+    shape change re-jits the whole trace fn).
     """
     assert instances, "cannot build an empty scene"
+    shape_caps = shape_caps if shape_caps is not None else {}
     planes = []
     for im in instances:
         p = _transform_triangles(im.triangles, im.transform)
@@ -161,7 +169,9 @@ def build_device_scene(
     tmin, tmax = triangle_bounds(cat["vertices"])
     bvh = build_bvh(tmin, tmax, leaf_size=4)
     perm = bvh.prim_order
-    wide = _pad_wide(collapse_wide(bvh, width=4))
+    wide = _pad_wide(collapse_wide(bvh, width=4),
+                     min_cap=shape_caps.get("bvh_nodes", 0))
+    shape_caps["bvh_nodes"] = wide.bmin.shape[0]
     if config.treelet_spatial:
         treelets = spatial_treelets(tmin, tmax, size=config.treelet_size)
     else:
@@ -209,7 +219,8 @@ def build_device_scene(
     # tnear 0.)
     from ..ops.pallas_intersect import SUPER_G
     n_tl = treelets.bmin.shape[0]
-    cap_tl = max(_pow2(n_tl), SUPER_G)
+    cap_tl = max(_pow2(n_tl), SUPER_G, shape_caps.get("treelets", 0))
+    shape_caps["treelets"] = cap_tl
     if cap_tl != n_tl:
         pad_n = cap_tl - n_tl
         k = treelets.size
@@ -267,10 +278,13 @@ def build_device_scene(
         # so consumers must not reduce bmin/bmax for these)
         "scene_lo": tmin.min(axis=0).astype(np.float32),
         "scene_hi": tmax.max(axis=0).astype(np.float32),
-        "top": {
-            "bmin": treelets.top.bmin, "bmax": treelets.top.bmax,
-            "child": treelets.top.child, "count": treelets.top.count,
-        },
+        "top": None,   # filled below (padded to the engine's high-water cap)
+    }
+    top_pad = _pad_wide(treelets.top, min_cap=shape_caps.get("top_nodes", 0))
+    shape_caps["top_nodes"] = top_pad.bmin.shape[0]
+    scene["treelets"]["top"] = {
+        "bmin": top_pad.bmin, "bmax": top_pad.bmax,
+        "child": top_pad.child, "count": top_pad.count,
     }
     # degenerate padding rows: woop_matrices already marks them unhittable
     # (w ≡ 1 plane), since padded verts are all-zero (collinear).

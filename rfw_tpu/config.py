@@ -56,6 +56,13 @@ class RenderConfig:
     # chunk) into near-parallel coherent rays. Unbiased — per-pixel noise
     # becomes per-tile noise that averages out across samples. 0/1 = off.
     env_nee_interleave: int = 256
+    # merge diffuse/normal/rough into one RGBA8 texture (8 taps vs 24).
+    # Default OFF: measured SLOWER in production (275 vs 239 ms per 518k
+    # lanes, tools/shade_opt2.py) — TPU gather cost is not per-descriptor
+    # as the 24-tap prototypes suggested, and the merged table is ~3x
+    # larger (triple-dedup duplication + upsampling to max resolution)
+    # which costs HBM locality. Kept as an option for atlas-bound scenes.
+    merged_material_atlas: bool = False
 
     # Animation
     animation_enabled: bool = True

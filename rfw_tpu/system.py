@@ -282,14 +282,15 @@ class RenderSystem:
 
         if changed & (Changed.MATERIALS | Changed.TEXTURES) or \
                 self._materials.is_dirty:
-            from .scene.texture import build_merged_material_atlas
             mats_dev = self._materials.generate_device_materials()
             atlas = build_texture_atlas(self._materials.textures)
-            matlas, mtex_id = build_merged_material_atlas(
-                self._materials.materials, self._materials.textures)
-            mats_dev["mtex_id"] = mtex_id
-            if matlas is not None:
-                atlas.update(matlas)
+            if self.config.merged_material_atlas:
+                from .scene.texture import build_merged_material_atlas
+                matlas, mtex_id = build_merged_material_atlas(
+                    self._materials.materials, self._materials.textures)
+                mats_dev["mtex_id"] = mtex_id
+                if matlas is not None:
+                    atlas.update(matlas)
             ctx.set_materials(mats_dev)
             ctx.set_textures(atlas)
             self._materials.mark_clean()

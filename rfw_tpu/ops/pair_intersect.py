@@ -22,9 +22,17 @@ a lockstep VPU:
    distinct-super visit list; per visit, DMA the super's Woop planes
    HBM→VMEM (pipelined) and dense-intersect all pair lanes against its G
    cells, committing only lanes whose pair references the visited super.
-4. **Combine (XLA)**: segment-min over pair rays; unfinished rays loop
-   (a lax.while that runs one pass for hitting rays; sky/miss rays take
-   ~ceil(crossings/C_MAX) passes since nothing bounds their traversal).
+4. **Combine (XLA)**: segment-min over pair rays; unfinished rays loop.
+
+Driver architecture (phase-profiled, tools/pairs_phases.py): enumerate
+ONCE keeping the C_KEEP nearest candidate keys per ray, then iterate
+C_MAX-wide windows over the cache with per-ray window pointers (one-hot
+window selects — no gathers), and slice the expanded pair list to
+n*PAIR_BUDGET before the kernel (real pairs sort before pads; cut-off
+slots are marked unprocessed and retried). Re-enumeration was 82 ms and
+the padded-pair ray-row gather 160 ms of every 361 ms pass; the bench
+bounce-closest went 651 → 469 ms with this driver (and scattered any-hit
+1568 → 937 ms, now beating the super-cell kernel's 1081 ms).
 
 Design rules learned by measurement (tools/select_microbench.py,
 tools/pairs_profile.py, on v5e):
@@ -59,11 +67,24 @@ from ..config import RenderConfig
 from .intersect import BIG_T, intersect_tri, safe_inv_dir
 
 PBLOCK = 512       # pairs per kernel program
-C_MAX = 24         # candidate supers enumerated per ray per pass. Each
+C_MAX = 24         # candidate supers processed per ray per window. Each
 #                    windowed pass pays fixed sort costs, so fatter passes
 #                    win until the pair-sort size dominates: bench bounce
 #                    closest 807/701/651/761 ms at 8/16/24/32
 #                    (tools/cmax_sweep.py, 518k scattered rays, pica-4x)
+C_KEEP = 96        # candidate keys cached per ray by the enumerate-ONCE
+#                    phase (measured max crossings on the bench bounce
+#                    workload: 62; rays needing more fall to the legacy
+#                    re-enumeration loop). Re-sorting (N, T_s) keys every
+#                    pass was 82 ms of each 361 ms pass.
+PAIR_BUDGET = 12   # kernel pair slots per ray: the expanded pair list is
+#                    sliced to n*PAIR_BUDGET before the kernel (real pairs
+#                    sort before pads, and measured mean candidates/ray is
+#                    7.1 — the full n*C_MAX gather of ray rows was 160 ms
+#                    of the 177 ms kernel phase). Slots cut off in the
+#                    rare overflow case are marked unprocessed (-2) and
+#                    their rays retry the same window next iteration.
+A_MAX = 16         # phase-A window iterations bound (4 windows + retries)
 PIPE = 4           # in-flight super DMAs
 MAX_PASSES = 64    # hard bound on windowed passes (termination guard)
 _BIGKEY = jnp.float32(1 << 25)   # > any packed (q, sid) key
@@ -178,8 +199,12 @@ def _pair_kernel(super_g: int, k_size: int, t_epsilon: float, any_hit: bool,
                  # SMEM (windowed over 8 grid rows)
                  visits_ref, nvisit_ref,
                  # VMEM
-                 rays_ref,               # (8, PBLOCK) ox,oy,oz,tmax,dx,dy,dz,0
-                 sid_ref,                # (PBLOCK, 1) pair super ids
+                 rays_ref,               # (8, PBLOCK) ox,oy,oz,tmax,dx,dy,dz,
+                 #                         sid — the pair's super id rides in
+                 #                         row 7 as exact-int f32: a separate
+                 #                         (P, 1) i32 operand would be padded
+                 #                         to 128 lanes in HBM (128x memory —
+                 #                         11.8 GB OOM at 1M-ray launches)
                  wsup_hbm,               # (T_s, G*16, K) woop planes
                  # outputs
                  t_out, slot_out,
@@ -195,7 +220,7 @@ def _pair_kernel(super_g: int, k_size: int, t_epsilon: float, any_hit: bool,
     zeros = jnp.zeros((1, PBLOCK), jnp.float32)
     o4 = jnp.concatenate([rays[0:3, :], ones], axis=0)
     d4 = jnp.concatenate([rays[4:7, :], zeros], axis=0)
-    my_sid = sid_ref[:]                       # (PBLOCK, 1) int32
+    my_sid = rays[7:8, :].T.astype(jnp.int32)   # (PBLOCK, 1)
     # safe per-axis inverse directions for the cell-interest slab test
     inv_r = []
     for ax in range(3):
@@ -315,11 +340,11 @@ def _pair_kernel(super_g: int, k_size: int, t_epsilon: float, any_hit: bool,
 @functools.partial(jax.jit, static_argnames=("super_g", "k_size",
                                              "t_epsilon", "any_hit",
                                              "use_skip"))
-def _run_pair_kernel(rays8, sid_col, visits, nvisit, wsup,
+def _run_pair_kernel(rays8, visits, nvisit, wsup,
                      super_g: int, k_size: int, t_epsilon: float,
                      any_hit: bool, use_skip: bool = False):
-    """rays8 (NB*8, PBLOCK); sid_col (NB*PBLOCK, 1); visits (NB, D);
-    nvisit (NB,). Returns per-pair (t (P,), slot (P,))."""
+    """rays8 (NB*8, PBLOCK) with the pair's super id in row 7 (exact-int
+    f32); visits (NB, D); nvisit (NB,). Returns per-pair (t, slot)."""
     nb = visits.shape[0]
     d = visits.shape[1]
     pad_nb = (-nb) % 8
@@ -332,8 +357,6 @@ def _run_pair_kernel(rays8, sid_col, visits, nvisit, wsup,
         pl.BlockSpec((8, 1), lambda b: (b // 8, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((8, PBLOCK), lambda b: (b, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((PBLOCK, 1), lambda b: (b, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
@@ -364,7 +387,7 @@ def _run_pair_kernel(rays8, sid_col, visits, nvisit, wsup,
             jax.ShapeDtypeStruct((nb, 8, PBLOCK), jnp.float32),
             jax.ShapeDtypeStruct((nb, 8, PBLOCK), jnp.int32),
         ],
-    )(visits, nvisit.reshape(-1, 1), rays8, sid_col, wsup)
+    )(visits, nvisit.reshape(-1, 1), rays8, wsup)
     return t[:, 0, :].reshape(-1), slot[:, 0, :].reshape(-1)
 
 
@@ -384,9 +407,75 @@ def _wsup(tl, super_g: int):
     return wp.reshape(t // super_g, super_g * rows, k)
 
 
+def _process_window(cand, rows8, n: int, t_s: int, c_max: int, wsup,
+                    super_g: int, k_size: int, config: RenderConfig,
+                    any_hit: bool):
+    """Expand one (N, c_max) candidate window into pairs, run the kernel on
+    a budget-sliced pair list, and combine back to per-ray results.
+
+    Returns (t_row, s_row, truncated): per-ray best (t, slot) over the
+    PROCESSED pairs, and a mask of rays that had real candidates cut off by
+    the pair budget (their window must be retried — their results here are
+    only partial, which is safe: t/slot commits monotonically).
+    """
+    pair_sid, pair_flat = expand_pairs(cand, t_s)
+    p = pair_sid.shape[0]                       # == n * c_max
+    b = min(p, max(n * PAIR_BUDGET, PBLOCK))
+    sid_b = pair_sid[:b]
+    flat_b = pair_flat[:b]
+    padp = (-b) % PBLOCK
+    if padp:
+        sid_b = jnp.concatenate([sid_b, jnp.full(padp, t_s, jnp.int32)])
+        flat_b = jnp.concatenate(
+            [flat_b, p + jnp.arange(padp, dtype=jnp.int32)])
+    visits, nvisit = block_visit_lists(sid_b, t_s)
+
+    live = (sid_b < t_s)[:, None]
+    pair_ray = jnp.minimum(flat_b // c_max, n - 1)
+    pr8 = jnp.where(live, rows8[pair_ray], 0.0)            # (B, 8)
+    # super id rides in lane-major row 7 (exact-int f32) — a (B, 1) i32
+    # operand would be lane-padded 128x in HBM (OOM at 1M-ray launches)
+    pr8 = pr8.at[:, 7].set(sid_b.astype(jnp.float32))
+    nb = pr8.shape[0] // PBLOCK
+    rays8 = pr8.reshape(nb, PBLOCK, 8).transpose(0, 2, 1).reshape(
+        nb * 8, PBLOCK)
+    t_pair, slot_pair = _run_pair_kernel(
+        rays8, visits, nvisit, wsup,
+        super_g, k_size, float(config.t_epsilon), any_hit)
+
+    # reconstitute the full pair range for the combine: slots beyond the
+    # budget are marked -2 (unprocessed) — distinct from -1 (no hit)
+    t_full = jnp.concatenate([t_pair[:b], jnp.full(p - b, BIG_T)])
+    s_full = jnp.concatenate(
+        [slot_pair[:b], jnp.full(p - b, -2, jnp.int32)])
+    # combine: sort results back to (N, c_max) pre-expansion order
+    # (scatter-free inverse of the pair sort), then reduce per row
+    _, t_back, s_back = jax.lax.sort(
+        (pair_flat, t_full, s_full), num_keys=1, is_stable=True)
+    s_mat = s_back.reshape(n, c_max)
+    t_mat = jnp.where(s_mat >= 0, t_back.reshape(n, c_max), BIG_T)
+    kmin = jnp.argmin(t_mat, axis=1)
+    t_row = jnp.take_along_axis(t_mat, kmin[:, None], axis=1)[:, 0]
+    s_row = jnp.take_along_axis(s_mat, kmin[:, None], axis=1)[:, 0]
+    s_row = jnp.maximum(s_row, -1)              # -2 cell won at argmin ⇒ miss
+    truncated = jnp.any((s_mat == -2) & (cand < t_s), axis=1)
+    return t_row, s_row, truncated
+
+
 def _trace(scene, origins, directions, t_max, config: RenderConfig,
            any_hit: bool, super_g: int = 8):
-    """Windowed pass loop. Returns per-ray (t, slot) in given order.
+    """Two-phase driver. Returns per-ray (t, slot) in given order.
+
+    Phase A — enumerate ONCE: the nearest C_KEEP candidate supers per ray
+    (one (N, T_s) slab map + row sort), then iterate C_MAX-wide windows
+    over the CACHED keys with a per-ray window pointer. Each window pays
+    only the pair sort + budget-sliced kernel + combine; re-enumeration
+    (82 ms of each 361 ms pass at 518k rays) is gone. The best-t horizon
+    filters cached keys before expansion, so hits still terminate early.
+
+    Phase B — legacy windowed re-enumeration for the rare rays whose
+    crossing count exceeds C_KEEP (measured max 62 on the bench bounce
+    workload) or that exhausted A_MAX retries.
 
     No ray sorting: the global pair sort by sid fully determines kernel
     block composition, so ray order is irrelevant here (unlike the
@@ -397,9 +486,89 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
     sb = _sid_bits(t_s)
     n = origins.shape[0]
     c_max = min(C_MAX, max(t_s, 1))
+    c_keep = min(C_KEEP, max(t_s, 1))
     wsup = _wsup(tl, super_g)
     lo, hi = _scene_bounds(tl)
     gran = jnp.sqrt(jnp.sum((hi - lo) ** 2)) / ((1 << _qbits(t_s)) - 1)
+    zeros1 = jnp.zeros((n, 1), jnp.float32)
+    t_max = jnp.asarray(t_max, jnp.float32)
+
+    # ---- phase A ----
+    c_keep = c_max * max(1, c_keep // c_max)    # whole windows
+    n_win = c_keep // c_max
+    _, keys_all, count, _ = ray_super_candidates(
+        origins, directions, t_max, jnp.zeros(n, jnp.float32), tl,
+        c_max=c_keep)
+    count_capped = jnp.minimum(count, c_keep)
+    keys_win = keys_all.reshape(n, n_win, c_max)
+    col = jnp.arange(c_max, dtype=jnp.int32)[None, :]
+    win_ids = jnp.arange(n_win, dtype=jnp.int32)[None, :]
+
+    def _window_keys(wi):
+        """Per-ray window wi (N,) → its c_max keys, via a one-hot select
+        over the n_win cached windows — NO gather (per-row gathers cost
+        ~50x the arithmetic they feed on TPU; wptr only ever moves in
+        whole windows, so a one-hot contraction is exact)."""
+        oh = (win_ids == wi[:, None]).astype(keys_all.dtype)  # (N, n_win)
+        return jnp.einsum("nw,nwc->nc", oh, keys_win)
+
+    def body_a(state):
+        it, wptr, best_t, best_slot, finished = state
+        t_hi = jnp.minimum(t_max, best_t)
+        if any_hit:
+            t_hi = jnp.where(best_slot >= 0, 0.0, t_hi)
+        wi = jnp.minimum(wptr // c_max, n_win - 1)
+        keys_w = _window_keys(wi)
+        pos = wptr[:, None] + col
+        lb = jnp.floor(keys_w / (1 << sb)) * gran
+        valid = ((pos < count_capped[:, None]) & (keys_w < _BIGKEY)
+                 & (lb < t_hi[:, None]) & ~finished[:, None])
+        cand_w = jnp.where(
+            valid, keys_w.astype(jnp.int32) & ((1 << sb) - 1), t_s)
+        rows8 = jnp.concatenate(
+            [origins, t_hi[:, None], directions, zeros1], axis=1)
+        t_row, s_row, truncated = _process_window(
+            cand_w, rows8, n, t_s, c_max, wsup, super_g, k_size, config,
+            any_hit)
+        better = t_row < best_t
+        new_t = jnp.where(better, t_row, best_t)
+        new_slot = jnp.where(better, s_row, best_slot)
+
+        advance = ~truncated & ~finished
+        new_wptr = jnp.where(advance,
+                             jnp.minimum(wptr + c_max, c_keep), wptr)
+        # front-to-back exit: next unprocessed key's entry lower bound is
+        # already past the best hit (pads carry _BIGKEY ⇒ huge bound)
+        key_next = _window_keys(
+            jnp.minimum(new_wptr // c_max, n_win - 1))[:, 0]
+        key_next = jnp.where(new_wptr >= c_keep, _BIGKEY, key_next)
+        # key_next == _BIGKEY means "unknown / pad": no front-to-back exit
+        # from it (conservative); rays that also processed every REAL kept
+        # key finish via `exhausted` below, and > c_keep-crossing rays fall
+        # to phase B, whose first pass re-enumerates within best_t.
+        beyond = ((key_next < _BIGKEY)
+                  & (new_t <= jnp.floor(key_next / (1 << sb)) * gran))
+        exhausted = (new_wptr >= count_capped) & (count <= c_keep)
+        fin = finished | (advance & (exhausted | beyond))
+        if any_hit:
+            fin = fin | (new_slot >= 0)
+        return it + 1, new_wptr, new_t, new_slot, fin
+
+    def cond_a(state):
+        it, _, _, _, finished = state
+        return (it < A_MAX) & ~jnp.all(finished)
+
+    state_a = (jnp.int32(0), jnp.zeros(n, jnp.int32), t_max,
+               jnp.full(n, -1, jnp.int32), count_capped == 0)
+    _, wptr, best_t, best_slot, finished = jax.lax.while_loop(
+        cond_a, body_a, state_a)
+
+    # ---- phase B (rare: > C_KEEP crossings or A_MAX exhausted) ----
+    key_at = jnp.take_along_axis(
+        keys_all, jnp.minimum(wptr, c_keep - 1)[:, None], axis=1)[:, 0]
+    win_b = jnp.where(
+        finished, _BIGKEY,
+        jnp.where(wptr >= c_keep, keys_all[:, -1] + 1.0, key_at))
 
     def one_pass(state):
         it, win, best_t, best_slot, _ = state
@@ -408,54 +577,27 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
             t_hi = jnp.where(best_slot >= 0, 0.0, t_hi)
         cand, keys, count, complete = ray_super_candidates(
             origins, directions, t_hi, win, tl, c_max=c_max)
-        pair_sid, pair_flat = expand_pairs(cand, t_s)
-        p_real = pair_sid.shape[0]
-        padp = (-p_real) % PBLOCK
-        if padp:   # tiny scenes (t_s < C_MAX) or tiny ray counts
-            pair_sid = jnp.concatenate(
-                [pair_sid, jnp.full(padp, t_s, jnp.int32)])
-            # pad flats beyond the real range so the combine's sort-back
-            # keeps them past the [:n*c_max] slice
-            pair_flat = jnp.concatenate(
-                [pair_flat,
-                 p_real + jnp.arange(padp, dtype=jnp.int32)])
-        visits, nvisit = block_visit_lists(pair_sid, t_s)
-
         rows8 = jnp.concatenate([
-            origins, t_hi[:, None], directions,
-            jnp.zeros((n, 1), jnp.float32)], axis=1)       # (N, 8)
-        live = (pair_sid < t_s)[:, None]
-        pair_ray = pair_flat // c_max
-        pr8 = jnp.where(live, rows8[pair_ray], 0.0)        # (P, 8)
-        nb = pr8.shape[0] // PBLOCK
-        rays8 = pr8.reshape(nb, PBLOCK, 8).transpose(0, 2, 1).reshape(
-            nb * 8, PBLOCK)
-        t_pair, slot_pair = _run_pair_kernel(
-            rays8, pair_sid.reshape(-1, 1), visits, nvisit, wsup,
-            super_g, k_size, float(config.t_epsilon), any_hit)
-
-        # combine: sort results back to (N, c_max) pre-expansion order
-        # (scatter-free inverse of the pair sort), then reduce per row
-        _, t_back, s_back = jax.lax.sort(
-            (pair_flat, t_pair, slot_pair), num_keys=1, is_stable=True)
-        t_mat = jnp.where(s_back[:n * c_max].reshape(n, c_max) >= 0,
-                          t_back[:n * c_max].reshape(n, c_max), BIG_T)
-        kmin = jnp.argmin(t_mat, axis=1)
-        t_row = jnp.take_along_axis(t_mat, kmin[:, None], axis=1)[:, 0]
-        s_row = jnp.take_along_axis(
-            s_back[:n * c_max].reshape(n, c_max), kmin[:, None],
-            axis=1)[:, 0]
+            origins, t_hi[:, None], directions, zeros1], axis=1)   # (N, 8)
+        t_row, s_row, truncated = _process_window(
+            cand, rows8, n, t_s, c_max, wsup, super_g, k_size, config,
+            any_hit)
         better = t_row < best_t
         new_t = jnp.where(better, t_row, best_t)
         new_slot = jnp.where(better, s_row, best_slot)
 
         # finished: enumeration complete, or every unprocessed candidate's
         # entry lower bound (floor-quantized → q·gran ≤ entry) is beyond
-        # the best hit — the front-to-back early exit across passes
+        # the best hit — the front-to-back early exit across passes.
+        # Budget-truncated rays are neither finished nor advanced: they
+        # re-run the same window (results committed so far are partial but
+        # monotone) until the shrinking horizon fits the budget.
         beyond = new_t <= jnp.floor(keys[:, -1] / (1 << sb)) * gran
-        finished = complete | (count == 0) | beyond
+        finished = (complete | (count == 0) | beyond) & ~truncated
         # watermark: one past the last enumerated key (keys unique → exact)
-        new_win = jnp.where(finished, _BIGKEY, keys[:, -1] + 1.0)
+        new_win = jnp.where(
+            finished, _BIGKEY,
+            jnp.where(truncated, win, keys[:, -1] + 1.0))
         if any_hit:
             finished = finished | (new_slot >= 0)
         return it + 1, new_win, new_t, new_slot, finished
@@ -464,9 +606,7 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
         it, _, _, _, finished = state
         return (it < MAX_PASSES) & ~jnp.all(finished)
 
-    state = (jnp.int32(0), jnp.zeros(n, jnp.float32),
-             jnp.asarray(t_max, jnp.float32),
-             jnp.full(n, -1, jnp.int32), jnp.zeros(n, bool))
+    state = (jnp.int32(0), win_b, best_t, best_slot, finished)
     _, _, t, slot, _ = jax.lax.while_loop(cond, one_pass, state)
     return t, slot
 

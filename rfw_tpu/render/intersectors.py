@@ -124,15 +124,18 @@ def make_pairs_intersector(config: RenderConfig) -> Intersector:
 
 def make_hybrid_intersector(config: RenderConfig) -> Intersector:
     """Best-of-both TPU intersector, routed by MEASUREMENT on the bench
-    workload (tools/bounce_ab.py, 518k-ray middle chunk of 1080p pica-4x):
+    workload (tools/bounce_ab.py, 518k-ray middle chunk of 1080p pica-4x,
+    enumerate-once pair driver):
 
-    * scattered closest (bounce rays, sort=True): per-ray pair expansion
-      wins — 787 ms vs the super-cell kernel's 1103 ms (exact agreement).
-    * occlusion (even scattered env rays): super-cell wins — 1079 ms vs
-      pairs' 1568 ms for a 1M-ray fused light+env launch. Pairs' windowed
-      enumeration re-pays its per-pass sorts for sky-bound rays, which an
-      any-hit query can't cut short.
-    * coherent closest (primaries, sort=False): super-cell envelope cull.
+    * scattered closest (bounce rays, sort=True): pair expansion wins —
+      469 ms vs the super-cell kernel's 1105 ms (exact agreement).
+    * occlusion: super-cell. On a synthetic fully-scattered 1M-ray stream
+      pairs wins (937 vs 1081 ms), but the REAL pipeline's occlusion rays
+      are coherent — light rays converge on lights and env rays share one
+      direction per 16x16 tile (env_nee_interleave) — and routing them to
+      pairs measured 0.41 vs 0.50 Mrays/s end-to-end (bench.py).
+    * coherent primaries (sort=False): super-cell envelope cull (69 ms —
+      pairs pays its enumeration sort regardless of coherence).
     """
     sup = make_pallas_intersector(config)
     prs = make_pairs_intersector(config)

@@ -106,3 +106,26 @@ def test_pairs_windowed_passes(soup_scene):
     t_b, prim_b, _, _ = traverse.brute_force_closest(
         o, d, tris, t_epsilon=cfg.t_epsilon)
     assert (np.asarray(prim_p) == np.asarray(prim_b)).mean() > 0.999
+
+
+def test_pairs_budget_truncation_and_phase_b(soup_scene, monkeypatch):
+    """Force the rare paths: a tiny pair budget (every window truncates and
+    retries) and a tiny C_KEEP (phase-B re-enumeration fallback). Results
+    must stay exactly brute-force-correct."""
+    scene, cfg = soup_scene
+    monkeypatch.setattr(pair_intersect, "PAIR_BUDGET", 1)
+    monkeypatch.setattr(pair_intersect, "C_KEEP", 4)
+    monkeypatch.setattr(pair_intersect, "C_MAX", 2)
+    o, d, tm = _rays(512, seed=13, dead_frac=0.2)
+    t_p, prim_p, _, _ = pair_intersect.closest_hit(scene, o, d, cfg,
+                                                   t_max=tm)
+    tris = (scene["tri_vertices"][:, 0],
+            scene["tri_vertices"][:, 1] - scene["tri_vertices"][:, 0],
+            scene["tri_vertices"][:, 2] - scene["tri_vertices"][:, 0])
+    t_b, prim_b, _, _ = traverse.brute_force_closest(
+        o, d, tris, t_epsilon=cfg.t_epsilon)
+    prim_b = jnp.where((t_b < tm) & (prim_b >= 0), prim_b, -1)
+    prim_p, prim_b = np.asarray(prim_p), np.asarray(prim_b)
+    assert ((prim_p >= 0) == (prim_b >= 0)).all()
+    both = (prim_p >= 0) & (prim_b >= 0)
+    assert (prim_p[both] == prim_b[both]).mean() > 0.999

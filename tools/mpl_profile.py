@@ -21,11 +21,8 @@ rs.camera.fov = 60.0
 variants = [
     ("primary only", dict(max_path_length=0, variance_reduction=False)),
     ("primary+NEE", dict(max_path_length=0)),
-    ("1 bounce, no NEE", dict(max_path_length=1,
-                              variance_reduction=False)),
     ("1 bounce full", dict(max_path_length=1)),
     ("2 bounces full", dict(max_path_length=2)),
-    ("2 bounces full, no tex", dict(max_path_length=2)),
 ]
 
 eng = rs.context

@@ -63,6 +63,11 @@ class RenderConfig:
     # larger (triple-dedup duplication + upsampling to max resolution)
     # which costs HBM locality. Kept as an option for atlas-bound scenes.
     merged_material_atlas: bool = False
+    # build two-level TLAS/BLAS tables into the device scene (reference
+    # TopLevelBVH parity: instances move with a TLAS refit, no BLAS work).
+    # The 'tlas' intersector (render/intersectors.py) consumes them; the
+    # flattened world-space path stays the default for the Pallas engines.
+    use_tlas: bool = False
 
     # Animation
     animation_enabled: bool = True

@@ -136,12 +136,14 @@ class PathTracerEngine(EngineContext):
         # geometry rebuild (BVH/treelets/Woop) only when geometry inputs
         # changed — material/light/sky edits reuse the cached arrays
         # (the reference's dirty-bit granularity, system.cpp:247-433)
-        geo_key = (
+        structure_key = (
             tuple((im.instance_id, im.mesh_slot,
-                   self._mesh_versions.get(im.mesh_slot, 0),
-                   im.transform.tobytes()) for im in instances),
+                   self._mesh_versions.get(im.mesh_slot, 0))
+                  for im in instances),
             tuple(sorted(self._light_overrides.items())),
         )
+        geo_key = (structure_key,
+                   tuple(im.transform.tobytes() for im in instances))
         if getattr(self, "_geo_key", None) == geo_key and self._scene:
             scene = dict(self._scene)
             scene["materials"] = self._materials
@@ -157,6 +159,22 @@ class PathTracerEngine(EngineContext):
                 else:
                     scene.pop("matlas", None)
                     scene.pop("matlas_desc", None)
+        elif (self.config.use_tlas and self._intersector_name == "tlas"
+              and (getattr(self, "_geo_key", None) or (None,))[0]
+              == structure_key
+              and self._scene and getattr(self, "_perm_host", None)
+              is not None):
+            # transforms-only change under the TLAS intersector: refresh
+            # world shading planes (cached permutation) + TLAS instance
+            # tables — no BVH/treelet rebuild, no re-jit (reference
+            # set_instance + TLAS-refit path, system.cpp:599-620)
+            scene = scene_data.retransform_instances(
+                dict(self._scene), instances, self._perm_host)
+            scene["materials"] = self._materials
+            scene["lights"] = self._lights
+            if self._skybox is not None:
+                scene["skybox"] = self._skybox
+            self._geo_key = geo_key
         else:
             if not hasattr(self, "_shape_caps"):
                 self._shape_caps = {}
@@ -166,6 +184,8 @@ class PathTracerEngine(EngineContext):
                 area_light_overrides=self._light_overrides,
                 shape_caps=self._shape_caps)
             self._geo_key = geo_key
+        self._perm_host = scene.pop("_perm_host",
+                                    getattr(self, "_perm_host", None))
         scene.pop("_bvh_host", None)
         if self.config.blue_noise:
             scene["blue_noise"] = rng_mod.blue_noise_mask()
@@ -369,6 +389,12 @@ class PathTracerEngine(EngineContext):
         if name == "intersector":
             if value not in FACTORIES:
                 raise ValueError(f"unknown intersector {value!r}")
+            if value != self._intersector_name:
+                # transforms-only fast updates leave the flat BVH/treelet
+                # arrays stale (only the TLAS tables track moves) — force
+                # a full rebuild when the intersector changes
+                self._geo_key = None
+                self._dirty = True
             self._intersector_name = value
             self._trace_fn = None
         elif name == "denoise":

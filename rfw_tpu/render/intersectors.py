@@ -151,7 +151,73 @@ def make_hybrid_intersector(config: RenderConfig) -> Intersector:
     return Intersector(closest, occluded)
 
 
+def make_tlas_intersector(config: RenderConfig) -> Intersector:
+    """Two-level TLAS/BLAS traversal (reference TopLevelBVH parity,
+    top_level_bvh.cpp:104-135): per instance, cull against its world AABB,
+    transform surviving rays into object space with the cached inverse
+    (direction left unnormalized so object t == world t), and run the
+    wide-BVH traversal of the SHARED per-mesh BLAS. Requires
+    ``config.use_tlas`` so the device scene carries the tables.
+
+    Hit prims map back into the permuted flattened shading planes via
+    inst_base + orig_to_perm, so the integrator shades identically to the
+    flattened intersectors.
+    """
+
+    def _loop(scene, o, d, t_max, any_hit: bool):
+        tl = scene["tlas"]
+        n = o.shape[0]
+        best_t = jnp.asarray(jnp.broadcast_to(t_max, (n,)), jnp.float32)
+        best_flat = jnp.full(n, -1, jnp.int32)
+        best_u = jnp.zeros(n)
+        best_v = jnp.zeros(n)
+        inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+        for blas in tl["blas"]:
+            wb = {"bmin": blas["bmin"], "bmax": blas["bmax"],
+                  "child": blas["child"], "count": blas["count"]}
+            tris = (blas["v0"], blas["e1"], blas["e2"])
+            for i in range(blas["inst_inv"].shape[0]):
+                lo = blas["inst_bmin"][i]
+                hi = blas["inst_bmax"][i]
+                t1 = (lo[None] - o) * inv_d
+                t2 = (hi[None] - o) * inv_d
+                tn = jnp.max(jnp.minimum(t1, t2), axis=-1)
+                tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
+                hit_box = (tf >= jnp.maximum(tn, 0.0)) & (tn < best_t)
+                if any_hit:
+                    hit_box = hit_box & (best_flat < 0)
+                inv = blas["inst_inv"][i]
+                o_obj = o @ inv[:3, :3].T + inv[:3, 3]
+                d_obj = d @ inv[:3, :3].T
+                t_i, prim_i, u_i, v_i = traverse.traverse_wide(
+                    o_obj, d_obj, wb, tris, leaf_size=4,
+                    t_max=jnp.where(hit_box, best_t, 0.0),
+                    t_epsilon=config.t_epsilon, any_hit=any_hit)
+                better = (prim_i >= 0) & (t_i < best_t)
+                orig = (blas["inst_base"][i]
+                        + blas["prim_order"][jnp.maximum(prim_i, 0)])
+                flat = tl["orig_to_perm"][orig]
+                best_t = jnp.where(better, t_i, best_t)
+                best_flat = jnp.where(better, flat, best_flat)
+                best_u = jnp.where(better, u_i, best_u)
+                best_v = jnp.where(better, v_i, best_v)
+        return best_t, best_flat, best_u, best_v
+
+    def closest(scene, o, d, t_max=None, sort=True):
+        n = o.shape[0]
+        tm = jnp.full(n, BIG_T) if t_max is None else t_max
+        t, prim, u, v = _loop(scene, o, d, tm, any_hit=False)
+        return jnp.where(prim >= 0, t, BIG_T), prim, u, v
+
+    def occluded(scene, o, d, dist, sort=True):
+        _, prim, _, _ = _loop(scene, o, d, dist, any_hit=True)
+        return prim >= 0
+
+    return Intersector(closest, occluded)
+
+
 FACTORIES = {
+    "tlas": make_tlas_intersector,
     "brute": make_brute_intersector,
     "bvh": make_bvh_intersector,
     "dense": make_dense_intersector,

@@ -125,6 +125,58 @@ def _pad_wide(wide, min_cap: int = 0):
     return wide
 
 
+def _build_tlas_tables(instances: list[InstancedMesh],
+                       inv_perm: np.ndarray) -> dict:
+    """Two-level TLAS/BLAS device tables (reference TopLevelBVH,
+    top_level_bvh.cpp:55-135): one object-space BLAS per unique mesh slot
+    (shared by its instances), per-instance inverse matrices + world AABBs,
+    and the mapping from (instance, mesh-local prim) back into the
+    PERMUTED flattened shading planes (tri_* arrays).
+    """
+    from ..bvh.tlas import build_blas, instance_world_aabb
+
+    blas_by_slot: dict[int, int] = {}
+    blas_list: list[dict] = []
+    per_blas_inst: list[dict] = []
+    base = 0
+    for im in instances:
+        if im.mesh_slot not in blas_by_slot:
+            b = build_blas(im.triangles.vertices)
+            blas_by_slot[im.mesh_slot] = len(blas_list)
+            blas_list.append({
+                "bmin": b.wide.bmin, "bmax": b.wide.bmax,
+                "child": b.wide.child, "count": b.wide.count,
+                "v0": b.v0, "e1": b.e1, "e2": b.e2,
+                "prim_order": b.prim_order.astype(np.int32),
+                "root_lo": b.bmin, "root_hi": b.bmax,
+            })
+            per_blas_inst.append(
+                {"inv": [], "bmin": [], "bmax": [], "base": []})
+        bi = blas_by_slot[im.mesh_slot]
+        gi = per_blas_inst[bi]
+        m = im.transform.astype(np.float64)
+        gi["inv"].append(np.linalg.inv(m).astype(np.float32))
+        bl = blas_list[bi]
+        lo, hi = instance_world_aabb(
+            type("B", (), {"bmin": bl["root_lo"], "bmax": bl["root_hi"]})(),
+            im.transform)
+        gi["bmin"].append(lo)
+        gi["bmax"].append(hi)
+        gi["base"].append(base)
+        base += im.triangles.vertices.shape[0]
+    for bl, gi in zip(blas_list, per_blas_inst):
+        # instances grouped per BLAS: static per-group counts make the
+        # intersector's instance loop jit-static
+        bl["inst_inv"] = np.stack(gi["inv"])
+        bl["inst_bmin"] = np.stack(gi["bmin"]).astype(np.float32)
+        bl["inst_bmax"] = np.stack(gi["bmax"]).astype(np.float32)
+        bl["inst_base"] = np.array(gi["base"], np.int32)
+    return {
+        "blas": tuple(blas_list),
+        "orig_to_perm": inv_perm.astype(np.int32),
+    }
+
+
 def build_device_scene(
     instances: list[InstancedMesh],
     materials: dict[str, np.ndarray],
@@ -280,6 +332,9 @@ def build_device_scene(
         "scene_hi": tmax.max(axis=0).astype(np.float32),
         "top": None,   # filled below (padded to the engine's high-water cap)
     }
+    if config.use_tlas:
+        scene["tlas"] = _build_tlas_tables(instances, inv_perm)
+
     top_pad = _pad_wide(treelets.top, min_cap=shape_caps.get("top_nodes", 0))
     shape_caps["top_nodes"] = top_pad.bmin.shape[0]
     scene["treelets"]["top"] = {
@@ -301,4 +356,61 @@ def build_device_scene(
         scene["atlas"] = None
         scene["atlas_desc"] = None
     scene["_bvh_host"] = bvh      # kept host-side for refit (not a jnp leaf)
+    scene["_perm_host"] = perm    # cached for transforms-only fast updates
     return scene
+
+
+_GEOMETRIC_PLANES = ("vertices", "normals", "gnormal", "tangent",
+                     "bitangent", "area")
+
+
+def retransform_instances(scene: dict, instances: list[InstancedMesh],
+                          perm: np.ndarray) -> dict:
+    """Transforms-only scene update (the reference's set_instance +
+    TopLevelBVH refit path, system.cpp:599-620 / top_level_bvh.cpp:17-53):
+    rebuild the world-space GEOMETRIC shading planes under the CACHED
+    permutation and refresh the TLAS instance tables (inverse matrices +
+    world AABBs). UV/material/lod/light-index/instance/prim planes are
+    transform-invariant and reused; BVH/treelet/woop arrays are NOT
+    refreshed — this path is only valid while the engine's intersector is
+    'tlas' (engines force a full rebuild when switching away). Shapes and
+    permutation are unchanged, so nothing re-jits.
+    """
+    parts = {k: [] for k in _GEOMETRIC_PLANES}
+    for im in instances:
+        p = _transform_triangles(im.triangles, im.transform)
+        for k in _GEOMETRIC_PLANES:
+            parts[k].append(p[k])
+    out = dict(scene)
+    for k in _GEOMETRIC_PLANES:
+        out[f"tri_{k}" if k != "area" else "tri_area"] = np.concatenate(
+            parts[k], axis=0)[perm]
+
+    if "tlas" in scene:
+        from ..bvh.tlas import instance_world_aabb
+        tl = dict(scene["tlas"])
+        blas_list = [dict(b) for b in tl["blas"]]
+        groups: dict[int, int] = {}       # mesh_slot → blas index (rebuild
+        #                                   follows the same first-seen order)
+        counters = [0] * len(blas_list)
+        for bl in blas_list:   # writable host copies of the instance tables
+            for key in ("inst_inv", "inst_bmin", "inst_bmax"):
+                bl[key] = np.array(bl[key])
+        for im in instances:
+            if im.mesh_slot not in groups:
+                groups[im.mesh_slot] = len(groups)
+            bi = groups[im.mesh_slot]
+            bl = blas_list[bi]
+            k = counters[bi]
+            m = im.transform.astype(np.float64)
+            bl["inst_inv"][k] = np.linalg.inv(m).astype(np.float32)
+            lo, hi = instance_world_aabb(
+                type("B", (), {"bmin": np.asarray(bl["root_lo"]),
+                               "bmax": np.asarray(bl["root_hi"])})(),
+                im.transform)
+            bl["inst_bmin"][k] = lo
+            bl["inst_bmax"][k] = hi
+            counters[bi] = k + 1
+        tl["blas"] = tuple(blas_list)
+        out["tlas"] = tl
+    return out

@@ -113,3 +113,122 @@ def test_shared_blas_instances():
     # instances 0 and 1 share mesh 0's BLAS object
     assert tlas.inst_blas[0] == tlas.inst_blas[1]
     assert len(tlas.blas_list) == 2
+
+
+def test_tlas_engine_intersector_matches_bvh():
+    """Engine-level wiring: megakernel with intersector='tlas' renders the
+    same image as the flattened 4-wide BVH intersector (config.use_tlas
+    builds the two-level tables into the device scene)."""
+    from rfw_tpu.config import RenderConfig
+    from rfw_tpu.render import RenderStatus, create_engine
+    from rfw_tpu.scene import HostMaterial, MaterialList, make_quad
+    import rfw_tpu
+
+    def render(intersector):
+        cfg = RenderConfig(blue_noise=False, max_path_length=1,
+                           russian_roulette=False, use_tlas=True)
+        eng = create_engine("megakernel", cfg)
+        ml = MaterialList()
+        ml.add(HostMaterial(color=np.array([0.7, 0.6, 0.5]),
+                            roughness=1.0))
+        ml.add(HostMaterial(color=np.array([6.0, 5.0, 4.0])))  # lamp
+        floor = make_quad([0, 1, 0], [0, 0, 0], 8, 8, 0)
+        block = make_quad([0, 0, -1], [0, 1, 1.5], 2, 2, 0)
+        lamp = make_quad([0, -1, 0], [0, 4, 0], 2, 2, 1)
+        eng.set_mesh(0, floor.triangles())
+        eng.set_mesh(1, block.triangles())
+        eng.set_mesh(2, lamp.triangles())
+        eng.set_instance(0, 0, np.eye(4, dtype=np.float32))
+        # two instances share mesh 1's BLAS, one rotated+scaled
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = [-2.0, 0.0, 0.5]
+        eng.set_instance(1, 1, m)
+        c, s = np.cos(0.6), np.sin(0.6)
+        m2 = np.eye(4, dtype=np.float32)
+        m2[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]],
+                              np.float32) * 0.8
+        m2[:3, 3] = [2.0, 0.3, 0.0]
+        eng.set_instance(2, 1, m2)
+        eng.set_instance(3, 2, np.eye(4, dtype=np.float32))
+        eng.set_materials(ml.generate_device_materials())
+        from rfw_tpu.scene.lights import pack_lights
+        eng.set_lights(pack_lights([], [], [], []))
+        eng.set_setting("intersector", intersector)
+        cam = rfw_tpu.Camera()
+        cam.resize(40, 40)
+        cam.fov = 55
+        cam.look_at([0, 2.5, -5.0], [0, 0.8, 0.0])
+        eng.resize(40, 40)
+        return eng.render_frame(cam.get_view().as_pytree(),
+                                RenderStatus.RESET, samples=4)
+
+    a = render("bvh")
+    b = render("tlas")
+    assert np.isfinite(b).all()
+    assert a.mean() > 1e-4            # scene actually renders
+    assert np.abs(a - b).max() < 1e-4  # same hits, same shading
+
+
+def test_tlas_instance_move_fast_path(monkeypatch):
+    """Moving an instance under the TLAS intersector must NOT trigger a
+    full device-scene rebuild — only plane re-transform + TLAS refit —
+    and must render the same image as a freshly-built scene."""
+    from rfw_tpu.config import RenderConfig
+    from rfw_tpu.render import RenderStatus, create_engine
+    from rfw_tpu.render import scene_data as sd
+    from rfw_tpu.scene import HostMaterial, MaterialList, make_quad
+    from rfw_tpu.scene.lights import pack_lights
+    import rfw_tpu
+
+    def xf(t):
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = t
+        return m
+
+    def build(tr):
+        cfg = RenderConfig(blue_noise=False, max_path_length=1,
+                           russian_roulette=False, use_tlas=True)
+        eng = create_engine("megakernel", cfg)
+        ml = MaterialList()
+        ml.add(HostMaterial(color=np.array([0.7, 0.6, 0.5]), roughness=1.0))
+        ml.add(HostMaterial(color=np.array([6.0, 5.0, 4.0])))
+        eng.set_mesh(0, make_quad([0, 1, 0], [0, 0, 0], 8, 8, 0).triangles())
+        eng.set_mesh(1, make_quad([0, 0, -1], [0, 1, 1.5], 2, 2,
+                                  0).triangles())
+        eng.set_mesh(2, make_quad([0, -1, 0], [0, 4, 0], 2, 2,
+                                  1).triangles())
+        eng.set_instance(0, 0, np.eye(4, dtype=np.float32))
+        eng.set_instance(1, 1, tr)
+        eng.set_instance(2, 2, np.eye(4, dtype=np.float32))
+        eng.set_materials(ml.generate_device_materials())
+        eng.set_lights(pack_lights([], [], [], []))
+        eng.set_setting("intersector", "tlas")
+        cam = rfw_tpu.Camera()
+        cam.resize(40, 40)
+        cam.fov = 55
+        cam.look_at([0, 2.5, -5.0], [0, 0.8, 0.0])
+        eng.resize(40, 40)
+        return eng, cam
+
+    eng, cam = build(xf([-1.5, 0, 0.5]))
+    eng.render_frame(cam.get_view().as_pytree(), RenderStatus.RESET,
+                     samples=2)
+
+    # move the instance; a full rebuild from here on is a test failure
+    calls = {"n": 0}
+    real_build = sd.build_device_scene
+
+    def counting_build(*a, **k):
+        calls["n"] += 1
+        return real_build(*a, **k)
+
+    monkeypatch.setattr(sd, "build_device_scene", counting_build)
+    eng.set_instance(1, 1, xf([1.5, 0.3, 0.0]))
+    moved = eng.render_frame(cam.get_view().as_pytree(), RenderStatus.RESET,
+                             samples=2)
+    assert calls["n"] == 0, "instance move took the full-rebuild path"
+
+    eng2, cam2 = build(xf([1.5, 0.3, 0.0]))
+    fresh = eng2.render_frame(cam2.get_view().as_pytree(),
+                              RenderStatus.RESET, samples=2)
+    assert np.abs(np.asarray(moved) - np.asarray(fresh)).max() < 1e-4

@@ -151,11 +151,26 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None):
     by the engine). Returns (sd, n_geom, i_n, t_vec, b_vec, alpha_cut).
     """
     prim = jnp.maximum(prim, 0)
-    tri_n = scene["tri_normals"][prim]           # (R, 3, 3)
-    tri_uv = scene["tri_uv"][prim]               # (R, 3, 2)
-    n_geom = scene["tri_gnormal"][prim]          # (R, 3)
-    mat_id = scene["tri_material"][prim]         # (R,)
-    lod_base = scene["tri_lod"][prim]
+    pk = scene.get("tri_pack")
+    if pk is not None:
+        # ONE (R, 32) row gather for every per-triangle attribute —
+        # separate gathers cost ~6 ms EACH at 305k-row tables (per-op, not
+        # per-byte; tools/gather_pack_bench.py / scene_data.build_tri_pack)
+        row = pk[prim]
+        tri_n = row[:, 0:9].reshape(-1, 3, 3)
+        tri_uv = row[:, 9:15].reshape(-1, 3, 2)
+        n_geom = row[:, 15:18]
+        tangent_pk = row[:, 18:21]
+        bitangent_pk = row[:, 21:24]
+        mat_id = row[:, 24].astype(jnp.int32)
+        lod_base = row[:, 25]
+    else:
+        tri_n = scene["tri_normals"][prim]       # (R, 3, 3)
+        tri_uv = scene["tri_uv"][prim]           # (R, 3, 2)
+        n_geom = scene["tri_gnormal"][prim]      # (R, 3)
+        mat_id = scene["tri_material"][prim]     # (R,)
+        lod_base = scene["tri_lod"][prim]
+        tangent_pk = bitangent_pk = None
 
     w = (1.0 - u - v)[..., None]
     i_n = safe_normalize(w * tri_n[:, 0] + u[..., None] * tri_n[:, 1]
@@ -206,8 +221,10 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None):
                                        sd["metallic"])
         if tf["normal"]:
             has_n = mats["tex1_id"][mat_id] >= 0
-            tangent = scene["tri_tangent"][prim]
-            bitangent = scene["tri_bitangent"][prim]
+            tangent = tangent_pk if tangent_pk is not None \
+                else scene["tri_tangent"][prim]
+            bitangent = bitangent_pk if bitangent_pk is not None \
+                else scene["tri_bitangent"][prim]
             nm_vec = nm[..., :3] * 2.0 - 1.0
             mapped = safe_normalize(
                 nm_vec[..., 0:1] * tangent + nm_vec[..., 1:2] * bitangent
@@ -255,8 +272,10 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None):
             has_n = tex_n >= 0
             nm = fetch_texel_trilinear(atlas, desc, jnp.maximum(tex_n, 0),
                                        uv_i, lam)
-            tangent = scene["tri_tangent"][prim]
-            bitangent = scene["tri_bitangent"][prim]
+            tangent = tangent_pk if tangent_pk is not None \
+                else scene["tri_tangent"][prim]
+            bitangent = bitangent_pk if bitangent_pk is not None \
+                else scene["tri_bitangent"][prim]
             nm_vec = nm[..., :3] * 2.0 - 1.0
             mapped = safe_normalize(
                 nm_vec[..., 0:1] * tangent + nm_vec[..., 1:2] * bitangent

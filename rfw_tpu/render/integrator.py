@@ -228,11 +228,19 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
             e_contrib = throughput * sd["color"] \
                 / jnp.maximum(last_pdf, 1e-20)[..., None]
         else:
+            if "tri_pack" in scene:
+                # same (R, 32) row gather as get_shading_data — XLA CSEs
+                # the duplicate, so area/light-idx come for free
+                _row = scene["tri_pack"][prim_safe]
+                tri_area_v = _row[:, 26]
+                tri_lidx_v = _row[:, 27].astype(jnp.int32)
+            else:
+                tri_area_v = scene["tri_area"][prim_safe]
+                tri_lidx_v = scene["tri_light_idx"][prim_safe]
             light_pdf = light_sampling.calculate_light_pdf(
-                direction, t, scene["tri_area"][prim_safe], n_geom)
+                direction, t, tri_area_v, n_geom)
             pick_prob = light_sampling.light_pick_prob(
-                scene["tri_light_idx"][prim_safe], lights, origin, last_n,
-                hit_pos)
+                tri_lidx_v, lights, origin, last_n, hit_pos)
             denom = last_pdf + light_pdf * pick_prob
             mis_c = throughput * sd["color"] / jnp.maximum(
                 denom, 1e-20)[..., None]

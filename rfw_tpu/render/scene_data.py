@@ -355,6 +355,9 @@ def build_device_scene(
     else:
         scene["atlas"] = None
         scene["atlas_desc"] = None
+    tp = build_tri_pack(scene)
+    if tp is not None:
+        scene["tri_pack"] = tp
     scene["_bvh_host"] = bvh      # kept host-side for refit (not a jnp leaf)
     scene["_perm_host"] = perm    # cached for transforms-only fast updates
     return scene
@@ -362,6 +365,33 @@ def build_device_scene(
 
 _GEOMETRIC_PLANES = ("vertices", "normals", "gnormal", "tangent",
                      "bitangent", "area")
+
+
+def build_tri_pack(scene: dict):
+    """Pack the shading-hot per-triangle attributes into ONE (T, 32) f32
+    plane so hit shading does a single row gather instead of ~11 separate
+    ones — TPU gather cost is per-OP for large tables (measured: 16
+    separate (R,) gathers from a 305k-row table cost 99 ms vs 5.9 ms for
+    one (R,16) row gather — tools/gather_pack_bench.py).
+
+    Layout: 0-8 normals, 9-14 uv, 15-17 gnormal, 18-20 tangent,
+    21-23 bitangent, 24 material id, 25 lod, 26 area, 27 light_tri_idx
+    (ids are exact in f32 below 2^24 — scenes beyond that skip the pack).
+    """
+    t = scene["tri_vertices"].shape[0]
+    if t >= (1 << 24) or scene["tri_material"].max(initial=0) >= (1 << 24):
+        return None
+    p = np.zeros((t, 32), np.float32)
+    p[:, 0:9] = np.asarray(scene["tri_normals"]).reshape(t, 9)
+    p[:, 9:15] = np.asarray(scene["tri_uv"]).reshape(t, 6)
+    p[:, 15:18] = np.asarray(scene["tri_gnormal"])
+    p[:, 18:21] = np.asarray(scene["tri_tangent"])
+    p[:, 21:24] = np.asarray(scene["tri_bitangent"])
+    p[:, 24] = np.asarray(scene["tri_material"])
+    p[:, 25] = np.asarray(scene["tri_lod"])
+    p[:, 26] = np.asarray(scene["tri_area"])
+    p[:, 27] = np.asarray(scene["tri_light_idx"])
+    return p
 
 
 def retransform_instances(scene: dict, instances: list[InstancedMesh],
@@ -385,6 +415,10 @@ def retransform_instances(scene: dict, instances: list[InstancedMesh],
     for k in _GEOMETRIC_PLANES:
         out[f"tri_{k}" if k != "area" else "tri_area"] = np.concatenate(
             parts[k], axis=0)[perm]
+    if "tri_pack" in scene:
+        tp = build_tri_pack(out)
+        if tp is not None:
+            out["tri_pack"] = tp
 
     if "tlas" in scene:
         from ..bvh.tlas import instance_world_aabb

@@ -68,6 +68,11 @@ class RenderConfig:
     # The 'tlas' intersector (render/intersectors.py) consumes them; the
     # flattened world-space path stays the default for the Pallas engines.
     use_tlas: bool = False
+    # consecutive deformation refits before a full rebuild restores BVH /
+    # treelet cull quality (refit keeps topology while geometry drifts —
+    # the reference refits unconditionally, top_level_bvh.cpp:17-53; a
+    # periodic rebuild is strictly safer). 0 disables refitting entirely.
+    max_refits: int = 64
 
     # Animation
     animation_enabled: bool = True

@@ -144,6 +144,15 @@ class PathTracerEngine(EngineContext):
         )
         geo_key = (structure_key,
                    tuple(im.transform.tobytes() for im in instances))
+        # version-free structure + per-instance triangle counts: if these
+        # match, a mesh-version bump is a DEFORMATION (same topology) and
+        # qualifies for the refit path (reference rebuild-vs-refit policy,
+        # top_level_bvh.cpp:17-53)
+        anim_key = (
+            tuple((im.instance_id, im.mesh_slot) for im in instances),
+            tuple(sorted(self._light_overrides.items())),
+            tuple(im.triangles.vertices.shape[0] for im in instances),
+        )
         if getattr(self, "_geo_key", None) == geo_key and self._scene:
             scene = dict(self._scene)
             scene["materials"] = self._materials
@@ -178,15 +187,37 @@ class PathTracerEngine(EngineContext):
         else:
             if not hasattr(self, "_shape_caps"):
                 self._shape_caps = {}
-            scene = scene_data.build_device_scene(
-                instances, self._materials, self._lights, self._skybox,
-                self._atlas, self.config,
-                area_light_overrides=self._light_overrides,
-                shape_caps=self._shape_caps)
+            refit = None
+            if (getattr(self, "_anim_key", None) == anim_key
+                    and getattr(self, "_bvh_host", None) is not None
+                    and self._scene
+                    and getattr(self, "_perm_host", None) is not None
+                    and getattr(self, "_refits", 0) < self.config.max_refits):
+                # same topology, new vertex data and/or transforms →
+                # refit instead of rebuild (no SAH, no re-jit)
+                refit = scene_data.refit_deformed(
+                    dict(self._scene), instances, self._perm_host,
+                    self._bvh_host, self.config, self._shape_caps)
+            if refit is not None:
+                self._refits = getattr(self, "_refits", 0) + 1
+                scene = refit
+                scene["materials"] = self._materials
+                scene["lights"] = self._lights
+                if self._skybox is not None:
+                    scene["skybox"] = self._skybox
+            else:
+                scene = scene_data.build_device_scene(
+                    instances, self._materials, self._lights, self._skybox,
+                    self._atlas, self.config,
+                    area_light_overrides=self._light_overrides,
+                    shape_caps=self._shape_caps)
+                self._refits = 0
             self._geo_key = geo_key
+            self._anim_key = anim_key
         self._perm_host = scene.pop("_perm_host",
                                     getattr(self, "_perm_host", None))
-        scene.pop("_bvh_host", None)
+        self._bvh_host = scene.pop("_bvh_host",
+                                   getattr(self, "_bvh_host", None))
         if self.config.blue_noise:
             scene["blue_noise"] = rng_mod.blue_noise_mask()
         # re-jit only when the scene's pytree structure/shapes changed —

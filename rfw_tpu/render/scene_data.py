@@ -177,6 +177,86 @@ def _build_tlas_tables(instances: list[InstancedMesh],
     }
 
 
+def refit_deformed(scene: dict, instances: list[InstancedMesh],
+                   perm: np.ndarray, bvh_host, config: RenderConfig,
+                   shape_caps: dict):
+    """Deformation update (same topology — vertex positions moved, e.g.
+    skinning/morphs): the reference's refit-vs-rebuild policy
+    (top_level_bvh.cpp:17-53 — rebuild only when the vertex COUNT changes).
+
+    Re-transforms the shading planes under the CACHED permutation, refits
+    the binary BVH bottom-up (native C++) + re-collapses the wide nodes,
+    and rebuilds the treelet Woop/bounds tables with UNCHANGED cell
+    membership (slot_to_prim is stable, so every array keeps its shape —
+    nothing re-jits; cull quality degrades gracefully as geometry drifts
+    from the original cells, exactly like any refit). The stored treelet
+    'top' hierarchy is left stale — no compute path consumes it.
+
+    Returns the updated scene dict, or None when the native refit is
+    unavailable (caller falls back to a full rebuild).
+    """
+    from ..bvh.wide import collapse_wide
+    from ..native import native_refit_bvh
+
+    out = retransform_instances(scene, instances, perm)
+    verts = out["tri_vertices"]                  # (T, 3, 3) permuted world
+    inv_p = np.argsort(perm).astype(np.int64)
+    tmin, tmax = triangle_bounds(verts[inv_p])   # original order for refit
+    if not native_refit_bvh(bvh_host, tmin, tmax):
+        return None
+    wide = _pad_wide(collapse_wide(bvh_host, width=4),
+                     min_cap=shape_caps.get("bvh_nodes", 0))
+    out["bvh"] = {"bmin": wide.bmin, "bmax": wide.bmax,
+                  "child": wide.child, "count": wide.count}
+    out["woop"] = woop_matrices(verts[:, 0], verts[:, 1], verts[:, 2])
+
+    tl = dict(scene["treelets"])
+    stp = np.asarray(tl["slot_to_prim"])
+    k = int(tl["size"])
+    n_cells = stp.shape[0] // k
+    valid = stp >= 0
+    padded_verts = np.zeros((stp.shape[0], 3, 3), np.float32)
+    padded_verts[valid] = verts[stp[valid]]
+    pad_woop = woop_matrices(
+        padded_verts[:, 0], padded_verts[:, 1], padded_verts[:, 2])
+    # fresh cell bounds over the (unchanged) membership
+    vlo = np.where(valid[:, None], padded_verts.min(axis=1), 3e37)
+    vhi = np.where(valid[:, None], padded_verts.max(axis=1), -3e37)
+    bmin_c = vlo.reshape(n_cells, k, 3).min(axis=1)
+    bmax_c = vhi.reshape(n_cells, k, 3).max(axis=1)
+    empty = bmax_c[:, 0] < bmin_c[:, 0]          # all-pad cell → far point
+    bmin_c[empty] = 3e37
+    bmax_c[empty] = 3e37
+    from ..ops.pallas_intersect import SUPER_G
+    n_super = n_cells // SUPER_G
+    cbounds = np.full((n_super, 8, SUPER_G), 3e37, np.float32)
+    cbounds[:, 0:3, :] = bmin_c.reshape(n_super, SUPER_G, 3).transpose(
+        0, 2, 1)
+    cbounds[:, 3:6, :] = bmax_c.reshape(n_super, SUPER_G, 3).transpose(
+        0, 2, 1)
+    sbmin = bmin_c.reshape(n_super, SUPER_G, 3).min(axis=1)
+    smax_raw = np.where(bmax_c.reshape(n_super, SUPER_G, 3) > 1e37, -3e38,
+                        bmax_c.reshape(n_super, SUPER_G, 3))
+    sbmax = smax_raw.max(axis=1)
+    s_empty = sbmax[:, 0] < sbmin[:, 0]
+    sbmin[s_empty] = 3e37
+    sbmax[s_empty] = 3e37
+    tl.update({
+        "woop": pad_woop,
+        "wplanes": _woop_planes(pad_woop, k, bmin_c, bmax_c),
+        "verts": padded_verts,
+        "bmin": bmin_c.astype(np.float32),
+        "bmax": bmax_c.astype(np.float32),
+        "sbmin": sbmin.astype(np.float32),
+        "sbmax": sbmax.astype(np.float32),
+        "cbounds": cbounds,
+        "scene_lo": tmin.min(axis=0).astype(np.float32),
+        "scene_hi": tmax.max(axis=0).astype(np.float32),
+    })
+    out["treelets"] = tl
+    return out
+
+
 def build_device_scene(
     instances: list[InstancedMesh],
     materials: dict[str, np.ndarray],

@@ -73,6 +73,12 @@ class RenderConfig:
     # the reference refits unconditionally, top_level_bvh.cpp:17-53; a
     # periodic rebuild is strictly safer). 0 disables refitting entirely.
     max_refits: int = 64
+    # texture filtering: "trilinear" (reference parity, 8 taps/map),
+    # "bilinear" (nearest mip, 4 taps — TPU texture cost is per-tap:
+    # ~7 ms per 518k-lane gather regardless of locality), "nearest"
+    # (1 tap). A quality/speed knob the reference gets from hardware
+    # samplers; here every tap is an explicit HBM gather.
+    texture_filter: str = "trilinear"
 
     # Animation
     animation_enabled: bool = True

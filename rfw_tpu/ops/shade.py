@@ -66,22 +66,46 @@ def fetch_texel_bilinear(atlas, addr, width, height, uv):
             + fy * ((1 - fx) * p01 + fx * p11))
 
 
-def fetch_texel_trilinear(atlas, desc, tex_id, uv, lam):
+def fetch_texel_nearest(atlas, addr, width, height, uv):
+    """Point sample with repeat wrap (1 tap)."""
+    x = (uv[..., 0] * width.astype(jnp.float32)).astype(jnp.int32)
+    y = (uv[..., 1] * height.astype(jnp.float32)).astype(jnp.int32)
+    x = jnp.mod(x, jnp.maximum(width, 1))
+    y = jnp.mod(y, jnp.maximum(height, 1))
+    return atlas[addr + y * width + x]
+
+
+def fetch_texel_trilinear(atlas, desc, tex_id, uv, lam,
+                          filter: str = "trilinear"):
     """FetchTexelTrilinear (getShadingData.h:60-98): blend two mip levels.
 
     desc: (T, L, 3) int32 (addr, width, height); tex_id: (R,) (assumed
     valid — callers mask unbound slots); lam: (R,) LOD lambda.
+
+    ``filter`` degrades quality for tap count (each tap is a ~7 ms HBM
+    gather per 518k lanes — config.texture_filter): "trilinear" 8 taps,
+    "bilinear" 4 taps at the nearest mip, "nearest" 1 tap.
     """
     levels = desc.shape[1]
     lam = jnp.clip(lam, 0.0, levels - 1)
-    l0 = jnp.floor(lam).astype(jnp.int32)
-    l1 = jnp.minimum(l0 + 1, levels - 1)
-    f = (lam - l0.astype(jnp.float32))[..., None]
+    if filter == "trilinear":
+        l0 = jnp.floor(lam).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, levels - 1)
+        f = (lam - l0.astype(jnp.float32))[..., None]
+        d0 = desc[tex_id, l0]
+        d1 = desc[tex_id, l1]
+        p0 = fetch_texel_bilinear(atlas, d0[..., 0], d0[..., 1],
+                                  d0[..., 2], uv)
+        p1 = fetch_texel_bilinear(atlas, d1[..., 0], d1[..., 1],
+                                  d1[..., 2], uv)
+        return (1.0 - f) * p0 + f * p1
+    l0 = jnp.round(lam).astype(jnp.int32)
     d0 = desc[tex_id, l0]
-    d1 = desc[tex_id, l1]
-    p0 = fetch_texel_bilinear(atlas, d0[..., 0], d0[..., 1], d0[..., 2], uv)
-    p1 = fetch_texel_bilinear(atlas, d1[..., 0], d1[..., 1], d1[..., 2], uv)
-    return (1.0 - f) * p0 + f * p1
+    if filter == "bilinear":
+        return fetch_texel_bilinear(atlas, d0[..., 0], d0[..., 1],
+                                    d0[..., 2], uv)
+    return fetch_texel_nearest(atlas, d0[..., 0], d0[..., 1],
+                               d0[..., 2], uv)
 
 
 def _unpack_rgba8(word):
@@ -142,7 +166,8 @@ _PARAM_KEYS = ("metallic", "subsurface", "specular", "roughness",
                "clearcoat", "clearcoat_gloss", "transmission", "eta")
 
 
-def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None):
+def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None,
+                     tex_filter: str = "trilinear"):
     """Derive shading state for hit rays.
 
     scene: device scene dict (render/scene_data.py) with triangle SoA planes
@@ -246,7 +271,7 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None):
                 / jnp.maximum(jnp.abs(dot3(-d, n_geom)), 1e-4), 1e-20))
                 - lod_base)
             texel = fetch_texel_trilinear(atlas, desc, jnp.maximum(tex0, 0),
-                                          uv0, lam)
+                                          uv0, lam, filter=tex_filter)
             sd["color"] = jnp.where(has_tex0[..., None],
                                     sd["color"] * texel[..., :3],
                                     sd["color"])
@@ -259,7 +284,7 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None):
             tex_r = mats["tex3_id"][mat_id]
             has_r = tex_r >= 0
             mr = fetch_texel_trilinear(atlas, desc, jnp.maximum(tex_r, 0),
-                                       uv_i, lam)
+                                       uv_i, lam, filter=tex_filter)
             sd["roughness"] = jnp.where(
                 has_r, jnp.maximum(sd["roughness"] * mr[..., 1],
                                    _MIN_ROUGHNESS_PARAM), sd["roughness"])
@@ -271,7 +296,7 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None):
             tex_n = mats["tex1_id"][mat_id]
             has_n = tex_n >= 0
             nm = fetch_texel_trilinear(atlas, desc, jnp.maximum(tex_n, 0),
-                                       uv_i, lam)
+                                       uv_i, lam, filter=tex_filter)
             tangent = tangent_pk if tangent_pk is not None \
                 else scene["tri_tangent"][prim]
             bitangent = bitangent_pk if bitangent_pk is not None \

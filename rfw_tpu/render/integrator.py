@@ -197,7 +197,7 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
         cone_width = view["spread_angle"] * t
         sd, n_geom, i_n, t_vec, b_vec, alpha_cut = get_shading_data(
             scene, prim_safe, u, v, direction, cone_width,
-            tex_flags=tex_flags)
+            tex_flags=tex_flags, tex_filter=config.texture_filter)
         # alpha cutout (Kernels.cu:636-648): the hit is transparent — the
         # ray continues unchanged through the surface on the next bounce
         alpha_cut = alpha_cut & alive

@@ -125,3 +125,41 @@ def test_no_textures_no_matlas():
     matlas, mtex = build_merged_material_atlas(ml.materials, ml.textures)
     assert matlas is None
     assert mtex.shape == (1,)
+
+
+def test_texture_filter_modes_similar():
+    """bilinear/nearest are speed knobs — images must stay close to
+    trilinear on a direct-lit textured scene."""
+    ml = _material_list()
+    imgs = {}
+    for mode in ("trilinear", "bilinear", "nearest"):
+        from rfw_tpu.config import RenderConfig
+        from rfw_tpu.render import RenderStatus, create_engine
+        from rfw_tpu.scene.lights import PointLight, pack_lights
+        from rfw_tpu.scene import make_quad
+        import rfw_tpu
+        eng = create_engine("megakernel", RenderConfig(
+            blue_noise=False, max_path_length=0, russian_roulette=False,
+            texture_filter=mode))
+        floor = make_quad([0, 1, 0], [0, 0, 0], 4, 4, 0)
+        eng.set_mesh(0, floor.triangles())
+        eng.set_instance(0, 0, np.eye(4, dtype=np.float32))
+        mats = ml.generate_device_materials()
+        eng.set_materials(mats)
+        eng.set_textures(build_texture_atlas(ml.textures))
+        eng.set_lights(pack_lights(
+            [], [PointLight(position=np.array([0.5, 2.5, -0.5], np.float32),
+                            radiance=np.array([20.0] * 3, np.float32))],
+            [], []))
+        cam = rfw_tpu.Camera()
+        cam.resize(32, 32)
+        cam.fov = 50
+        cam.look_at([0, 2.0, -3.0], [0, 0.0, 0.0])
+        eng.resize(32, 32)
+        imgs[mode] = np.asarray(eng.render_frame(
+            cam.get_view().as_pytree(), RenderStatus.RESET, samples=4))
+    tri = imgs["trilinear"]
+    assert tri.mean() > 1e-3
+    for mode in ("bilinear", "nearest"):
+        rel = np.abs(imgs[mode] - tri).mean() / tri.mean()
+        assert rel < 0.15, (mode, rel)

@@ -81,6 +81,10 @@ def main() -> None:
                        + stats.deep_count + stats.shadow_count)
     total_rays = rays_per_sample * samples
     mrays = total_rays / elapsed / 1e6
+    print(f"# {elapsed/samples*1000:.0f} ms/sample | rays/sample: "
+          f"primary {stats.primary_count/1e6:.2f}M secondary "
+          f"{stats.secondary_count/1e6:.2f}M deep {stats.deep_count/1e6:.2f}M "
+          f"shadow {stats.shadow_count/1e6:.2f}M", file=sys.stderr)
 
     print(json.dumps({
         "metric": "Mrays/sec/chip (pica-4x ~305k tris, 1080p path trace, "

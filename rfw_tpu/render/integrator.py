@@ -275,8 +275,13 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
         # ---- NEE (Kernels.cu:705-756) ----
         if config.variance_reduction:
             if use_bn:
-                r0 = rng.blue_noise_sample(bn_mask, px, py, sample_index, 4)
-                r1 = rng.blue_noise_sample(bn_mask, px, py, sample_index, 5)
+                # distinct dimension pair per depth (Kernels.cu uses
+                # 4 + 4*pathLength) — reusing dims 4/5 at every depth
+                # correlates the light samples across bounces
+                r0 = rng.blue_noise_sample(bn_mask, px, py, sample_index,
+                                           4 + 2 * depth)
+                r1 = rng.blue_noise_sample(bn_mask, px, py, sample_index,
+                                           5 + 2 * depth)
                 r0 = jnp.where(sample_index < config.blue_noise_spp_cutoff,
                                r0, 0.0)
                 seed, (h0, h1) = rng.random_floats(seed, 2)

@@ -85,6 +85,12 @@ class RenderConfig:
 
     # Numerics
     dtype: str = "float32"            # geometry + shading dtype
+    # Debug instrumentation (SURVEY §5 sanitizer analog): when on, the
+    # integrator asserts finite radiance per stage and the pair driver
+    # reports rays whose traversal was truncated by its pass bounds
+    # (normally silent — ADVICE r1). Costs a host callback per launch;
+    # off in production.
+    debug_checks: bool = False
 
     # BSDF model (reference bsdf/bsdf.h:19-22: disney active; lambert and
     # microfacet selectable alternatives)

@@ -607,7 +607,18 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
         return (it < MAX_PASSES) & ~jnp.all(finished)
 
     state = (jnp.int32(0), win_b, best_t, best_slot, finished)
-    _, _, t, slot, _ = jax.lax.while_loop(cond, one_pass, state)
+    _, _, t, slot, fin_b = jax.lax.while_loop(cond, one_pass, state)
+    if config.debug_checks:
+        # Truncation visibility (ADVICE r1): a ray that exhausted
+        # A_MAX/MAX_PASSES while still pair-budget-truncated returns
+        # partial results. Surface a counter instead of staying silent.
+        def _warn(n_bad):
+            if int(n_bad) > 0:
+                from ..utils import logger
+                logger.warning(
+                    "pair driver: %d rays exited with truncated "
+                    "traversal (partial results)", int(n_bad))
+        jax.debug.callback(_warn, jnp.sum(~fin_b))
     return t, slot
 
 

@@ -178,7 +178,8 @@ class PathTracerEngine(EngineContext):
             # tables — no BVH/treelet rebuild, no re-jit (reference
             # set_instance + TLAS-refit path, system.cpp:599-620)
             scene = scene_data.retransform_instances(
-                dict(self._scene), instances, self._perm_host)
+                dict(self._scene), instances, self._perm_host,
+                pack_host=getattr(self, "_pack_host", None))
             scene["materials"] = self._materials
             scene["lights"] = self._lights
             if self._skybox is not None:
@@ -197,7 +198,8 @@ class PathTracerEngine(EngineContext):
                 # refit instead of rebuild (no SAH, no re-jit)
                 refit = scene_data.refit_deformed(
                     dict(self._scene), instances, self._perm_host,
-                    self._bvh_host, self.config, self._shape_caps)
+                    self._bvh_host, self.config, self._shape_caps,
+                    pack_host=getattr(self, "_pack_host", None))
             if refit is not None:
                 self._refits = getattr(self, "_refits", 0) + 1
                 scene = refit
@@ -218,6 +220,8 @@ class PathTracerEngine(EngineContext):
                                     getattr(self, "_perm_host", None))
         self._bvh_host = scene.pop("_bvh_host",
                                    getattr(self, "_bvh_host", None))
+        self._pack_host = scene.pop("_pack_host",
+                                    getattr(self, "_pack_host", None))
         if self.config.blue_noise:
             scene["blue_noise"] = rng_mod.blue_noise_mask()
         # re-jit only when the scene's pytree structure/shapes changed —

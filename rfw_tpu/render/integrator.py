@@ -409,4 +409,15 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
     if inv_lane is not None:   # tiled lanes → row-major pixel order
         radiance = radiance[inv_lane]
         aux = {k: v[inv_lane] for k, v in aux.items()}
+    if config.debug_checks:
+        # SURVEY §5 sanitizer analog: the always-on _no_nan guards zero
+        # NaNs silently; debug mode additionally REPORTS them so numeric
+        # regressions surface during development.
+        def _nan_warn(n_bad):
+            if int(n_bad) > 0:
+                from ..utils import logger
+                logger.warning("integrator: %d non-finite radiance "
+                               "components this sample", int(n_bad))
+        import jax
+        jax.debug.callback(_nan_warn, jnp.sum(~jnp.isfinite(radiance)))
     return radiance, probe, stats, aux

@@ -179,7 +179,7 @@ def _build_tlas_tables(instances: list[InstancedMesh],
 
 def refit_deformed(scene: dict, instances: list[InstancedMesh],
                    perm: np.ndarray, bvh_host, config: RenderConfig,
-                   shape_caps: dict):
+                   shape_caps: dict, pack_host: np.ndarray | None = None):
     """Deformation update (same topology — vertex positions moved, e.g.
     skinning/morphs): the reference's refit-vs-rebuild policy
     (top_level_bvh.cpp:17-53 — rebuild only when the vertex COUNT changes).
@@ -198,7 +198,16 @@ def refit_deformed(scene: dict, instances: list[InstancedMesh],
     from ..bvh.wide import collapse_wide
     from ..native import native_refit_bvh
 
-    out = retransform_instances(scene, instances, perm)
+    if "tlas" in scene:
+        # A deformation changes object-space geometry, but this path only
+        # refreshes the FLAT planes + treelet tables — the TLAS BLAS node
+        # bounds and v0/e1/e2 triangles would silently keep the original
+        # object-space geometry (the reference refits the full hierarchy,
+        # top_level_bvh.cpp:17-53). Force a full rebuild instead.
+        return None
+
+    out = retransform_instances(scene, instances, perm,
+                                pack_host=pack_host)
     verts = out["tri_vertices"]                  # (T, 3, 3) permuted world
     inv_p = np.argsort(perm).astype(np.int64)
     tmin, tmax = triangle_bounds(verts[inv_p])   # original order for refit
@@ -438,6 +447,8 @@ def build_device_scene(
     tp = build_tri_pack(scene)
     if tp is not None:
         scene["tri_pack"] = tp
+        scene["_pack_host"] = tp  # host cache: fast-update paths refresh
+        #                           only the geometric columns in place
     scene["_bvh_host"] = bvh      # kept host-side for refit (not a jnp leaf)
     scene["_perm_host"] = perm    # cached for transforms-only fast updates
     return scene
@@ -474,8 +485,25 @@ def build_tri_pack(scene: dict):
     return p
 
 
+def refresh_tri_pack(pack_host: np.ndarray, planes: dict) -> np.ndarray:
+    """Refresh only the transform-DEPENDENT columns of a host-cached tri
+    pack from freshly computed numpy planes. The invariant columns (uv
+    9:15, material/lod 24:26, light idx 27) are reused from the cache —
+    np.asarray on device-resident planes every animation frame was forcing
+    ~300k-row device→host syncs on the fast-update paths (ADVICE r1)."""
+    p = np.array(pack_host)      # copy — the cache stays pristine
+    t = p.shape[0]
+    p[:, 0:9] = np.asarray(planes["tri_normals"]).reshape(t, 9)
+    p[:, 15:18] = np.asarray(planes["tri_gnormal"])
+    p[:, 18:21] = np.asarray(planes["tri_tangent"])
+    p[:, 21:24] = np.asarray(planes["tri_bitangent"])
+    p[:, 26] = np.asarray(planes["tri_area"])
+    return p
+
+
 def retransform_instances(scene: dict, instances: list[InstancedMesh],
-                          perm: np.ndarray) -> dict:
+                          perm: np.ndarray,
+                          pack_host: np.ndarray | None = None) -> dict:
     """Transforms-only scene update (the reference's set_instance +
     TopLevelBVH refit path, system.cpp:599-620 / top_level_bvh.cpp:17-53):
     rebuild the world-space GEOMETRIC shading planes under the CACHED
@@ -496,9 +524,13 @@ def retransform_instances(scene: dict, instances: list[InstancedMesh],
         out[f"tri_{k}" if k != "area" else "tri_area"] = np.concatenate(
             parts[k], axis=0)[perm]
     if "tri_pack" in scene:
-        tp = build_tri_pack(out)
+        if pack_host is not None:
+            tp = refresh_tri_pack(pack_host, out)
+        else:
+            tp = build_tri_pack(out)   # slow path: may sync device planes
         if tp is not None:
             out["tri_pack"] = tp
+            out["_pack_host"] = tp
 
     if "tlas" in scene:
         from ..bvh.tlas import instance_world_aabb

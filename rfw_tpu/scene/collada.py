@@ -139,8 +139,19 @@ def _parse_materials(doc, basedir, materials: MaterialList):
         color, emissive, rough, tex = _parse_effect_color(
             doc, eff, tex_by_sampler)
         hm = HostMaterial(name=mat.get("id", "dae"), roughness=rough)
-        hm.color = (np.ones(3, np.float32) + emissive
-                    if np.any(emissive > 0) else color)
+        # Emissive materials must satisfy the is_emissive() color>1
+        # convention (materials.py). Preserve the AUTHORED radiance: values
+        # already >1 pass through; dim emission (e.g. 0.2) is scaled
+        # uniformly to just cross the threshold so it still registers as a
+        # light without a 6x brightness error; negligible emission keeps
+        # the diffuse color.
+        if np.any(emissive > 1.0):
+            hm.color = emissive.astype(np.float32)
+        elif np.any(emissive > 1e-3):
+            scale = 1.0001 / float(np.max(emissive))
+            hm.color = (emissive * scale).astype(np.float32)
+        else:
+            hm.color = color
         if tex:
             tp = os.path.normpath(os.path.join(basedir, tex))
             hm.maps[TEX_DIFFUSE] = MapProps(path=tp)

@@ -12,9 +12,9 @@ from rfw_tpu.scene import HostMaterial, MaterialList, make_quad
 from rfw_tpu.scene.lights import PointLight, pack_lights
 
 
-def _engine(intersector="bvh"):
+def _engine(intersector="bvh", **cfg_kw):
     cfg = RenderConfig(blue_noise=False, max_path_length=1,
-                       russian_roulette=False)
+                       russian_roulette=False, **cfg_kw)
     eng = create_engine("megakernel", cfg)
     ml = MaterialList()
     ml.add(HostMaterial(color=np.array([0.7, 0.6, 0.5]), roughness=1.0))
@@ -97,6 +97,33 @@ def test_refit_dense_intersector_treelet_tables(monkeypatch):
     eng2.set_instance(0, 0, np.eye(4, dtype=np.float32))
     fresh = _render(eng2, cam2)
     assert np.abs(moved - fresh).max() < 1e-4
+
+
+def test_deform_with_tlas_matches_fresh_build():
+    """A deformation while TLAS tables are in the scene must NOT take the
+    flat-plane refit path (it would leave the BLAS object-space geometry
+    stale — ADVICE r1 medium): the render must equal a fresh build."""
+    eng, cam = _engine(intersector="tlas", use_tlas=True)
+    eng.set_mesh(0, make_quad([0, 1, 0], [0, 0, 0], 8, 8, 0).triangles())
+    eng.set_mesh(1, make_quad([0, 0, -1], [0, 1, 1.5], 2, 2, 0).triangles())
+    eng.set_instance(0, 0, np.eye(4, dtype=np.float32))
+    eng.set_instance(1, 1, np.eye(4, dtype=np.float32))
+    _render(eng, cam)
+
+    # deform mesh 1: same topology, new vertex positions
+    eng.set_mesh(1, make_quad([0.4, 0.2, -1], [0.8, 1.4, 1.0], 2, 2,
+                              0).triangles())
+    moved = _render(eng, cam)
+
+    eng2, cam2 = _engine(intersector="tlas", use_tlas=True)
+    eng2.set_mesh(0, make_quad([0, 1, 0], [0, 0, 0], 8, 8, 0).triangles())
+    eng2.set_mesh(1, make_quad([0.4, 0.2, -1], [0.8, 1.4, 1.0], 2, 2,
+                               0).triangles())
+    eng2.set_instance(0, 0, np.eye(4, dtype=np.float32))
+    eng2.set_instance(1, 1, np.eye(4, dtype=np.float32))
+    fresh = _render(eng2, cam2)
+    assert np.abs(moved - fresh).max() < 1e-4
+    assert moved.mean() > 1e-4
 
 
 def test_topology_change_forces_rebuild():

@@ -122,6 +122,23 @@ def make_pairs_intersector(config: RenderConfig) -> Intersector:
     return Intersector(closest, occluded)
 
 
+def make_visit_intersector(config: RenderConfig) -> Intersector:
+    """Per-block exact visit-list kernel (ops/visit_intersect.py): exact
+    per-ray candidates at cell granularity, per-256-ray-block union visit
+    lists, no pair-expansion sorts — the round-2 flagship path for every
+    stream class (coherent and scattered)."""
+    from ..ops import visit_intersect
+
+    def closest(scene, o, d, t_max=None, sort=True):
+        return visit_intersect.closest_hit(scene, o, d, config,
+                                           t_max=t_max, sort=sort)
+
+    def occluded(scene, o, d, dist, sort=True):
+        return visit_intersect.any_hit(scene, o, d, dist, config, sort=sort)
+
+    return Intersector(closest, occluded)
+
+
 def make_hybrid_intersector(config: RenderConfig) -> Intersector:
     """Best-of-both TPU intersector, routed by MEASUREMENT on the bench
     workload (tools/bounce_ab.py, 518k-ray middle chunk of 1080p pica-4x,
@@ -223,5 +240,6 @@ FACTORIES = {
     "dense": make_dense_intersector,
     "pallas": make_pallas_intersector,
     "pairs": make_pairs_intersector,
+    "visit": make_visit_intersector,
     "hybrid": make_hybrid_intersector,
 }

@@ -5,12 +5,20 @@ CUDART/src/Context.cpp:65-159 + shade kernel Kernels.cu:571-794 — with the
 stage structure preserved (ray-gen → [intersect → shade → NEE/occlude] per
 bounce) but atomic queues replaced by masks: every pixel's path lives at a
 fixed lane, dead lanes are masked out. XLA fuses the masked stages; the
-Pallas intersector (ops/pallas_intersect.py) does the heavy traversal.
+Pallas intersector (ops/visit_intersect.py) does the heavy traversal.
 
 The integrator is engine-agnostic: engines inject an ``intersector`` (a pair
 of closest/occluded callables), which is how one integrator serves the
 bruteforce / megakernel(BVH) / wavefront(Pallas) engines — the rebuild's
 answer to the reference's seven backends sharing one BSDF/shading header set.
+
+Round-2 structure: the per-depth loop body is the standalone
+``depth_stage`` over an explicit ``PathState``. ``trace_sample`` composes
+the stages inside one jit (the fused path, identical numerics to round 1);
+``render/wavefront_driver.py`` composes the same stages with lane
+COMPACTION between depths (the reference's atomic-queue wavefront
+compaction, Kernels.cu:640,747,788, re-expressed as sort/gather — RNG is
+keyed by pixel id, so results are permutation-invariant).
 """
 
 from __future__ import annotations
@@ -33,6 +41,22 @@ class Intersector(NamedTuple):
     closest: Callable    # (scene, O, D, t_max=None) -> (t, prim, u, v)
     occluded: Callable   # (scene, O, D, dist) -> bool mask
     # dist/t_max of 0 marks a lane dead: intersectors cull it for free
+
+
+class PathState(NamedTuple):
+    """Per-lane path state between depths. Lanes are freely permutable:
+    every random draw is keyed by ``pid`` (+ sample/depth), so compaction
+    sorts preserve bitwise results per pixel."""
+
+    origin: jnp.ndarray       # (N, 3)
+    direction: jnp.ndarray    # (N, 3)
+    throughput: jnp.ndarray   # (N, 3)
+    radiance: jnp.ndarray     # (N, 3) accumulated along the path
+    last_pdf: jnp.ndarray     # (N,)
+    spec_bounce: jnp.ndarray  # (N,) bool — IS_SPECULAR path flag
+    last_n: jnp.ndarray       # (N, 3) shading normal at previous vertex
+    alive: jnp.ndarray        # (N,) bool
+    pid: jnp.ndarray          # (N,) uint32 absolute pixel id
 
 
 def _sky_texel(scene, d):
@@ -107,24 +131,326 @@ def _tile_permutation(width: int, n: int, tile: int = 16):
     return perm, inv
 
 
+def make_path_state(scene, view, width: int, height: int, sample_index,
+                    config: RenderConfig, pid) -> PathState:
+    """Ray-gen + fresh path state for the lanes in ``pid`` (absolute
+    pixel ids, any order)."""
+    bn_mask = scene.get("blue_noise")
+    use_bn = config.blue_noise and bn_mask is not None
+    origin, direction = raygen.generate_primary_rays(
+        view, width, height, sample_index,
+        blue_noise_mask=bn_mask if use_bn else None, pixel_ids=pid)
+    n = pid.shape[0]
+    return PathState(
+        origin=origin, direction=direction,
+        throughput=jnp.ones((n, 3), jnp.float32),
+        radiance=jnp.zeros((n, 3), jnp.float32),
+        last_pdf=jnp.ones(n, jnp.float32),
+        spec_bounce=jnp.zeros(n, dtype=bool),
+        last_n=direction,
+        alive=jnp.ones(n, dtype=bool),
+        pid=pid)
+
+
+def depth_stage(scene, view, state: PathState, width: int, depth: int,
+                sample_index, probe_lane, config: RenderConfig,
+                intersector: Intersector, tex_flags=None,
+                sort_rays: bool | None = None):
+    """One depth of the wavefront loop: closest hit → shade (sky/emissive)
+    → NEE + occlusion → extension BSDF sample.
+
+    ``depth`` is static (blue-noise dims and env-NEE gating are
+    compile-time). ``probe_lane`` is the lane index to probe (depth 0
+    only; pass 0 otherwise). ``sort_rays`` overrides the intersector's
+    coherence sort (None = legacy policy: sort iff depth > 0 — the
+    compacted driver passes False for pre-sorted streams).
+
+    Returns (state, stats, probe, aux): stats {"ray_count", "shadow_count"}
+    for this depth; probe (3,) and aux planes are None unless depth == 0.
+    """
+    n = state.pid.shape[0]
+    bsdf = get_bsdf(config.bsdf)
+    clamp_v = jnp.float32(config.firefly_clamp)
+    lights = scene["lights"]
+    bn_mask = scene.get("blue_noise")
+    use_bn = config.blue_noise and bn_mask is not None
+
+    (origin, direction, throughput, radiance, last_pdf, spec_bounce,
+     last_n, alive, pid) = state
+    px = (pid % jnp.uint32(width)).astype(jnp.int32)
+    py = (pid // jnp.uint32(width)).astype(jnp.int32)
+    probe = None
+    aux = None
+    stats = {}
+
+    # dead lanes carry t_max 0: the intersectors' per-ray culls drop
+    # them before any treelet work (mask-only wavefront compaction)
+    ray_tmax = jnp.where(alive, jnp.float32(1e30), 0.0)
+    # primary rays arrive in pixel order (coherent) — skip the sort
+    do_sort = (depth > 0) if sort_rays is None else sort_rays
+    t, prim, u, v = intersector.closest(scene, origin, direction,
+                                        ray_tmax, sort=do_sort)
+    prim = jnp.where(alive, prim, -1)
+    stats["ray_count"] = jnp.sum(alive)
+
+    miss = prim < 0
+    # ---- skybox on miss (Kernels.cu:592-610) ----
+    sky = sample_skybox(scene, direction)
+    env_nee_active = (config.envmap_nee and config.variance_reduction
+                      and "skybox" in scene
+                      and "pdf" in scene.get("skybox", {}))
+
+    def env_depth_ok(d: int) -> bool:
+        return config.envmap_nee_max_depth < 0 or \
+            d <= config.envmap_nee_max_depth
+
+    if env_nee_active and depth > 0 and env_depth_ok(depth - 1):
+        # MIS against envmap NEE at the previous vertex (no-op for
+        # specular bounces, which shot no NEE ray)
+        e_pdf = skybox_pdf(scene, direction)
+        denom_m = jnp.where(spec_bounce, last_pdf, last_pdf + e_pdf)
+    else:
+        denom_m = last_pdf
+    contrib = throughput * sky / jnp.maximum(denom_m, 1e-20)[..., None]
+    contrib = clamp_intensity(_no_nan(contrib), clamp_v)
+    radiance = radiance + jnp.where((alive & miss)[..., None], contrib,
+                                    0.0)
+    alive = alive & ~miss
+    prim_safe = jnp.maximum(prim, 0)
+
+    hit_pos = origin + direction * t[..., None]
+    cone_width = view["spread_angle"] * t
+    sd, n_geom, i_n, t_vec, b_vec, alpha_cut = get_shading_data(
+        scene, prim_safe, u, v, direction, cone_width,
+        tex_flags=tex_flags, tex_filter=config.texture_filter)
+    # alpha cutout (Kernels.cu:636-648): the hit is transparent — the
+    # ray continues unchanged through the surface on the next bounce
+    alpha_cut = alpha_cut & alive
+
+    if depth == 0:
+        # aux feature buffers for the denoiser (ops/denoise.py)
+        aux = {"normal": jnp.where(miss[..., None], 0.0, i_n),
+               "depth": jnp.where(miss, 0.0, t)}
+        # probe readback (Kernels.cu:628-633)
+        probe = jnp.stack([
+            scene["tri_instance"][prim_safe][probe_lane].astype(
+                jnp.float32),
+            scene["tri_prim"][prim_safe][probe_lane].astype(
+                jnp.float32),
+            jnp.where(miss[probe_lane], jnp.float32(-1.0),
+                      t[probe_lane]),
+        ])
+
+    # ---- emissive hit terminates path (Kernels.cu:651-692) ----
+    emissive = jnp.any(sd["color"] > 1.0, axis=-1) & ~alpha_cut
+    d_dot_nl = -dot3(direction, n_geom)
+    if depth == 0:
+        e_contrib = sd["color"]
+    elif not config.variance_reduction:
+        e_contrib = throughput * sd["color"] \
+            / jnp.maximum(last_pdf, 1e-20)[..., None]
+    else:
+        if "tri_pack" in scene:
+            # same (R, 32) row gather as get_shading_data — XLA CSEs
+            # the duplicate, so area/light-idx come for free
+            _row = scene["tri_pack"][prim_safe]
+            tri_area_v = _row[:, 26]
+            tri_lidx_v = _row[:, 27].astype(jnp.int32)
+        else:
+            tri_area_v = scene["tri_area"][prim_safe]
+            tri_lidx_v = scene["tri_light_idx"][prim_safe]
+        light_pdf = light_sampling.calculate_light_pdf(
+            direction, t, tri_area_v, n_geom)
+        pick_prob = light_sampling.light_pick_prob(
+            tri_lidx_v, lights, origin, last_n, hit_pos)
+        denom = last_pdf + light_pdf * pick_prob
+        mis_c = throughput * sd["color"] / jnp.maximum(
+            denom, 1e-20)[..., None]
+        mis_c = jnp.where((denom > 0)[..., None], mis_c, 0.0)
+        spec_c = throughput * sd["color"] / jnp.maximum(
+            last_pdf, 1e-20)[..., None]
+        e_contrib = jnp.where(spec_bounce[..., None], spec_c, mis_c)
+    e_contrib = jnp.where((d_dot_nl > 0)[..., None], e_contrib, 0.0)
+    e_contrib = clamp_intensity(_no_nan(e_contrib), clamp_v)
+    radiance = radiance + jnp.where((alive & emissive)[..., None],
+                                    e_contrib, 0.0)
+    alive = alive & ~emissive
+
+    # ---- fix normals, apply postponed pdf (Kernels.cu:698-703) ----
+    flip = jnp.where(dot3(direction, n_geom) > 0, -1.0, 1.0)
+    n_geom = n_geom * flip[..., None]
+    i_n = i_n * flip[..., None]
+    backfacing = flip < 0
+    throughput_predpdf = throughput   # alpha lanes keep the postponed pdf
+    throughput = throughput / jnp.maximum(last_pdf, 1e-20)[..., None]
+
+    spec_mat = sd["roughness"] < config.min_roughness
+    # Salt the shade-stage stream: path_seed(pid, sample, 0) is exactly
+    # the primary-ray seed, so drawing NEE randoms from it would make
+    # the light sample a deterministic function of the AA jitter —
+    # a correlation that biases direct lighting by ~2% (the reference
+    # has the same collision in its no-blue-noise fallback,
+    # Kernels.cu:699 vs :385; blue-noise dims hide it there).
+    seed = rng.wang_hash(
+        rng.path_seed(pid, sample_index, depth) ^ jnp.uint32(0x9E3779B9))
+
+    # ---- NEE (Kernels.cu:705-756) ----
+    if config.variance_reduction:
+        if use_bn:
+            # distinct dimension pair per depth (Kernels.cu uses
+            # 4 + 4*pathLength) — reusing dims 4/5 at every depth
+            # correlates the light samples across bounces
+            r0 = rng.blue_noise_sample(bn_mask, px, py, sample_index,
+                                       4 + 2 * depth)
+            r1 = rng.blue_noise_sample(bn_mask, px, py, sample_index,
+                                       5 + 2 * depth)
+            r0 = jnp.where(sample_index < config.blue_noise_spp_cutoff,
+                           r0, 0.0)
+            seed, (h0, h1) = rng.random_floats(seed, 2)
+            r0 = jnp.where(sample_index < config.blue_noise_spp_cutoff,
+                           r0, h0)
+            r1 = jnp.where(sample_index < config.blue_noise_spp_cutoff,
+                           r1, h1)
+        else:
+            seed, (r0, r1) = rng.random_floats(seed, 2)
+        ls = light_sampling.random_point_on_light(
+            lights, r0, r1, hit_pos, i_n,
+            importance_sample=config.importance_sample_lights)
+        l_vec = ls["position"] - hit_pos
+        dist = jnp.sqrt(jnp.maximum(dot3(l_vec, l_vec), 1e-20))
+        l_dir = l_vec / dist[..., None]
+        n_dot_l = dot3(l_dir, i_n)
+        s_val, s_pdf = bsdf.evaluate_bsdf(sd, i_n, t_vec, b_vec,
+                                          -direction, l_dir)
+        # MIS balance with BSDF sampling only for area lights — a BSDF
+        # ray can never hit a delta light (see light_sampling docstring)
+        denom = (jnp.where(ls["is_delta"], 0.0, s_pdf)
+                 + ls["light_pdf"] * ls["pick_prob"])
+        nee = (throughput * s_val * ls["radiance"]
+               * (n_dot_l / jnp.maximum(denom, 1e-20))[..., None])
+        nee = clamp_intensity(_no_nan(nee), clamp_v)
+        want_shadow = (alive & ~spec_mat & ~alpha_cut & (n_dot_l > 0)
+                       & (ls["light_pdf"] > 0) & (s_pdf > 0))
+        s_origin = safe_origin(hit_pos, n_geom)
+        s_dist = jnp.where(want_shadow,
+                           dist - 2.0 * config.geometry_epsilon, 0.0)
+        stats["shadow_count"] = jnp.sum(want_shadow)
+
+        # ---- envmap NEE (new capability; reference skybox.h:37-39
+        # declares the tables but never fills them) ----
+        if env_nee_active and env_depth_ok(depth):
+            il = config.env_nee_interleave
+            if il > 1:
+                # interleaved sampling (Keller & Heidrich): one env
+                # sample per sqrt(il) x sqrt(il) IMAGE tile, derived
+                # from absolute pixel coords — identical regardless
+                # of chunking or multi-chip tiling (keeps tiled ==
+                # single-device bitwise). A 16x16 tile is exactly one
+                # intersector lane block, so its occlusion rays are
+                # parallel → coherent blocks for the envelope cull.
+                # Unbiased: every pixel applies a validly-distributed
+                # env sample with its own BSDF weight; only the noise
+                # is tile-correlated and averages out over samples.
+                tb = max(int(round(il ** 0.5)), 1)
+                gid = ((py // tb).astype(jnp.uint32)
+                       * jnp.uint32((width + tb - 1) // tb)
+                       + (px // tb).astype(jnp.uint32))
+                gseed = rng.wang_hash(
+                    rng.path_seed(gid, sample_index, depth)
+                    ^ jnp.uint32(0x517CC1B7))
+                _, re = rng.random_float(gseed)
+            else:
+                seed, re = rng.random_float(seed)
+            e_dir, e_pdf, e_rad = sample_envmap(scene, re)
+            e_cos = dot3(e_dir, i_n)
+            eb_val, eb_pdf = bsdf.evaluate_bsdf(
+                sd, i_n, t_vec, b_vec, -direction, e_dir)
+            e_denom = e_pdf + eb_pdf
+            e_contrib = (throughput * eb_val * e_rad
+                         * (e_cos / jnp.maximum(e_denom, 1e-20))[..., None])
+            e_contrib = clamp_intensity(_no_nan(e_contrib), clamp_v)
+            e_want = (alive & ~spec_mat & ~alpha_cut & (e_cos > 0)
+                      & (e_pdf > 0) & (eb_pdf > 0))
+            # one fused occlusion launch for light + envmap shadow rays
+            # (halves per-call overhead). ALWAYS sorted: envmap
+            # directions are random per lane, and unsorted mixed-octant
+            # blocks degenerate the envelope cull to full scans
+            # (measured 11.4 s/sample at 1080p with sort=False).
+            occ2 = intersector.occluded(
+                scene,
+                jnp.concatenate([s_origin, s_origin]),
+                jnp.concatenate([l_dir, e_dir]),
+                jnp.concatenate([s_dist, jnp.where(e_want, 1e30, 0.0)]),
+                sort=True)
+            occ, e_occ = occ2[:n], occ2[n:]
+            radiance = radiance + jnp.where(
+                (want_shadow & ~occ)[..., None], nee, 0.0)
+            radiance = radiance + jnp.where(
+                (e_want & ~e_occ)[..., None], e_contrib, 0.0)
+        else:
+            # depth-0 shadow rays start at pixel-ordered (coherent) hit
+            # points — skip the sort there; bounce origins are scattered
+            occ = intersector.occluded(scene, s_origin, l_dir, s_dist,
+                                       sort=depth > 0)
+            radiance = radiance + jnp.where(
+                (want_shadow & ~occ)[..., None], nee, 0.0)
+
+    if depth >= config.max_path_length:
+        # final depth: no extension rays
+        state = PathState(origin, direction, throughput, radiance,
+                          last_pdf, spec_bounce, last_n,
+                          jnp.zeros_like(alive), pid)
+        return state, stats, probe, aux
+
+    # ---- extension: sample BSDF (Kernels.cu:760-794) ----
+    seed, (r3, r4) = rng.random_floats(seed, 2)
+    b_val, wi, new_pdf, _stype = bsdf.sample_bsdf(
+        sd, i_n, n_geom, t_vec, b_vec, -direction, t, backfacing, r3, r4)
+    new_throughput = (throughput * b_val
+                      * jnp.abs(dot3(i_n, wi))[..., None])
+    if config.russian_roulette:
+        # survival divide + kill together (the reference divides without
+        # killing — Kernels.cu:783 — which is biased bright; with its
+        # MAX_PATH_LENGTH=2 default the damage is bounded, here it isn't)
+        survival = jnp.clip(survival_probability(throughput), 1e-6, 1.0)
+        seed, rr = rng.random_float(seed)
+        alive = alive & ((rr <= survival) | alpha_cut)
+        new_throughput = new_throughput / survival[..., None]
+    valid = ((new_pdf > 1e-6) & ~jnp.isnan(new_pdf)
+             & jnp.all(new_throughput >= 0.0, axis=-1)
+             & ~jnp.any(jnp.isnan(new_throughput), axis=-1))
+    alive = alive & (valid | alpha_cut)
+    # alpha lanes pass straight through: state unchanged, origin nudged
+    # past the surface along the ray (Kernels.cu:641-644)
+    ac = alpha_cut[..., None]
+    throughput = jnp.where(ac, throughput_predpdf, new_throughput)
+    last_pdf = jnp.where(alpha_cut, last_pdf, new_pdf)
+    spec_bounce = jnp.where(alpha_cut, spec_bounce, spec_mat)
+    last_n = jnp.where(ac, last_n, i_n)
+    origin = jnp.where(
+        ac, hit_pos + direction * config.geometry_epsilon,
+        safe_origin(hit_pos, n_geom))
+    direction = jnp.where(ac, direction, wi)
+
+    state = PathState(origin, direction, throughput, radiance, last_pdf,
+                      spec_bounce, last_n, alive, pid)
+    return state, stats, probe, aux
+
+
 def trace_sample(scene, view, width: int, height: int, sample_index,
                  probe_index, config: RenderConfig,
                  intersector: Intersector, pixel_offset=0,
                  n_pixels: int | None = None, tex_flags=None):
-    """Trace one sample per pixel. Returns (radiance (N,3), probe (3,),
-    stats dict). ``sample_index``/``probe_index`` are traced scalars so spp
-    accumulation does not recompile.
+    """Trace one sample per pixel (fused: all depths in one jit).
+    Returns (radiance (N,3), probe (3,), stats dict, aux). ``sample_index``/
+    ``probe_index`` are traced scalars so spp accumulation does not
+    recompile.
 
     ``pixel_offset``/``n_pixels`` select a contiguous pixel range of the
     full image — the multi-chip tile path (parallel/tiles.py) gives each
     chip its own row block; probe_index is relative to the range.
     """
     n = n_pixels if n_pixels is not None else width * height
-    bsdf = get_bsdf(config.bsdf)
-    clamp_v = jnp.float32(config.firefly_clamp)
-    lights = scene["lights"]
-    n_area = lights["area_v0"].shape[0]
-    bn_mask = scene.get("blue_noise")
 
     # lanes hold pixels in 16×16-tile order (square ray-block envelopes for
     # the intersector cull); results are scattered back to row-major at
@@ -139,273 +465,27 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
         pid = (jnp.arange(n, dtype=jnp.uint32)
                + jnp.asarray(pixel_offset, jnp.uint32))
         inv_lane = None
-    use_bn = config.blue_noise and bn_mask is not None
-    origin, direction = raygen.generate_primary_rays(
-        view, width, height, sample_index,
-        blue_noise_mask=bn_mask if use_bn else None, pixel_ids=pid)
 
-    radiance = jnp.zeros((n, 3), jnp.float32)
+    state = make_path_state(scene, view, width, height, sample_index,
+                            config, pid)
+    probe = jnp.zeros(3, jnp.float32)
     aux = {"normal": jnp.zeros((n, 3), jnp.float32),
            "depth": jnp.zeros(n, jnp.float32)}
-    throughput = jnp.ones((n, 3), jnp.float32)
-    last_pdf = jnp.ones(n, jnp.float32)
-    spec_bounce = jnp.zeros(n, dtype=bool)   # IS_SPECULAR path flag
-    last_n = direction
-    alive = jnp.ones(n, dtype=bool)
-    probe = jnp.zeros(3, jnp.float32)
     stats = {}
-
-    px = (pid % jnp.uint32(width)).astype(jnp.int32)
-    py = (pid // jnp.uint32(width)).astype(jnp.int32)
+    probe_lane = (probe_index if inv_lane is None
+                  else inv_lane[probe_index])
 
     for depth in range(config.max_path_length + 1):
-        # dead lanes carry t_max 0: the intersectors' per-ray culls drop
-        # them before any treelet work (mask-only wavefront compaction)
-        ray_tmax = jnp.where(alive, jnp.float32(1e30), 0.0)
-        # primary rays arrive in pixel order (coherent) — skip the sort
-        t, prim, u, v = intersector.closest(scene, origin, direction,
-                                            ray_tmax, sort=depth > 0)
-        prim = jnp.where(alive, prim, -1)
-        stats[f"ray_count_{depth}"] = jnp.sum(alive)
-
-        miss = prim < 0
-        # ---- skybox on miss (Kernels.cu:592-610) ----
-        sky = sample_skybox(scene, direction)
-        env_nee_active = (config.envmap_nee and config.variance_reduction
-                          and "skybox" in scene
-                          and "pdf" in scene.get("skybox", {}))
-
-        def env_depth_ok(d: int) -> bool:
-            return config.envmap_nee_max_depth < 0 or \
-                d <= config.envmap_nee_max_depth
-
-        if env_nee_active and depth > 0 and env_depth_ok(depth - 1):
-            # MIS against envmap NEE at the previous vertex (no-op for
-            # specular bounces, which shot no NEE ray)
-            e_pdf = skybox_pdf(scene, direction)
-            denom_m = jnp.where(spec_bounce, last_pdf, last_pdf + e_pdf)
-        else:
-            denom_m = last_pdf
-        contrib = throughput * sky / jnp.maximum(denom_m, 1e-20)[..., None]
-        contrib = clamp_intensity(_no_nan(contrib), clamp_v)
-        radiance = radiance + jnp.where((alive & miss)[..., None], contrib,
-                                        0.0)
-        alive = alive & ~miss
-        prim_safe = jnp.maximum(prim, 0)
-
-        hit_pos = origin + direction * t[..., None]
-        cone_width = view["spread_angle"] * t
-        sd, n_geom, i_n, t_vec, b_vec, alpha_cut = get_shading_data(
-            scene, prim_safe, u, v, direction, cone_width,
-            tex_flags=tex_flags, tex_filter=config.texture_filter)
-        # alpha cutout (Kernels.cu:636-648): the hit is transparent — the
-        # ray continues unchanged through the surface on the next bounce
-        alpha_cut = alpha_cut & alive
-
+        state, stats_d, probe_d, aux_d = depth_stage(
+            scene, view, state, width, depth, sample_index, probe_lane,
+            config, intersector, tex_flags=tex_flags)
+        for k, v in stats_d.items():
+            stats[f"{k}_{depth}"] = v
         if depth == 0:
-            # aux feature buffers for the denoiser (ops/denoise.py)
-            aux["normal"] = jnp.where(miss[..., None], 0.0, i_n)
-            aux["depth"] = jnp.where(miss, 0.0, t)
-            # probe readback (Kernels.cu:628-633); with tiled lanes the
-            # probed pixel lives at lane inv_lane[probe_index]
-            probe_lane = (probe_index if inv_lane is None
-                          else inv_lane[probe_index])
-            probe = jnp.stack([
-                scene["tri_instance"][prim_safe][probe_lane].astype(
-                    jnp.float32),
-                scene["tri_prim"][prim_safe][probe_lane].astype(
-                    jnp.float32),
-                jnp.where(miss[probe_lane], jnp.float32(-1.0),
-                          t[probe_lane]),
-            ])
+            probe = probe_d
+            aux = aux_d
 
-        # ---- emissive hit terminates path (Kernels.cu:651-692) ----
-        emissive = jnp.any(sd["color"] > 1.0, axis=-1) & ~alpha_cut
-        d_dot_nl = -dot3(direction, n_geom)
-        if depth == 0:
-            e_contrib = sd["color"]
-        elif not config.variance_reduction:
-            e_contrib = throughput * sd["color"] \
-                / jnp.maximum(last_pdf, 1e-20)[..., None]
-        else:
-            if "tri_pack" in scene:
-                # same (R, 32) row gather as get_shading_data — XLA CSEs
-                # the duplicate, so area/light-idx come for free
-                _row = scene["tri_pack"][prim_safe]
-                tri_area_v = _row[:, 26]
-                tri_lidx_v = _row[:, 27].astype(jnp.int32)
-            else:
-                tri_area_v = scene["tri_area"][prim_safe]
-                tri_lidx_v = scene["tri_light_idx"][prim_safe]
-            light_pdf = light_sampling.calculate_light_pdf(
-                direction, t, tri_area_v, n_geom)
-            pick_prob = light_sampling.light_pick_prob(
-                tri_lidx_v, lights, origin, last_n, hit_pos)
-            denom = last_pdf + light_pdf * pick_prob
-            mis_c = throughput * sd["color"] / jnp.maximum(
-                denom, 1e-20)[..., None]
-            mis_c = jnp.where((denom > 0)[..., None], mis_c, 0.0)
-            spec_c = throughput * sd["color"] / jnp.maximum(
-                last_pdf, 1e-20)[..., None]
-            e_contrib = jnp.where(spec_bounce[..., None], spec_c, mis_c)
-        e_contrib = jnp.where((d_dot_nl > 0)[..., None], e_contrib, 0.0)
-        e_contrib = clamp_intensity(_no_nan(e_contrib), clamp_v)
-        radiance = radiance + jnp.where((alive & emissive)[..., None],
-                                        e_contrib, 0.0)
-        alive = alive & ~emissive
-
-        # ---- fix normals, apply postponed pdf (Kernels.cu:698-703) ----
-        flip = jnp.where(dot3(direction, n_geom) > 0, -1.0, 1.0)
-        n_geom = n_geom * flip[..., None]
-        i_n = i_n * flip[..., None]
-        backfacing = flip < 0
-        throughput_predpdf = throughput   # alpha lanes keep the postponed pdf
-        throughput = throughput / jnp.maximum(last_pdf, 1e-20)[..., None]
-
-        spec_mat = sd["roughness"] < config.min_roughness
-        # Salt the shade-stage stream: path_seed(pid, sample, 0) is exactly
-        # the primary-ray seed, so drawing NEE randoms from it would make
-        # the light sample a deterministic function of the AA jitter —
-        # a correlation that biases direct lighting by ~2% (the reference
-        # has the same collision in its no-blue-noise fallback,
-        # Kernels.cu:699 vs :385; blue-noise dims hide it there).
-        seed = rng.wang_hash(
-            rng.path_seed(pid, sample_index, depth) ^ jnp.uint32(0x9E3779B9))
-
-        # ---- NEE (Kernels.cu:705-756) ----
-        if config.variance_reduction:
-            if use_bn:
-                # distinct dimension pair per depth (Kernels.cu uses
-                # 4 + 4*pathLength) — reusing dims 4/5 at every depth
-                # correlates the light samples across bounces
-                r0 = rng.blue_noise_sample(bn_mask, px, py, sample_index,
-                                           4 + 2 * depth)
-                r1 = rng.blue_noise_sample(bn_mask, px, py, sample_index,
-                                           5 + 2 * depth)
-                r0 = jnp.where(sample_index < config.blue_noise_spp_cutoff,
-                               r0, 0.0)
-                seed, (h0, h1) = rng.random_floats(seed, 2)
-                r0 = jnp.where(sample_index < config.blue_noise_spp_cutoff,
-                               r0, h0)
-                r1 = jnp.where(sample_index < config.blue_noise_spp_cutoff,
-                               r1, h1)
-            else:
-                seed, (r0, r1) = rng.random_floats(seed, 2)
-            ls = light_sampling.random_point_on_light(
-                lights, r0, r1, hit_pos, i_n,
-                importance_sample=config.importance_sample_lights)
-            l_vec = ls["position"] - hit_pos
-            dist = jnp.sqrt(jnp.maximum(dot3(l_vec, l_vec), 1e-20))
-            l_dir = l_vec / dist[..., None]
-            n_dot_l = dot3(l_dir, i_n)
-            s_val, s_pdf = bsdf.evaluate_bsdf(sd, i_n, t_vec, b_vec,
-                                              -direction, l_dir)
-            # MIS balance with BSDF sampling only for area lights — a BSDF
-            # ray can never hit a delta light (see light_sampling docstring)
-            denom = (jnp.where(ls["is_delta"], 0.0, s_pdf)
-                     + ls["light_pdf"] * ls["pick_prob"])
-            nee = (throughput * s_val * ls["radiance"]
-                   * (n_dot_l / jnp.maximum(denom, 1e-20))[..., None])
-            nee = clamp_intensity(_no_nan(nee), clamp_v)
-            want_shadow = (alive & ~spec_mat & ~alpha_cut & (n_dot_l > 0)
-                           & (ls["light_pdf"] > 0) & (s_pdf > 0))
-            s_origin = safe_origin(hit_pos, n_geom)
-            s_dist = jnp.where(want_shadow,
-                               dist - 2.0 * config.geometry_epsilon, 0.0)
-            stats[f"shadow_count_{depth}"] = jnp.sum(want_shadow)
-
-            # ---- envmap NEE (new capability; reference skybox.h:37-39
-            # declares the tables but never fills them) ----
-            if env_nee_active and env_depth_ok(depth):
-                il = config.env_nee_interleave
-                if il > 1:
-                    # interleaved sampling (Keller & Heidrich): one env
-                    # sample per sqrt(il) x sqrt(il) IMAGE tile, derived
-                    # from absolute pixel coords — identical regardless
-                    # of chunking or multi-chip tiling (keeps tiled ==
-                    # single-device bitwise). A 16x16 tile is exactly one
-                    # intersector lane block, so its occlusion rays are
-                    # parallel → coherent blocks for the envelope cull.
-                    # Unbiased: every pixel applies a validly-distributed
-                    # env sample with its own BSDF weight; only the noise
-                    # is tile-correlated and averages out over samples.
-                    tb = max(int(round(il ** 0.5)), 1)
-                    gid = ((py // tb).astype(jnp.uint32)
-                           * jnp.uint32((width + tb - 1) // tb)
-                           + (px // tb).astype(jnp.uint32))
-                    gseed = rng.wang_hash(
-                        rng.path_seed(gid, sample_index, depth)
-                        ^ jnp.uint32(0x517CC1B7))
-                    _, re = rng.random_float(gseed)
-                else:
-                    seed, re = rng.random_float(seed)
-                e_dir, e_pdf, e_rad = sample_envmap(scene, re)
-                e_cos = dot3(e_dir, i_n)
-                eb_val, eb_pdf = bsdf.evaluate_bsdf(
-                    sd, i_n, t_vec, b_vec, -direction, e_dir)
-                e_denom = e_pdf + eb_pdf
-                e_contrib = (throughput * eb_val * e_rad
-                             * (e_cos / jnp.maximum(e_denom, 1e-20))[..., None])
-                e_contrib = clamp_intensity(_no_nan(e_contrib), clamp_v)
-                e_want = (alive & ~spec_mat & ~alpha_cut & (e_cos > 0)
-                          & (e_pdf > 0) & (eb_pdf > 0))
-                # one fused occlusion launch for light + envmap shadow rays
-                # (halves per-call overhead). ALWAYS sorted: envmap
-                # directions are random per lane, and unsorted mixed-octant
-                # blocks degenerate the envelope cull to full scans
-                # (measured 11.4 s/sample at 1080p with sort=False).
-                occ2 = intersector.occluded(
-                    scene,
-                    jnp.concatenate([s_origin, s_origin]),
-                    jnp.concatenate([l_dir, e_dir]),
-                    jnp.concatenate([s_dist, jnp.where(e_want, 1e30, 0.0)]),
-                    sort=True)
-                occ, e_occ = occ2[:n], occ2[n:]
-                radiance = radiance + jnp.where(
-                    (want_shadow & ~occ)[..., None], nee, 0.0)
-                radiance = radiance + jnp.where(
-                    (e_want & ~e_occ)[..., None], e_contrib, 0.0)
-            else:
-                # depth-0 shadow rays start at pixel-ordered (coherent) hit
-                # points — skip the sort there; bounce origins are scattered
-                occ = intersector.occluded(scene, s_origin, l_dir, s_dist,
-                                           sort=depth > 0)
-                radiance = radiance + jnp.where(
-                    (want_shadow & ~occ)[..., None], nee, 0.0)
-
-        if depth >= config.max_path_length:
-            break
-
-        # ---- extension: sample BSDF (Kernels.cu:760-794) ----
-        seed, (r3, r4) = rng.random_floats(seed, 2)
-        b_val, wi, new_pdf, _stype = bsdf.sample_bsdf(
-            sd, i_n, n_geom, t_vec, b_vec, -direction, t, backfacing, r3, r4)
-        new_throughput = (throughput * b_val
-                          * jnp.abs(dot3(i_n, wi))[..., None])
-        if config.russian_roulette:
-            # survival divide + kill together (the reference divides without
-            # killing — Kernels.cu:783 — which is biased bright; with its
-            # MAX_PATH_LENGTH=2 default the damage is bounded, here it isn't)
-            survival = jnp.clip(survival_probability(throughput), 1e-6, 1.0)
-            seed, rr = rng.random_float(seed)
-            alive = alive & ((rr <= survival) | alpha_cut)
-            new_throughput = new_throughput / survival[..., None]
-        valid = ((new_pdf > 1e-6) & ~jnp.isnan(new_pdf)
-                 & jnp.all(new_throughput >= 0.0, axis=-1)
-                 & ~jnp.any(jnp.isnan(new_throughput), axis=-1))
-        alive = alive & (valid | alpha_cut)
-        # alpha lanes pass straight through: state unchanged, origin nudged
-        # past the surface along the ray (Kernels.cu:641-644)
-        ac = alpha_cut[..., None]
-        throughput = jnp.where(ac, throughput_predpdf, new_throughput)
-        last_pdf = jnp.where(alpha_cut, last_pdf, new_pdf)
-        spec_bounce = jnp.where(alpha_cut, spec_bounce, spec_mat)
-        last_n = jnp.where(ac, last_n, i_n)
-        origin = jnp.where(
-            ac, hit_pos + direction * config.geometry_epsilon,
-            safe_origin(hit_pos, n_geom))
-        direction = jnp.where(ac, direction, wi)
-
+    radiance = state.radiance
     if inv_lane is not None:   # tiled lanes → row-major pixel order
         radiance = radiance[inv_lane]
         aux = {k: v[inv_lane] for k, v in aux.items()}

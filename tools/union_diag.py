@@ -102,12 +102,17 @@ inv = 1.0 / np.where(np.abs(Ds) < 1e-12,
 def crossed(horizon):
     """(N, T_c) bool — ray crosses cell within [0, horizon)."""
     out = np.zeros((n_rays, T_c), bool)
-    for s in range(0, n_rays, 65536):
-        e = min(s + 65536, n_rays)
-        t1 = (bmin[None] - Ps[s:e, None]) * inv[s:e, None]
-        t2 = (bmax[None] - Ps[s:e, None]) * inv[s:e, None]
-        tn = np.maximum(np.minimum(t1, t2).max(-1), 0.0)
-        tf = np.maximum(t1, t2).min(-1)
+    for s in range(0, n_rays, 4096):
+        e = min(s + 4096, n_rays)
+        tn = np.zeros((e - s, T_c), np.float32)
+        tf = np.full((e - s, T_c), 3e38, np.float32)
+        for ax in range(3):
+            t1 = (bmin[None, :, ax] - Ps[s:e, None, ax]) * inv[s:e, None,
+                                                               ax]
+            t2 = (bmax[None, :, ax] - Ps[s:e, None, ax]) * inv[s:e, None,
+                                                               ax]
+            tn = np.maximum(tn, np.minimum(t1, t2))
+            tf = np.minimum(tf, np.maximum(t1, t2))
         out[s:e] = (tn < np.minimum(tf, horizon[s:e, None]))
     return out
 

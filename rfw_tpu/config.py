@@ -104,6 +104,10 @@ class RenderConfig:
     #                                   (one VPU lane-width per visit)
     treelet_spatial: bool = True      # disjoint centroid-cell treelets (fast)
     #                                   vs SAH-subtree ranges (legacy)
+    # visit-list intersector granule: "cell" (one K-tri cell per DMA/visit,
+    # minimal dense work) or "super" (SUPER_G cells per visit — fewer,
+    # fatter visits). See ops/visit_intersect.py.
+    visit_granularity: str = "cell"
     ray_block: int = 256              # rays per Pallas block
     use_pallas: bool = True           # use the Pallas/MXU intersector when on TPU
 

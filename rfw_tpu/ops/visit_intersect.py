@@ -11,23 +11,23 @@ Replaces both prior TPU traversal strategies on the hot path:
   combine sort) against only ~120 ms of kernel time.
 
 This module keeps the exactness and drops the sorts: the candidate unit is
-the per-256-ray-BLOCK **exact union** of crossed cells.
+the per-256-ray-BLOCK **exact union** of crossed cells (or supers).
 
-1. **Enumerate (XLA, fused)**: each ray slab-tests every cell AABB; the
-   (N, T_c) entry map is consumed by a min-reduce over the block dim, so
-   only (NB, T_c) block tables materialize. No per-ray row sort.
+1. **Enumerate (Pallas)**: a small kernel computes, per ray block, the
+   entry lower bound of every cell the block crosses — (256, T) slab
+   tiles live entirely in VMEM (an equivalent XLA map materializes the
+   (N, T, 3) product in HBM: 25 GB at 518k x 4096 — measured OOM).
 2. **Order (XLA)**: per block, candidates sort by packed
-   (quantized-entry, cell id) keys — a (NB, T_c) row sort, ~40x smaller
+   (quantized-entry, cell id) keys — a (NB, T) row sort, ~40x smaller
    than the pair driver's 12.4M-element sorts.
 3. **Kernel (Pallas)**: per block, walk the visit list front-to-back; per
-   visit DMA ONE cell's Woop planes (16, K) HBM→VMEM (pipelined) and
+   visit DMA one granule's Woop planes (G*16, K) HBM→VMEM (pipelined) and
    dense-intersect all 256 rays, committing per-ray best (t, slot).
-   Early-exit once every ray's best hit precedes the next cell's entry
+   Early-exit once every ray's best hit precedes the next granule's entry
    lower bound. Results come out in ray order — no combine pass.
 4. **Recull pass (driver)**: blocks whose union overflowed the visit cap
-   re-enumerate with the tightened per-ray horizon from pass 1 (rare:
-   the cap covers >p99 of bench blocks; a shrunken horizon collapses the
-   union). Guarantees exactness without full scans.
+   continue from an exact per-block watermark under the pass-tightened
+   horizon. Guarantees exactness without full scans.
 
 The TPU answer to per-ray BVH traversal (reference mbvh_node.h:122-307,
 CUDAIntersect.h): traversal *order* lives in the block-level candidate
@@ -49,12 +49,12 @@ from ..config import RenderConfig
 from .intersect import BIG_T, intersect_tri, safe_inv_dir
 
 BLOCK = 256        # rays per block
-M_C = 128          # visit-list cap (cells per block per pass)
-PIPE = 8           # in-flight cell DMAs: per-visit compute (~0.7 us) is
-#                    well below the ~4 us HBM latency; deep pipeline +
-#                    2 KB/cell blocks keep the DMA engine busy
-MAX_PASSES = 16    # recull passes bound (overflow blocks re-enumerate
-#                    under the pass-1-tightened horizon)
+M_C = 128          # visit-list cap (granules per block per pass)
+PIPE = 8           # in-flight DMAs: per-visit compute is below the ~4 us
+#                    HBM latency; a deep pipeline keeps the DMA engine busy
+MAX_PASSES = 16    # recull passes bound (overflow blocks continue from an
+#                    exact watermark under the tightened horizon)
+ENUM_TILE = 1024   # granules per VMEM tile in the enumeration kernel
 _BIGKEY = jnp.float32(1 << 25)
 
 
@@ -63,46 +63,90 @@ def _cid_bits(t_c: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Phase 1+2: per-block exact unions, entry-ordered (XLA, fused, sort-light)
+# Phase 1: per-block entry bounds (Pallas — no HBM temps)
 # ---------------------------------------------------------------------------
 
-def block_visit_candidates(origins, directions, t_hi, win_key, tl,
-                           m_c: int = M_C):
-    """Per 256-ray block: the ≤``m_c`` nearest cells crossed by ANY of the
-    block's rays within [0, t_hi), entry-ordered, restricted to packed
-    key ≥ ``win_key`` (per-block watermark — recull passes continue
-    exactly where the previous pass's processed prefix ended).
+def _enum_kernel(t_dim: int,
+                 rays_ref,        # (8, BLOCK) ox,oy,oz,tmax,dx,dy,dz,0
+                 bounds_ref,      # (8, T) lo.xyz, hi.xyz, 0, 0
+                 entry_out):      # (8, T) window — this program owns row
+    #                              pid%8 (Mosaic requires sublane-dim 8
+    #                              output blocks; 8 consecutive programs
+    #                              share one window like the SMEM tables)
+    row = jnp.remainder(pl.program_id(0), 8)
+    rays = rays_ref[:]
+    tm_col = rays[3:4, :].T                     # (BLOCK, 1)
+    o_col = []
+    inv_col = []
+    for ax in range(3):
+        o_col.append(rays[ax:ax + 1, :].T)      # (BLOCK, 1)
+        dax = rays[4 + ax:5 + ax, :].T
+        safe = jnp.where(jnp.abs(dax) < 1e-12,
+                         jnp.where(dax < 0, -1e-12, 1e-12), dax)
+        inv_col.append(1.0 / safe)
 
-    Keys pack per-block quantized entry lower bound with the cell id into
-    exact-int f32 (< 2^24), so one (NB, T_c) row sort yields both the
-    visit order and the ids; keys are unique per cell, so watermark
-    continuation is exact. Returns (ids (NB, m_c) i32 with T_c padding,
-    counts (NB,), overflow (NB,), tnears (NB, m_c) f32 entry lower
-    bounds, keys (NB, m_c) f32).
+    for s in range(0, t_dim, ENUM_TILE):
+        w = min(ENUM_TILE, t_dim - s)
+        ent = jnp.zeros((BLOCK, w), jnp.float32)
+        ext = jnp.full((BLOCK, w), 3e38, jnp.float32)
+        for ax in range(3):
+            b_lo = bounds_ref[ax:ax + 1, s:s + w]          # (1, w)
+            b_hi = bounds_ref[3 + ax:4 + ax, s:s + w]
+            t1 = (b_lo - o_col[ax]) * inv_col[ax]          # (BLOCK, w)
+            t2 = (b_hi - o_col[ax]) * inv_col[ax]
+            ent = jnp.maximum(ent, jnp.minimum(t1, t2))
+            ext = jnp.minimum(ext, jnp.maximum(t1, t2))
+        crossed = ent < jnp.minimum(ext, tm_col)
+        e = jnp.where(crossed, ent, 1e30)
+        entry_out[pl.ds(row, 1), s:s + w] = jnp.min(
+            e, axis=0, keepdims=True).reshape(1, w)
 
-    Dead lanes (t_hi == 0) cross nothing and never contribute.
+
+@functools.partial(jax.jit, static_argnames=())
+def block_entries(rays8, bounds8):
+    """rays8 (NB*8, BLOCK) → (NB, T) per-block entry lower bounds."""
+    nb = rays8.shape[0] // 8
+    t_dim = bounds8.shape[1]
+    pad_nb = (-nb) % 8
+    if pad_nb:   # output windows span 8 grid rows
+        rays8 = jnp.pad(rays8, ((0, pad_nb * 8), (0, 0)))
+    kernel = functools.partial(_enum_kernel, t_dim)
+    interpret = jax.default_backend() == "cpu"
+    out = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(nb + pad_nb,),
+        in_specs=[
+            pl.BlockSpec((8, BLOCK), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, t_dim), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, t_dim), lambda b: (b // 8, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        out_shape=jax.ShapeDtypeStruct((nb + pad_nb, t_dim), jnp.float32),
+    )(rays8, bounds8)
+    return out[:nb]
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: entry-ordered visit lists (XLA — small row sort)
+# ---------------------------------------------------------------------------
+
+def order_candidates(b_entry, win_key, diag, m_c: int):
+    """(NB, T) entries → (ids, counts, overflow, tnears, keys), restricted
+    to packed key ≥ ``win_key`` (per-block watermark for recull passes).
+
+    Keys pack the quantized entry with the granule id into exact-int f32
+    (< 2^24) — unique per granule, so watermark continuation is exact.
     """
-    bmin, bmax = tl["bmin"], tl["bmax"]
-    t_c = bmin.shape[0]
+    t_c = b_entry.shape[1]
     cb = _cid_bits(t_c)
     qmax = (1 << (24 - cb)) - 1
-    lo = tl["scene_lo"] if "scene_lo" in tl else bmin.min(axis=0)
-    hi = tl["scene_hi"] if "scene_hi" in tl else bmax.max(axis=0)
-    inv_diag = 1.0 / jnp.sqrt(jnp.sum((hi - lo) ** 2))
-
-    n = origins.shape[0]
-    nb = n // BLOCK
-    inv = safe_inv_dir(directions)
-    t1 = (bmin[None] - origins[:, None]) * inv[:, None]     # (N, T_c, 3)
-    t2 = (bmax[None] - origins[:, None]) * inv[:, None]
-    tn = jnp.maximum(jnp.max(jnp.minimum(t1, t2), axis=-1), 0.0)
-    tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
-    entry = jnp.where(tn < jnp.minimum(tf, t_hi[:, None]), tn, BIG_T)
-    # ONE reduce over the block dim — XLA fuses the slab map into it, so
-    # the (N, T_c) map never materializes in HBM
-    b_entry = jnp.min(entry.reshape(nb, BLOCK, t_c), axis=1)  # (NB, T_c)
-
-    q = jnp.minimum(jnp.floor(b_entry * (inv_diag * qmax)), jnp.float32(qmax))
+    q = jnp.minimum(jnp.floor(b_entry * (qmax / diag)), jnp.float32(qmax))
+    q = jnp.maximum(q, 0.0)
     cid = jnp.arange(t_c, dtype=jnp.float32)[None]
     key = q * (1 << cb) + cid
     key = jnp.where((b_entry < BIG_T) & (key >= win_key[:, None]),
@@ -111,22 +155,23 @@ def block_visit_candidates(origins, directions, t_hi, win_key, tl,
     counts = jnp.sum(key < _BIGKEY, axis=-1).astype(jnp.int32)
     ids = jnp.where(keys < _BIGKEY,
                     keys.astype(jnp.int32) & ((1 << cb) - 1), t_c)
-    gran = jnp.sqrt(jnp.sum((hi - lo) ** 2)) / qmax
+    gran = diag / qmax
     tnears = jnp.where(keys < _BIGKEY,
                        jnp.floor(keys / (1 << cb)) * gran, BIG_T)
     return ids, jnp.minimum(counts, m_c), counts > m_c, tnears, keys
 
 
 # ---------------------------------------------------------------------------
-# Phase 3: the kernel
+# Phase 3: the visit kernel
 # ---------------------------------------------------------------------------
 
-def _visit_kernel(k_size: int, m_c: int, t_epsilon: float, any_hit: bool,
+def _visit_kernel(super_g: int, k_size: int, m_c: int, t_epsilon: float,
+                  any_hit: bool,
                   # SMEM (windowed over 8 grid rows)
                   ids_ref, counts_ref, tnears_ref,
                   # VMEM
                   rays_ref,            # (8, BLOCK) ox,oy,oz,tmax,dx,dy,dz,0
-                  wcell_hbm,           # (T_c, 16, K) Woop planes per cell
+                  wg_hbm,              # (T, G*16, K) Woop planes per granule
                   # outputs (lane-major rows)
                   t_out, slot_out,
                   # scratch
@@ -144,20 +189,20 @@ def _visit_kernel(k_size: int, m_c: int, t_epsilon: float, any_hit: bool,
     bt_s[:] = t_max0
     bs_s[:] = jnp.full((BLOCK, 1), -1, jnp.int32)
 
-    def cell_id(i):
+    def gid(i):
         return ids_ref[row, jnp.minimum(i, m_c - 1)]
 
     def tnear_of(i):
         return tnears_ref[row, jnp.minimum(i, m_c - 1)]
 
-    def dma(slot, cid):
+    def dma(slot, g):
         return pltpu.make_async_copy(
-            wcell_hbm.at[cid], wp_s.at[slot], sems.at[slot])
+            wg_hbm.at[g], wp_s.at[slot], sems.at[slot])
 
     for k in range(PIPE - 1):
         @pl.when(k < n_visit)
         def _(k=k):
-            dma(k, cell_id(k)).start()
+            dma(k, gid(k)).start()
 
     def body(state):
         i, _ = state
@@ -166,40 +211,46 @@ def _visit_kernel(k_size: int, m_c: int, t_epsilon: float, any_hit: bool,
         @pl.when(i + PIPE - 1 < n_visit)
         def _():
             dma(jnp.remainder(i + PIPE - 1, PIPE),
-                cell_id(i + PIPE - 1)).start()
+                gid(i + PIPE - 1)).start()
 
-        dma(slot, cell_id(i)).wait()
-        cur = cell_id(i)
-        wp = wp_s[slot]                       # (16, K)
-        bt = bt_s[:]
+        dma(slot, gid(i)).wait()
+        cur = gid(i)
+        wp = wp_s[slot]                       # (G*16, K)
 
-        def xf(a, r0):
-            acc = a[0:1, :].T * wp[r0:r0 + 1, :]
-            for q in range(1, 4):
-                acc = acc + a[q:q + 1, :].T * wp[r0 + q:r0 + q + 1, :]
-            return acc                        # (BLOCK, K)
+        for j in range(super_g):
+            base = 16 * j
+            bt = bt_s[:]
 
-        ou, du = xf(o4, 0), xf(d4, 0)
-        ov, dv = xf(o4, 4), xf(d4, 4)
-        ow, dw = xf(o4, 8), xf(d4, 8)
-        valid = jnp.abs(dw) > 1e-12
-        t = -ow / jnp.where(valid, dw, 1.0)
-        u = ou + t * du
-        v = ov + t * dv
-        hit = (valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-               & (t > t_epsilon) & (t < bt))
-        t_hit = jnp.where(hit, t, 1e30)
-        tmin = jnp.min(t_hit, axis=1, keepdims=True)
-        kbest = jnp.argmin(t_hit, axis=1, keepdims=True).astype(jnp.int32)
-        better = tmin < bt
-        bs_s[:] = jnp.where(better, cur * k_size + kbest, bs_s[:])
-        bt_s[:] = jnp.where(better, tmin, bt)
+            def xf(a, r0):
+                acc = a[0:1, :].T * wp[base + r0:base + r0 + 1, :]
+                for q in range(1, 4):
+                    acc = acc + (a[q:q + 1, :].T
+                                 * wp[base + r0 + q:base + r0 + q + 1, :])
+                return acc                    # (BLOCK, K)
+
+            ou, du = xf(o4, 0), xf(d4, 0)
+            ov, dv = xf(o4, 4), xf(d4, 4)
+            ow, dw = xf(o4, 8), xf(d4, 8)
+            valid = jnp.abs(dw) > 1e-12
+            t = -ow / jnp.where(valid, dw, 1.0)
+            u = ou + t * du
+            v = ov + t * dv
+            hit = (valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                   & (t > t_epsilon) & (t < bt))
+            t_hit = jnp.where(hit, t, 1e30)
+            tmin = jnp.min(t_hit, axis=1, keepdims=True)
+            kbest = jnp.argmin(t_hit, axis=1, keepdims=True).astype(
+                jnp.int32)
+            better = tmin < bt
+            bs_s[:] = jnp.where(
+                better, (cur * super_g + j) * k_size + kbest, bs_s[:])
+            bt_s[:] = jnp.where(better, tmin, bt)
 
         if any_hit:
             done = ~jnp.any((bs_s[:] < 0) & (t_max0 > 0))
         else:
             # front-to-back: once every ray's best precedes the next
-            # cell's entry lower bound, no later cell can win
+            # granule's entry lower bound, no later granule can win
             done = jnp.max(bt_s[:]) <= tnear_of(i + 1)
         return i + 1, done
 
@@ -213,21 +264,22 @@ def _visit_kernel(k_size: int, m_c: int, t_epsilon: float, any_hit: bool,
     for k in range(PIPE - 1):   # drain in-flight DMAs on early exit
         @pl.when(i_end + k < n_visit)
         def _(k=k):
-            dma(jnp.remainder(i_end + k, PIPE), cell_id(i_end + k)).wait()
+            dma(jnp.remainder(i_end + k, PIPE), gid(i_end + k)).wait()
 
     # lane-major output rows: (BLOCK, 1) scratch → (8, BLOCK) broadcast
-    # streams contiguously (minor-dim-8 blocks DMA as 32 B segments —
-    # measured ~5 us/program of pure fixed cost, ops/pair_intersect.py)
+    # streams contiguously (minor-dim-8 output blocks DMA as 32 B
+    # segments — ~5 us/program of pure fixed cost, ops/pair_intersect.py)
     t_out[0, :, :] = jnp.broadcast_to(
         bt_s[:].reshape(1, BLOCK), (8, BLOCK))
     slot_out[0, :, :] = jnp.broadcast_to(
         bs_s[:].reshape(1, BLOCK), (8, BLOCK))
 
 
-@functools.partial(jax.jit, static_argnames=("k_size", "t_epsilon",
-                                             "any_hit"))
-def _run_visit_kernel(rays8, ids, counts, tnears, wcells,
-                      k_size: int, t_epsilon: float, any_hit: bool):
+@functools.partial(jax.jit, static_argnames=("super_g", "k_size",
+                                             "t_epsilon", "any_hit"))
+def _run_visit_kernel(rays8, ids, counts, tnears, wgran,
+                      super_g: int, k_size: int, t_epsilon: float,
+                      any_hit: bool):
     """rays8 (NB*8, BLOCK); ids/tnears (NB, M); counts (NB,).
     Returns per-ray (t, slot) in block-ray order."""
     nb = ids.shape[0]
@@ -254,8 +306,8 @@ def _run_visit_kernel(rays8, ids, counts, tnears, wcells,
         pl.BlockSpec((1, 8, BLOCK), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    kernel = functools.partial(_visit_kernel, k_size, m_c, t_epsilon,
-                               any_hit)
+    kernel = functools.partial(_visit_kernel, super_g, k_size, m_c,
+                               t_epsilon, any_hit)
     interpret = jax.default_backend() == "cpu"
     t, slot = pl.pallas_call(
         kernel,
@@ -268,14 +320,14 @@ def _run_visit_kernel(rays8, ids, counts, tnears, wcells,
         scratch_shapes=[
             pltpu.VMEM((BLOCK, 1), jnp.float32),
             pltpu.VMEM((BLOCK, 1), jnp.int32),
-            pltpu.VMEM((PIPE, 16, k_size), jnp.float32),
+            pltpu.VMEM((PIPE, super_g * 16, k_size), jnp.float32),
             pltpu.SemaphoreType.DMA((PIPE,)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, 8, BLOCK), jnp.float32),
             jax.ShapeDtypeStruct((nb, 8, BLOCK), jnp.int32),
         ],
-    )(ids, counts.reshape(-1, 1), tnears, rays8, wcells)
+    )(ids, counts.reshape(-1, 1), tnears, rays8, wgran)
     return t[:, 0, :].reshape(-1), slot[:, 0, :].reshape(-1)
 
 
@@ -317,15 +369,36 @@ def _sorted(tl, origins, directions, t_max):
     return order, inv
 
 
+def _granularity(tl, config: RenderConfig):
+    """Visit-granule tables: ('cell': one K-tri cell per DMA/visit) or
+    ('super': SUPER_G consecutive cells — fewer, fatter visits)."""
+    k_size = int(tl["wplanes"].shape[2])
+    if config.visit_granularity == "super":
+        from .pallas_intersect import SUPER_G
+        wp = tl["wplanes"]
+        t, rows, k = wp.shape
+        wg = wp.reshape(t // SUPER_G, SUPER_G * rows, k)
+        bounds = jnp.concatenate([
+            tl["sbmin"].T, tl["sbmax"].T,
+            jnp.zeros((2, tl["sbmin"].shape[0]), jnp.float32)], axis=0)
+        return wg, bounds, SUPER_G, k_size
+    bounds = jnp.concatenate([
+        tl["bmin"].T, tl["bmax"].T,
+        jnp.zeros((2, tl["bmin"].shape[0]), jnp.float32)], axis=0)
+    return tl["wplanes"], bounds, 1, k_size
+
+
 def _trace(scene, origins, directions, t_max, config: RenderConfig,
            any_hit: bool):
     """Visit-list passes to exactness. Returns per-ray (t, slot)."""
     tl = scene["treelets"]
-    k_size = int(tl["wplanes"].shape[2])
+    wg, bounds8, super_g, k_size = _granularity(tl, config)
     n = origins.shape[0]
-    t_max = jnp.asarray(t_max, jnp.float32)
-
     nb = n // BLOCK
+    t_max = jnp.asarray(t_max, jnp.float32)
+    lo = tl["scene_lo"] if "scene_lo" in tl else tl["bmin"].min(axis=0)
+    hi = tl["scene_hi"] if "scene_hi" in tl else tl["bmax"].max(axis=0)
+    diag = jnp.sqrt(jnp.sum((hi - lo) ** 2))
 
     def one_pass(state):
         it, wm, best_t, best_slot, finished = state
@@ -333,19 +406,21 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
         if any_hit:
             t_hi = jnp.where(best_slot >= 0, 0.0, t_hi)
         t_hi = jnp.where(finished, 0.0, t_hi)
-        ids, counts, overflow, tnears, keys = block_visit_candidates(
-            origins, directions, t_hi, wm, tl, m_c=M_C)
+        rays8 = _pack_rays8(origins, directions, t_hi)
+        b_entry = block_entries(rays8, bounds8)
+        ids, counts, overflow, tnears, keys = order_candidates(
+            b_entry, wm, diag, M_C)
         t_row, s_row = _run_visit_kernel(
-            _pack_rays8(origins, directions, t_hi), ids, counts, tnears,
-            tl["wplanes"], k_size, float(config.t_epsilon), any_hit)
+            rays8, ids, counts, tnears, wg, super_g, k_size,
+            float(config.t_epsilon), any_hit)
         better = t_row < jnp.minimum(best_t, t_max)
         new_t = jnp.where(better, t_row, best_t)
         new_slot = jnp.where(better, s_row, best_slot)
         # a ray is done unless its BLOCK overflowed the visit cap. Those
         # blocks continue next pass from an exact watermark (one past the
         # last enumerated key) under the now-tightened per-ray horizon —
-        # processed cells never re-enumerate, so every pass makes progress
-        # and the walk is exact.
+        # processed granules never re-enumerate, so every pass makes
+        # progress and the walk is exact.
         blk_of = jnp.repeat(overflow, BLOCK)[:n]
         fin = finished | ~blk_of
         new_wm = jnp.where(overflow, keys[:, -1] + 1.0, _BIGKEY)

@@ -248,6 +248,8 @@ class PathTracerEngine(EngineContext):
     def _integrator_config(self) -> RenderConfig:
         return self.config
 
+    use_wavefront_driver = False   # per-depth compaction driver (flagship)
+
     def _get_trace_fn(self, width: int, height: int):
         if self._trace_fn is not None and self._size == (width, height):
             return self._trace_fn
@@ -274,6 +276,15 @@ class PathTracerEngine(EngineContext):
             "rough": bool(np.any(np.asarray(
                 mats.get("tex3_id", np.array([-1]))) >= 0)),
         }
+
+        if self.use_wavefront_driver and cfg.compaction:
+            from .wavefront_driver import WavefrontDriver
+            self._driver = WavefrontDriver(width, height, cfg, intersector,
+                                           tex_flags, n_local)
+            self._trace_fn = self._driver.step
+            self._size = (width, height)
+            return self._trace_fn
+        self._driver = None
 
         @functools.partial(jax.jit, static_argnames=("n_pixels",))
         def chunk_step(scene, view, sample_index, probe_index, offset,
@@ -357,6 +368,15 @@ class PathTracerEngine(EngineContext):
             self.stats.shadow_count = sum(
                 v for k, v in s.items() if k.startswith("shadow_count_"))
             self.stats.render_time = elapsed
+        # per-depth stage times (context.h:50-72 parity): the compacted
+        # driver syncs between depths (live-count readback), so the split
+        # is measured, not estimated
+        drv = getattr(self, "_driver", None)
+        if drv is not None and drv.depth_times:
+            dt = drv.depth_times
+            self.stats.primary_time = dt[0]
+            self.stats.secondary_time = dt[1] if len(dt) > 1 else 0.0
+            self.stats.deep_time = sum(dt[2:])
         if probe is not None:
             p = np.asarray(probe)
             self._probe_result = (int(p[0]), int(p[1]), float(p[2]))
@@ -452,14 +472,17 @@ class MegakernelEngine(PathTracerEngine):
 
 @register_engine("wavefront")
 class WavefrontEngine(PathTracerEngine):
-    """Flagship TPU engine: Pallas/MXU treelet intersection when on TPU."""
+    """Flagship TPU engine: per-depth compacted wavefront driver over the
+    exact visit-list Pallas intersector when on TPU."""
+
+    use_wavefront_driver = True
 
     def __init__(self, config: RenderConfig | None = None):
         super().__init__(config)
         on_tpu = any(d.platform == "tpu" for d in jax.devices()) or \
             jax.default_backend() not in ("cpu",)
         if (config or RenderConfig()).use_pallas and on_tpu:
-            self._intersector_name = "hybrid"
+            self._intersector_name = "visit"
         else:
             self._intersector_name = "bvh"
 

@@ -1,0 +1,180 @@
+"""Compacted wavefront driver: per-depth whole-frame stages with lane
+compaction between depths.
+
+The reference's wavefront loop compacts its ray queues with atomic
+counters between bounces (CUDART Kernels.cu:640,747,788 extensionRays /
+shadowRays + InitCounters per depth) so later bounces only pay for live
+paths. Round 1 ran whole paths per chunk with dead lanes masked: at depth
+1 ~45% of lanes are dead, at depth 2 ~72% (STATUS.md) — every intersect /
+sort / shade op still paid them. This driver is the TPU-native
+re-expression:
+
+* stages run per DEPTH over the whole frame, chunked at the engine chunk
+  size (static shapes — one compiled stage per depth);
+* between depths the per-lane ``PathState`` packs into one (N, 20) f32
+  matrix and sorts by (dead, direction octant, origin Morton): ONE row
+  gather instead of nine (TPU gather cost is per-op — see
+  render/scene_data.build_tri_pack), live lanes first and coherence-
+  ordered for the intersector (whose own per-launch sort is then skipped);
+* the live count reads back per depth (4 bytes) and the host runs only
+  ``ceil(live / chunk)`` chunks of the next depth;
+* after the last depth one sort by pixel id restores row-major order.
+
+Bitwise identity: every random draw is keyed by pixel id (+ sample,
+depth), so lane permutation does not change any pixel's arithmetic — with
+a deterministic intersector the compacted frame equals the fused
+``trace_sample`` frame exactly (tests/test_wavefront_driver.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig
+from ..ops.compaction import ray_sort_keys
+from ..utils import Timer
+from .integrator import (Intersector, PathState, _tile_permutation,
+                         depth_stage, make_path_state)
+
+
+def _pack_state(state: PathState):
+    """PathState → (N, 20) f32 matrix (ints/bools bitcast/encoded) for a
+    single-row-gather permutation."""
+    f = jnp.float32
+    flags = (state.alive.astype(f) + 2.0 * state.spec_bounce.astype(f))
+    pid_f = jax.lax.bitcast_convert_type(state.pid, f)
+    cols = [state.origin, state.direction, state.throughput,
+            state.radiance, state.last_n,
+            state.last_pdf[:, None], flags[:, None], pid_f[:, None]]
+    return jnp.concatenate(cols, axis=1)          # (N, 18) → pad-free
+
+
+def _unpack_state(m) -> PathState:
+    flags = m[:, 16]
+    return PathState(
+        origin=m[:, 0:3], direction=m[:, 3:6], throughput=m[:, 6:9],
+        radiance=m[:, 9:12], last_n=m[:, 12:15], last_pdf=m[:, 15],
+        spec_bounce=flags >= 2.0,
+        alive=jnp.mod(flags, 2.0) >= 1.0,
+        pid=jax.lax.bitcast_convert_type(m[:, 17], jnp.uint32))
+
+
+class WavefrontDriver:
+    """Builds and caches the jitted per-depth stages + compaction for one
+    (width, height, config, intersector) combination."""
+
+    def __init__(self, width: int, height: int, config: RenderConfig,
+                 intersector: Intersector, tex_flags, chunk: int):
+        self.width = width
+        self.height = height
+        self.config = config
+        self.chunk = chunk
+        n = width * height
+        self.n = n
+        tp = _tile_permutation(width, n)
+        if tp is not None:
+            perm_np, inv_np = tp
+            self._pid_np = perm_np.astype(np.uint32)
+            self._inv_np = inv_np
+        else:
+            self._pid_np = np.arange(n, dtype=np.uint32)
+            self._inv_np = None
+        pid = jnp.asarray(self._pid_np)
+
+        @jax.jit
+        def init_fn(scene, view, sample_index):
+            return make_path_state(scene, view, width, height,
+                                   sample_index, config, pid)
+
+        @functools.partial(jax.jit, static_argnames=("depth",))
+        def stage_fn(scene, view, state, sample_index, probe_lane, depth):
+            # closest-hit streams arrive pre-sorted: depth 0 in pixel-tile
+            # order, bounces in compaction (dead, octant, Morton) order
+            return depth_stage(scene, view, state, width, depth,
+                               sample_index, probe_lane, config,
+                               intersector, tex_flags=tex_flags,
+                               sort_rays=False)
+
+        @jax.jit
+        def compact_fn(scene, state):
+            tl = scene["treelets"]
+            lo = tl["scene_lo"] if "scene_lo" in tl else \
+                tl["bmin"].min(axis=0)
+            hi = tl["scene_hi"] if "scene_hi" in tl else \
+                tl["bmax"].max(axis=0)
+            keys = ray_sort_keys(state.origin, state.direction, lo, hi)
+            keys = keys + jnp.where(state.alive, jnp.uint32(0),
+                                    jnp.uint32(1) << 28)
+            order = jnp.argsort(keys).astype(jnp.int32)
+            m = _pack_state(state)[order]
+            return _unpack_state(m), jnp.sum(state.alive)
+
+        @jax.jit
+        def finalize_fn(state):
+            order = jnp.argsort(state.pid).astype(jnp.int32)
+            return state.radiance[order]
+
+        self._init = init_fn
+        self._stage = stage_fn
+        self._compact = compact_fn
+        self._finalize = finalize_fn
+        self.depth_times: list[float] = []
+
+    def _slice(self, state: PathState, c: int) -> PathState:
+        s, e = c * self.chunk, (c + 1) * self.chunk
+        return jax.tree.map(lambda a: a[s:e], state)
+
+    def step(self, scene, accumulator, view, sample_index, probe_index):
+        """One sample for the whole frame. Matches the fused step's
+        contract: returns (accumulator, probe, stats, aux)."""
+        cfg = self.config
+        n, chunk = self.n, self.chunk
+        probe_i = int(probe_index)
+        probe_lane = (probe_i if self._inv_np is None
+                      else int(self._inv_np[probe_i]))
+        state = self._init(scene, view, sample_index)
+        live = n
+        stats: dict = {}
+        probe = None
+        aux_parts = []
+        self.depth_times = []
+        timer = Timer()
+        for depth in range(cfg.max_path_length + 1):
+            n_chunks = max(1, -(-live // chunk))
+            parts = []
+            for c in range(n_chunks):
+                sl = self._slice(state, c)
+                rel = probe_lane - c * chunk
+                in_chunk = depth == 0 and 0 <= rel < chunk
+                out, st, probe_c, aux_c = self._stage(
+                    scene, view, sl, sample_index,
+                    jnp.int32(rel if in_chunk else 0), depth)
+                parts.append(out)
+                for k, v in st.items():
+                    key = f"{k}_{depth}"
+                    stats[key] = stats.get(key, 0) + v
+                if in_chunk:
+                    probe = probe_c
+                if depth == 0:
+                    aux_parts.append(aux_c)
+            tail = jax.tree.map(lambda a: a[n_chunks * chunk:], state)
+            state = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs), *parts, tail)
+            if depth < cfg.max_path_length:
+                state, live_dev = self._compact(scene, state)
+                live = int(live_dev)
+            self.depth_times.append(timer.elapsed())
+            timer = Timer()
+            if depth < cfg.max_path_length and live == 0:
+                break   # every path terminated — skip remaining depths
+        radiance = self._finalize(state)
+        accumulator = accumulator + radiance
+        aux = jax.tree.map(lambda *xs: jnp.concatenate(xs), *aux_parts)
+        if self._inv_np is not None:
+            inv = jnp.asarray(self._inv_np)
+            aux = {k: v[inv] for k, v in aux.items()}
+        return accumulator, probe, stats, aux

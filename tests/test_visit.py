@@ -103,6 +103,22 @@ def test_visit_overflow_recull_passes(soup_scene, monkeypatch):
     assert (prim_p[both] == prim_b[both]).mean() > 0.999
 
 
+def test_visit_super_granularity(soup_scene):
+    """'super' granule mode (SUPER_G cells per DMA/visit) stays exact."""
+    import dataclasses
+    scene, cfg = soup_scene
+    cfg_s = dataclasses.replace(cfg, visit_granularity="super")
+    o, d, tm = _rays(1024, seed=21)
+    t_p, prim_p, _, _ = visit_intersect.closest_hit(scene, o, d, cfg_s,
+                                                    t_max=tm)
+    t_b, prim_b, _, _ = _brute(scene, o, d, cfg)
+    prim_b = jnp.where((t_b < tm) & (prim_b >= 0), prim_b, -1)
+    prim_p, prim_b = np.asarray(prim_p), np.asarray(prim_b)
+    assert ((prim_p >= 0) == (prim_b >= 0)).all()
+    both = (prim_p >= 0) & (prim_b >= 0)
+    assert (prim_p[both] == prim_b[both]).mean() > 0.999
+
+
 def test_visit_coherent_unsorted(soup_scene):
     """sort=False path (pre-sorted coherent streams) stays exact."""
     scene, cfg = soup_scene

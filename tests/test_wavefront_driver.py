@@ -1,0 +1,74 @@
+"""Compacted wavefront driver == fused trace_sample.
+
+All RNG is pixel-id-keyed, so lane compaction does not change any pixel's
+estimator; with the deterministic bvh intersector the frames agree to
+float ulps (XLA fuses FMAs differently across the two jit graphs, so
+exact bit-equality across compilations is not guaranteed — the tolerance
+here is a few ulps, far below one 8-bit display step)."""
+
+import numpy as np
+
+import rfw_tpu
+from rfw_tpu.config import RenderConfig
+from rfw_tpu.render import RenderStatus, create_engine
+from rfw_tpu.scene import HostMaterial, MaterialList, make_quad
+from rfw_tpu.scene.lights import PointLight, pack_lights
+
+
+def _scene(eng):
+    ml = MaterialList()
+    ml.add(HostMaterial(color=np.array([0.7, 0.6, 0.5]), roughness=1.0))
+    ml.add(HostMaterial(color=np.array([0.3, 0.4, 0.8]), roughness=0.2))
+    eng.set_materials(ml.generate_device_materials())
+    eng.set_lights(pack_lights(
+        [], [PointLight(position=np.array([1.0, 4.0, -1.0], np.float32),
+                        radiance=np.array([30.0, 30.0, 30.0], np.float32))],
+        [], []))
+    eng.set_mesh(0, make_quad([0, 1, 0], [0, 0, 0], 8, 8, 0).triangles())
+    eng.set_mesh(1, make_quad([0, 0, -1], [0, 1, 1.5], 2, 2, 1).triangles())
+    eng.set_instance(0, 0, np.eye(4, dtype=np.float32))
+    eng.set_instance(1, 1, np.eye(4, dtype=np.float32))
+
+
+def _render(eng, samples=3):
+    cam = rfw_tpu.Camera()
+    cam.resize(64, 48)
+    cam.fov = 55
+    cam.look_at([0, 2.5, -5.0], [0, 0.8, 0.0])
+    eng.resize(64, 48)
+    return np.asarray(eng.render_frame(cam.get_view().as_pytree(),
+                                       RenderStatus.RESET,
+                                       samples=samples))
+
+
+def test_compacted_equals_fused():
+    cfg = RenderConfig(max_path_length=2, blue_noise=False)
+    fused = create_engine("megakernel", cfg)     # fused path, bvh
+    _scene(fused)
+    img_f = _render(fused)
+
+    comp = create_engine("megakernel", cfg)
+    comp.use_wavefront_driver = True             # same intersector, compacted
+    _scene(comp)
+    img_c = _render(comp)
+
+    assert img_c.shape == img_f.shape
+    assert np.abs(img_c - img_f).max() < 1e-5, (
+        f"max abs diff {np.abs(img_c - img_f).max()}")
+
+
+def test_compacted_stats_and_probe():
+    cfg = RenderConfig(max_path_length=2, blue_noise=False)
+    eng = create_engine("megakernel", cfg)
+    eng.use_wavefront_driver = True
+    _scene(eng)
+    eng.set_probe_index((30, 20))
+    img = _render(eng, samples=2)
+    assert np.isfinite(img).all() and img.mean() > 1e-5
+    s = eng.stats
+    assert s.primary_count == 64 * 48   # stats reflect the last sample
+    assert s.secondary_count > 0
+    assert s.shadow_count > 0
+    assert s.primary_time > 0 and s.secondary_time > 0
+    inst, prim, dist = eng.get_probe_results()
+    assert dist > 0 and inst in (0, 1)

@@ -48,21 +48,28 @@ def bench_fn(label, fn, *args, reps=3):
     return out
 
 
+import dataclasses
+cfg_s = dataclasses.replace(cfg, visit_granularity="super")
 tm_full = jnp.full(n, 1e30)
 ch_sup_u = jax.jit(lambda o, d, tm: pi.closest_hit(scene, o, d, cfg,
                                                    t_max=tm, sort=False))
 ch_vis_u = jax.jit(lambda o, d, tm: vi.closest_hit(scene, o, d, cfg,
                                                    t_max=tm, sort=False))
+ch_visS_u = jax.jit(lambda o, d, tm: vi.closest_hit(scene, o, d, cfg_s,
+                                                    t_max=tm, sort=False))
 ch_sup = jax.jit(lambda o, d, tm: pi.closest_hit(scene, o, d, cfg,
                                                  t_max=tm, sort=True))
 ch_pair = jax.jit(lambda o, d, tm: pri.closest_hit(scene, o, d, cfg,
                                                    t_max=tm))
 ch_vis = jax.jit(lambda o, d, tm: vi.closest_hit(scene, o, d, cfg,
                                                  t_max=tm, sort=True))
+ch_visS = jax.jit(lambda o, d, tm: vi.closest_hit(scene, o, d, cfg_s,
+                                                  t_max=tm, sort=True))
 
 print("== primary closest (coherent, unsorted) ==", flush=True)
 t, prim, _, _ = bench_fn("SUPER", ch_sup_u, O, D, tm_full)
-t_v, p_v, _, _ = bench_fn("VISIT", ch_vis_u, O, D, tm_full)
+t_v, p_v, _, _ = bench_fn("VISIT/cell", ch_vis_u, O, D, tm_full)
+bench_fn("VISIT/super", ch_visS_u, O, D, tm_full)
 agree = (np.asarray(prim) == np.asarray(p_v)).mean()
 print(f"primary prim agreement {agree:.5f}", flush=True)
 
@@ -85,7 +92,8 @@ tmb = jnp.where(jnp.asarray(hit), 1e30, 0.0)
 print("== bounce closest (scattered, 45% dead) ==", flush=True)
 t_s, p_s, _, _ = bench_fn("SUPER", ch_sup, so, Db, tmb)
 t_p, p_p, _, _ = bench_fn("PAIRS", ch_pair, so, Db, tmb)
-t_v, p_v, _, _ = bench_fn("VISIT", ch_vis, so, Db, tmb)
+t_v, p_v, _, _ = bench_fn("VISIT/cell", ch_vis, so, Db, tmb)
+bench_fn("VISIT/super", ch_visS, so, Db, tmb)
 print(f"prim agreement visit-vs-pairs "
       f"{(np.asarray(p_v) == np.asarray(p_p)).mean():.5f}", flush=True)
 
@@ -99,7 +107,10 @@ ah_sup = jax.jit(lambda o, d, dist: pi.any_hit(scene, o, d, dist, cfg,
                                                sort=True))
 ah_vis = jax.jit(lambda o, d, dist: vi.any_hit(scene, o, d, dist, cfg,
                                                sort=True))
+ah_visS = jax.jit(lambda o, d, dist: vi.any_hit(scene, o, d, dist, cfg_s,
+                                                sort=True))
 o_s = bench_fn("SUPER", ah_sup, so, jnp.asarray(ld), dd)
-o_v = bench_fn("VISIT", ah_vis, so, jnp.asarray(ld), dd)
+o_v = bench_fn("VISIT/cell", ah_vis, so, jnp.asarray(ld), dd)
+bench_fn("VISIT/super", ah_visS, so, jnp.asarray(ld), dd)
 print(f"occl agreement {(np.asarray(o_s) == np.asarray(o_v)).mean():.5f}",
       flush=True)

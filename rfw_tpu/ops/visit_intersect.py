@@ -67,39 +67,40 @@ def _cid_bits(t_c: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _enum_kernel(t_dim: int,
-                 rays_ref,        # (8, BLOCK) ox,oy,oz,tmax,dx,dy,dz,0
+                 rays_ref,        # (64, BLOCK) — 8 ray blocks of 8 rows
                  bounds_ref,      # (8, T) lo.xyz, hi.xyz, 0, 0
-                 entry_out):      # (8, T) window — this program owns row
-    #                              pid%8 (Mosaic requires sublane-dim 8
-    #                              output blocks; 8 consecutive programs
-    #                              share one window like the SMEM tables)
-    row = jnp.remainder(pl.program_id(0), 8)
-    rays = rays_ref[:]
-    tm_col = rays[3:4, :].T                     # (BLOCK, 1)
-    o_col = []
-    inv_col = []
-    for ax in range(3):
-        o_col.append(rays[ax:ax + 1, :].T)      # (BLOCK, 1)
-        dax = rays[4 + ax:5 + ax, :].T
-        safe = jnp.where(jnp.abs(dax) < 1e-12,
-                         jnp.where(dax < 0, -1e-12, 1e-12), dax)
-        inv_col.append(1.0 / safe)
-
-    for s in range(0, t_dim, ENUM_TILE):
-        w = min(ENUM_TILE, t_dim - s)
-        ent = jnp.zeros((BLOCK, w), jnp.float32)
-        ext = jnp.full((BLOCK, w), 3e38, jnp.float32)
+                 entry_out):      # (8, T) — row b = entry lbs of block b
+    # Each program computes 8 ray blocks and OWNS its whole (8, T) output
+    # window. (A window shared across 8 programs — each writing one row —
+    # is clobbered by Pallas' whole-block write-back of write-only
+    # outputs.)
+    for blk in range(8):
+        rays = rays_ref[8 * blk:8 * blk + 8, :]
+        tm_col = rays[3:4, :].T                 # (BLOCK, 1)
+        o_col = []
+        inv_col = []
         for ax in range(3):
-            b_lo = bounds_ref[ax:ax + 1, s:s + w]          # (1, w)
-            b_hi = bounds_ref[3 + ax:4 + ax, s:s + w]
-            t1 = (b_lo - o_col[ax]) * inv_col[ax]          # (BLOCK, w)
-            t2 = (b_hi - o_col[ax]) * inv_col[ax]
-            ent = jnp.maximum(ent, jnp.minimum(t1, t2))
-            ext = jnp.minimum(ext, jnp.maximum(t1, t2))
-        crossed = ent < jnp.minimum(ext, tm_col)
-        e = jnp.where(crossed, ent, 1e30)
-        entry_out[pl.ds(row, 1), s:s + w] = jnp.min(
-            e, axis=0, keepdims=True).reshape(1, w)
+            o_col.append(rays[ax:ax + 1, :].T)  # (BLOCK, 1)
+            dax = rays[4 + ax:5 + ax, :].T
+            safe = jnp.where(jnp.abs(dax) < 1e-12,
+                             jnp.where(dax < 0, -1e-12, 1e-12), dax)
+            inv_col.append(1.0 / safe)
+
+        for s in range(0, t_dim, ENUM_TILE):
+            w = min(ENUM_TILE, t_dim - s)
+            ent = jnp.zeros((BLOCK, w), jnp.float32)
+            ext = jnp.full((BLOCK, w), 3e38, jnp.float32)
+            for ax in range(3):
+                b_lo = bounds_ref[ax:ax + 1, s:s + w]      # (1, w)
+                b_hi = bounds_ref[3 + ax:4 + ax, s:s + w]
+                t1 = (b_lo - o_col[ax]) * inv_col[ax]      # (BLOCK, w)
+                t2 = (b_hi - o_col[ax]) * inv_col[ax]
+                ent = jnp.maximum(ent, jnp.minimum(t1, t2))
+                ext = jnp.minimum(ext, jnp.maximum(t1, t2))
+            crossed = ent < jnp.minimum(ext, tm_col)
+            e = jnp.where(crossed, ent, 1e30)
+            entry_out[blk:blk + 1, s:s + w] = jnp.min(
+                e, axis=0, keepdims=True).reshape(1, w)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -108,21 +109,21 @@ def block_entries(rays8, bounds8):
     nb = rays8.shape[0] // 8
     t_dim = bounds8.shape[1]
     pad_nb = (-nb) % 8
-    if pad_nb:   # output windows span 8 grid rows
+    if pad_nb:   # one program computes 8 ray blocks
         rays8 = jnp.pad(rays8, ((0, pad_nb * 8), (0, 0)))
     kernel = functools.partial(_enum_kernel, t_dim)
     interpret = jax.default_backend() == "cpu"
     out = pl.pallas_call(
         kernel,
         interpret=interpret,
-        grid=(nb + pad_nb,),
+        grid=((nb + pad_nb) // 8,),
         in_specs=[
-            pl.BlockSpec((8, BLOCK), lambda b: (b, 0),
+            pl.BlockSpec((64, BLOCK), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, t_dim), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, t_dim), lambda b: (b // 8, 0),
+        out_specs=pl.BlockSpec((8, t_dim), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
@@ -246,7 +247,10 @@ def _visit_kernel(super_g: int, k_size: int, m_c: int, t_epsilon: float,
                 better, (cur * super_g + j) * k_size + kbest, bs_s[:])
             bt_s[:] = jnp.where(better, tmin, bt)
 
-        if any_hit:
+        import os
+        if os.environ.get("RFW_VISIT_NOEXIT"):   # perf/correctness bisect
+            done = jnp.bool_(False)
+        elif any_hit:
             done = ~jnp.any((bs_s[:] < 0) & (t_max0 > 0))
         else:
             # front-to-back: once every ray's best precedes the next
@@ -308,7 +312,9 @@ def _run_visit_kernel(rays8, ids, counts, tnears, wgran,
     ]
     kernel = functools.partial(_visit_kernel, super_g, k_size, m_c,
                                t_epsilon, any_hit)
-    interpret = jax.default_backend() == "cpu"
+    import os
+    interpret = (jax.default_backend() == "cpu"
+                 or bool(os.environ.get("RFW_VISIT_INTERP")))
     t, slot = pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -413,7 +419,13 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
         t_row, s_row = _run_visit_kernel(
             rays8, ids, counts, tnears, wg, super_g, k_size,
             float(config.t_epsilon), any_hit)
-        better = t_row < jnp.minimum(best_t, t_max)
+        # commit ONLY actual new hits: finished blocks run later passes
+        # with t_hi = 0 and return (t = 0, slot = -1) — without the
+        # s_row >= 0 guard that "0 < best_t" would clobber every
+        # previously committed hit (the round-2 TPU 38%-missed-hits bug:
+        # coherent streams never multi-pass, so only scattered streams
+        # exposed it)
+        better = (s_row >= 0) & (t_row < jnp.minimum(best_t, t_max))
         new_t = jnp.where(better, t_row, best_t)
         new_slot = jnp.where(better, s_row, best_slot)
         # a ray is done unless its BLOCK overflowed the visit cap. Those

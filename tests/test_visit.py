@@ -103,6 +103,74 @@ def test_visit_overflow_recull_passes(soup_scene, monkeypatch):
     assert (prim_p[both] == prim_b[both]).mean() > 0.999
 
 
+def test_visit_heterogeneous_finish_passes(monkeypatch):
+    """Blocks that finish their recull walk on DIFFERENT passes: a block
+    finishing early must keep its committed hits while later passes run
+    for other blocks (regression: passes after a block finished returned
+    (t=0, slot=-1) and "0 < best_t" clobbered its results — 38% missed
+    hits on TPU bounce streams; homogeneous-finish tests never caught
+    it).
+
+    Scene: a tube of inward-facing rings along +x (axis rays cross every
+    ring's cell but miss its triangles — the horizon never tightens, so
+    block 1 walks MANY passes at M_C=2) + a standalone near quad that
+    block 0 hits on pass 1."""
+    monkeypatch.setattr(visit_intersect, "M_C", 2)
+    rng = np.random.default_rng(31)
+    tris = []
+    # 16 rings x 64 triangles at radius 2 around the x axis
+    for i in range(16):
+        x = 4.0 + 2.0 * i
+        ang0 = rng.random(64) * 2 * np.pi
+        for a in ang0:
+            c = np.array([x, 2.0 * np.cos(a), 2.0 * np.sin(a)])
+            v = c[None] + rng.normal(0, 0.15, (3, 3))
+            tris.append(v)
+    # far end-cap the axis rays actually hit
+    tris.append(np.array([[40.0, -3, -3], [40.0, 6, -3], [40.0, -3, 6]]))
+    # standalone near quad for block 0 (off to the side)
+    tris.append(np.array([[0, -60, -3], [0, -54, -3], [0, -60, 3]]))
+    tris.append(np.array([[0, -54, -3], [0, -54, 3], [0, -60, 3]]))
+    verts = np.stack(tris).astype(np.float32)
+    nt = verts.shape[0]
+    soa = build_triangles(verts.reshape(-1, 3),
+                          np.arange(nt * 3).reshape(nt, 3))
+    inst = scene_data.InstancedMesh(
+        triangles=soa, transform=np.eye(4, dtype=np.float32),
+        instance_id=0, mesh_slot=0)
+    cfg = RenderConfig()
+    scene = scene_data.build_device_scene(
+        [inst], MaterialList().generate_device_materials(),
+        pack_lights([], [], [], []), None, None, cfg)
+    scene.pop("_bvh_host")
+    scene.pop("_pack_host", None)
+    scene = jax.tree.map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, scene)
+
+    # block 0: rays hitting the standalone quad immediately
+    o0 = np.tile([[0.5, -57.0, 0.0]], (256, 1)) + rng.normal(
+        0, 0.2, (256, 3))
+    d0 = np.tile([[-1.0, 0.0, 0.0]], (256, 1)) + rng.normal(
+        0, 0.01, (256, 3))
+    # block 1: axis rays down the tube (cross all ring cells, hit the cap)
+    o1 = np.tile([[0.0, 0.0, 0.0]], (256, 1)) + rng.normal(
+        0, 0.05, (256, 3))
+    d1 = np.tile([[1.0, 0.0, 0.0]], (256, 1)) + rng.normal(
+        0, 0.001, (256, 3))
+    o = np.concatenate([o0, o1]).astype(np.float32)
+    d = np.concatenate([d0, d1]).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    # sort=False keeps the two engineered blocks intact
+    t_p, prim_p, _, _ = visit_intersect.closest_hit(scene, o, d, cfg,
+                                                    sort=False)
+    t_b, prim_b, _, _ = _brute(scene, o, d, cfg)
+    prim_p, prim_b = np.asarray(prim_p), np.asarray(prim_b)
+    assert ((prim_p >= 0) == (prim_b >= 0)).all()
+    both = (prim_p >= 0) & (prim_b >= 0)
+    assert (prim_p[both] == prim_b[both]).mean() > 0.999
+
+
 def test_visit_super_granularity(soup_scene):
     """'super' granule mode (SUPER_G cells per DMA/visit) stays exact."""
     import dataclasses

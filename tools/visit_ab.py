@@ -95,7 +95,10 @@ t_p, p_p, _, _ = bench_fn("PAIRS", ch_pair, so, Db, tmb)
 t_v, p_v, _, _ = bench_fn("VISIT/cell", ch_vis, so, Db, tmb)
 bench_fn("VISIT/super", ch_visS, so, Db, tmb)
 print(f"prim agreement visit-vs-pairs "
-      f"{(np.asarray(p_v) == np.asarray(p_p)).mean():.5f}", flush=True)
+      f"{(np.asarray(p_v) == np.asarray(p_p)).mean():.5f} "
+      f"visit-vs-super {(np.asarray(p_v) == np.asarray(p_s)).mean():.5f} "
+      f"pairs-vs-super {(np.asarray(p_p) == np.asarray(p_s)).mean():.5f}",
+      flush=True)
 
 print("== occlusion (coherent to-light, 2n fused analog) ==", flush=True)
 lp = np.array([0.0, 15.0, 0.0], np.float32)

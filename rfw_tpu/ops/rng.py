@@ -73,7 +73,8 @@ def path_seed(path_index, sample_index, path_length=None):
 # Blue-noise mask (generated, not baked) + R2 low-discrepancy sequence
 # ---------------------------------------------------------------------------
 
-_MASK_SIZE = 64
+_MASK_SIZE = 128   # r2: grown from 64 (reference blue_noise.h tables are
+#                    128x128; a 64² mask tiles visibly at 1080p)
 
 
 @functools.lru_cache(maxsize=1)
@@ -83,7 +84,18 @@ def blue_noise_mask(size: int = _MASK_SIZE, seed: int = 0x5F3759DF) -> np.ndarra
     A small, fast variant: start from white noise, iteratively rank by
     Gaussian-blurred density. Quality is adequate for Cranley–Patterson
     rotations (we only need well-distributed per-pixel toroidal shifts).
+    Generation is O(size² FFTs) (~15 s at 128²), so the result is cached
+    on disk under ~/.cache/rfw_tpu.
     """
+    import os
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "rfw_tpu",
+                         f"bluenoise_{size}_{seed:x}.npy")
+    try:
+        m = np.load(cache)
+        if m.shape == (size, size):
+            return m.astype(np.float32)
+    except OSError:
+        pass
     rng = np.random.default_rng(seed)
     n = size * size
     # Gaussian energy kernel with toroidal wrap.
@@ -130,26 +142,39 @@ def blue_noise_mask(size: int = _MASK_SIZE, seed: int = 0x5F3759DF) -> np.ndarra
         void = np.unravel_index(np.argmin(np.where(work, np.inf, e)), e.shape)
         work[void] = True
         rank[void] = r
-    return (rank.astype(np.float32) + 0.5) / float(n)
+    out = ((rank.astype(np.float32) + 0.5) / float(n)).astype(np.float32)
+    try:
+        import os
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.save(cache, out)
+    except OSError:
+        pass
+    return out
 
 
 # Generalized golden-ratio (R2) sequence constants (Roberts 2018, public).
 _R2_ALPHA = np.array([0.7548776662466927, 0.5698402909980532], dtype=np.float64)
 
 
-def blue_noise_sample(mask, x, y, sample_index, dim):
+def blue_noise_sample(mask, x, y, sample_index, dim: int):
     """Blue-noise-shifted R2 sample for pixel (x,y), sample and dimension.
 
-    Plays the role of ``blueNoiseSampler`` (Kernels.cu:205-224): decorrelated
-    per-dimension, toroidally shifted per pixel by the blue-noise mask so that
-    low-spp error is high-frequency.
+    Plays the role of ``blueNoiseSampler`` (Kernels.cu:205-224):
+    decorrelated per-dimension, toroidally shifted per pixel by the
+    blue-noise mask so that low-spp error is high-frequency. Every
+    DIMENSION gets its own mask offset (the reference scrambles per
+    dimension via its ranking tiles, blue_noise.h) — round 1 shared one
+    shift pair across all depths, correlating NEE samples across bounces.
+    ``dim`` is static (compile-time), as at every call site.
     """
     size = mask.shape[0]
-    mx = mask[y % size, x % size]
-    my = mask[(y + 17) % size, (x + 59) % size]
-    shift = jnp.where(jnp.asarray(dim) % 2 == 0, mx, my)
-    a = jnp.where(jnp.asarray(dim) % 2 == 0,
-                  jnp.float32(_R2_ALPHA[0]), jnp.float32(_R2_ALPHA[1]))
+    dim = int(dim)
+    # co-prime per-dimension offsets decorrelate the shift fields
+    ox = (dim * 59 + (dim // 2) * 31) % size
+    oy = (dim * 101 + (dim // 2) * 17) % size
+    shift = mask[(y + oy) % size, (x + ox) % size]
+    a = jnp.float32(_R2_ALPHA[dim % 2])
     # Different dimension pairs advance at co-prime multiples of the base seq.
-    k = jnp.asarray(sample_index, jnp.float32) + jnp.asarray(dim // 2, jnp.float32) * 0.38196601
+    k = (jnp.asarray(sample_index, jnp.float32)
+         + jnp.float32((dim // 2) * 0.38196601))
     return jnp.mod(a * k + shift, 1.0).astype(jnp.float32)

@@ -14,9 +14,56 @@ tables are actually built, completing that feature (BASELINE config 3).
 
 from __future__ import annotations
 
+import os
+import struct
+
 import numpy as np
 
 from ..utils import image as image_io
+
+_CACHE_MAGIC = b"RFWSKY01"
+
+
+def _cache_path(src: str) -> str:
+    """Decoded-pixels cache location: next to the source like the
+    reference (skybox.cpp:87-139 writes `<file>.bin`), falling back to
+    ~/.cache/rfw_tpu when the source directory is read-only (the
+    reference assumes writable asset dirs; a served deployment can't)."""
+    sidecar = src + ".bin"
+    if os.access(os.path.dirname(os.path.abspath(src)) or ".", os.W_OK):
+        return sidecar
+    root = os.path.join(os.path.expanduser("~"), ".cache", "rfw_tpu",
+                        "skybox")
+    os.makedirs(root, exist_ok=True)
+    key = abs(hash(os.path.abspath(src))) & 0xFFFFFFFFFFFF
+    return os.path.join(root, f"{os.path.basename(src)}.{key:012x}.bin")
+
+
+def _cache_load(src: str) -> np.ndarray | None:
+    path = _cache_path(src)
+    try:
+        if os.path.getmtime(path) < os.path.getmtime(src):
+            return None   # stale: source newer than cache
+        with open(path, "rb") as f:
+            if f.read(8) != _CACHE_MAGIC:
+                return None
+            h, w = struct.unpack("<II", f.read(8))
+            data = np.fromfile(f, dtype=np.float32, count=h * w * 3)
+        if data.size != h * w * 3:
+            return None
+        return data.reshape(h, w, 3)
+    except OSError:
+        return None
+
+
+def _cache_store(src: str, pixels: np.ndarray) -> None:
+    try:
+        with open(_cache_path(src), "wb") as f:
+            f.write(_CACHE_MAGIC)
+            f.write(struct.pack("<II", pixels.shape[0], pixels.shape[1]))
+            pixels.astype(np.float32).tofile(f)
+    except OSError:
+        pass   # cache is best-effort
 
 
 class Skybox:
@@ -33,11 +80,22 @@ class Skybox:
         return self.pixels.shape[0]
 
     @staticmethod
-    def load(path: str) -> "Skybox":
+    def load(path: str, use_cache: bool = True) -> "Skybox":
+        """Load an HDR/LDR equirect map. Decoded pixels are cached as a
+        `.bin` sidecar (reference skybox.cpp:87-139) so repeat loads skip
+        the image decode."""
         p = str(path)
+        if use_cache:
+            cached = _cache_load(p)
+            if cached is not None:
+                return Skybox(cached)
         if p.lower().endswith(".hdr"):
-            return Skybox(image_io.load_hdr(p))
-        return Skybox(image_io.load_ldr(p, to_linear=True)[..., :3])
+            sky = Skybox(image_io.load_hdr(p))
+        else:
+            sky = Skybox(image_io.load_ldr(p, to_linear=True)[..., :3])
+        if use_cache:
+            _cache_store(p, sky.pixels)
+        return sky
 
     @staticmethod
     def test_sky(width: int = 512, height: int = 256) -> "Skybox":

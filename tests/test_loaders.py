@@ -251,3 +251,30 @@ def test_collada_malformed(tmp_path):
     from rfw_tpu.scene import MaterialList, load_object
     with pytest.raises(ValueError):
         load_object(str(p), MaterialList())
+
+
+def test_skybox_bin_cache(tmp_path):
+    """Decoded skybox pixels round-trip through the .bin sidecar cache
+    (reference skybox.cpp:87-139 parity)."""
+    import numpy as np
+    from rfw_tpu.scene.skybox import Skybox
+    from rfw_tpu.utils import image as image_io
+
+    rng = np.random.default_rng(3)
+    img = (rng.random((16, 32, 3)) * 255).astype(np.uint8)
+    src = tmp_path / "sky.png"
+    image_io.save_png(str(src), img)
+
+    first = Skybox.load(str(src))
+    assert (tmp_path / "sky.png.bin").exists()
+    second = Skybox.load(str(src))          # served from cache
+    assert np.array_equal(first.pixels, second.pixels)
+
+    # stale cache (source newer) is ignored and rebuilt
+    import os, time
+    time.sleep(0.01)
+    image_io.save_png(str(src), img[:, :, ::-1])
+    os.utime(src)
+    third = Skybox.load(str(src))
+    assert third.pixels.shape == first.pixels.shape
+    assert not np.array_equal(third.pixels, first.pixels)

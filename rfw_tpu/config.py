@@ -97,6 +97,11 @@ class RenderConfig:
     bsdf: str = "disney"
 
     # Wavefront engine knobs (no reference analog — TPU-specific)
+    # devices to shard the frame across (image row-block tiles over ICI,
+    # parallel/tiles.py). 0/1 = single device. >1 routes render_frame
+    # through shard_map on a 1-D tile mesh — the SURVEY §2.9 "new
+    # capability" reachable straight from the product ABI.
+    n_devices: int = 0
     compaction: bool = True           # prefix-sum stream compaction between bounces
     max_rays_per_pass: int = 1 << 19  # chunk big frames: bounds HBM temps
     #                                   (1080p in one pass OOMs a 16GB chip)

@@ -66,6 +66,62 @@ def make_tiled_renderer(mesh, width: int, height: int,
     return jax.jit(fn)
 
 
+def make_engine_step(mesh, width: int, height: int, config: RenderConfig,
+                     intersector: Intersector, tex_flags=None):
+    """Multi-chip step with the ENGINE step contract — the product-ABI
+    route (VERDICT r1 next #3): ``RenderConfig.n_devices > 1`` makes
+    PathTracerEngine.render_frame call this instead of the single-chip
+    driver, so ``RenderSystem(..., config)`` is all a user touches.
+
+    step(scene, accumulator, view, sample_index, probe_index) →
+    (accumulator', probe, stats, aux): accumulator and aux are
+    replicated row-major full-frame arrays; each chip traces its own
+    contiguous row block; stats are psum-reduced and the probe is
+    contributed by the owning tile only.
+    """
+    n_dev = mesh.shape[TILE_AXIS]
+    n_total = width * height
+    assert n_total % n_dev == 0, (
+        f"pixel count {n_total} must divide by {n_dev} devices")
+    n_local = n_total // n_dev
+
+    def tile_fn(scene, accumulator, view, sample_index, probe_index):
+        tile = jax.lax.axis_index(TILE_AXIS)
+        offset = tile.astype(jnp.uint32) * jnp.uint32(n_local)
+        rel = probe_index - offset.astype(jnp.int32)
+        owner = (rel >= 0) & (rel < n_local)
+        radiance, probe, stats, aux = trace_sample(
+            scene, view, width, height, sample_index,
+            jnp.clip(rel, 0, n_local - 1), config, intersector,
+            pixel_offset=offset, n_pixels=n_local, tex_flags=tex_flags)
+        acc_rows = jax.lax.dynamic_slice(
+            accumulator, (offset.astype(jnp.int32), 0), (n_local, 3))
+        acc_rows = acc_rows + radiance
+        acc_out = jax.lax.all_gather(acc_rows, TILE_AXIS, axis=0,
+                                     tiled=True)
+        aux_out = jax.tree.map(
+            lambda a: jax.lax.all_gather(a, TILE_AXIS, axis=0, tiled=True),
+            aux)
+        stats = {k: jax.lax.psum(v, TILE_AXIS) for k, v in stats.items()}
+        probe = jax.lax.psum(jnp.where(owner, probe, 0.0), TILE_AXIS)
+        return acc_out, probe, stats, aux_out
+
+    fn = shard_map(
+        tile_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False,
+    )
+    jfn = jax.jit(fn)
+
+    def step(scene, accumulator, view, sample_index, probe_index):
+        return jfn(scene, accumulator, view,
+                   jnp.asarray(sample_index, jnp.uint32),
+                   jnp.asarray(probe_index, jnp.int32))
+
+    return step
+
+
 def render_tiled(scene, view, width: int, height: int,
                  config: RenderConfig, intersector: Intersector,
                  samples: int = 1, mesh=None):

@@ -277,6 +277,18 @@ class PathTracerEngine(EngineContext):
                 mats.get("tex3_id", np.array([-1]))) >= 0)),
         }
 
+        if cfg.n_devices and cfg.n_devices > 1:
+            # multi-chip tiles through the product ABI (SURVEY §2.9):
+            # each device traces a contiguous row block under shard_map
+            from ..parallel.mesh import make_tile_mesh
+            from ..parallel.tiles import make_engine_step
+            self._driver = None
+            mesh = make_tile_mesh(cfg.n_devices)
+            self._trace_fn = make_engine_step(mesh, width, height, cfg,
+                                              intersector, tex_flags)
+            self._size = (width, height)
+            return self._trace_fn
+
         if self.use_wavefront_driver and cfg.compaction:
             from .wavefront_driver import WavefrontDriver
             self._driver = WavefrontDriver(width, height, cfg, intersector,

@@ -50,3 +50,58 @@ def test_tiled_multi_sample_accumulation():
     assert frame.shape == (height, width, 3)
     assert np.isfinite(np.asarray(frame)).all()
     assert float(jnp.mean(frame)) > 0
+
+
+def _build_engine_scene(eng):
+    from rfw_tpu.scene import HostMaterial, MaterialList, make_quad
+    from rfw_tpu.scene.lights import PointLight, pack_lights
+    ml = MaterialList()
+    ml.add(HostMaterial(color=np.array([0.7, 0.6, 0.5]), roughness=1.0))
+    eng.set_materials(ml.generate_device_materials())
+    eng.set_lights(pack_lights(
+        [], [PointLight(position=np.array([1.0, 4.0, -1.0], np.float32),
+                        radiance=np.array([30.0, 30.0, 30.0], np.float32))],
+        [], []))
+    eng.set_mesh(0, make_quad([0, 1, 0], [0, 0, 0], 8, 8, 0).triangles())
+    eng.set_instance(0, 0, np.eye(4, dtype=np.float32))
+
+
+def _render_engine(name, cfg, intersector=None):
+    import rfw_tpu
+    from rfw_tpu.render import RenderStatus, create_engine
+    eng = create_engine(name, cfg)
+    _build_engine_scene(eng)
+    if intersector:
+        eng.set_setting("intersector", intersector)
+    cam = rfw_tpu.Camera()
+    cam.resize(64, 48)
+    cam.look_at([0, 2.5, -5.0], [0, 0.8, 0.0])
+    eng.resize(64, 48)
+    eng.set_probe_index((20, 10))
+    img = np.asarray(eng.render_frame(cam.get_view().as_pytree(),
+                                      RenderStatus.RESET, samples=2))
+    return img, eng
+
+
+def test_n_devices_through_engine_abi():
+    """RenderConfig.n_devices routes render_frame through the tile mesh —
+    the product-ABI multi-chip path (VERDICT r1 next #3). Frame, stats
+    and probe must match the single-device engine."""
+    cfg1 = RenderConfig(blue_noise=False, max_path_length=1)
+    img1, e1 = _render_engine("megakernel", cfg1)
+    cfg8 = RenderConfig(blue_noise=False, max_path_length=1, n_devices=8)
+    img8, e8 = _render_engine("megakernel", cfg8)
+    assert np.abs(img1 - img8).max() < 1e-5
+    assert e8.stats.primary_count == 64 * 48
+    assert e8.stats.shadow_count > 0
+    assert e1.get_probe_results() == e8.get_probe_results()
+
+
+def test_n_devices_visit_intersector():
+    """The flagship visit intersector (Pallas, interpret on CPU) runs
+    under the 8-device mesh and matches single-device."""
+    cfg1 = RenderConfig(blue_noise=False, max_path_length=1)
+    img1, _ = _render_engine("megakernel", cfg1, intersector="visit")
+    cfg8 = RenderConfig(blue_noise=False, max_path_length=1, n_devices=8)
+    img8, _ = _render_engine("megakernel", cfg8, intersector="visit")
+    assert np.abs(img1 - img8).max() < 1e-5

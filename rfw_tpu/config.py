@@ -68,6 +68,12 @@ class RenderConfig:
     # The 'tlas' intersector (render/intersectors.py) consumes them; the
     # flattened world-space path stays the default for the Pallas engines.
     use_tlas: bool = False
+    # run same-topology deformation updates (skinning/morphs) as ONE
+    # jitted device function (scene_data.make_device_refit) instead of
+    # the numpy host refit — sub-MB upload + device math per frame. Only
+    # engages for intersectors that read the treelet tables; 'bvh'/'tlas'
+    # fall back to the host refit.
+    device_refit: bool = True
     # consecutive deformation refits before a full rebuild restores BVH /
     # treelet cull quality (refit keeps topology while geometry drifts —
     # the reference refits unconditionally, top_level_bvh.cpp:17-53; a

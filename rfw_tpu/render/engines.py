@@ -189,13 +189,35 @@ class PathTracerEngine(EngineContext):
             if not hasattr(self, "_shape_caps"):
                 self._shape_caps = {}
             refit = None
-            if (getattr(self, "_anim_key", None) == anim_key
-                    and getattr(self, "_bvh_host", None) is not None
-                    and self._scene
-                    and getattr(self, "_perm_host", None) is not None
-                    and getattr(self, "_refits", 0) < self.config.max_refits):
+            can_refit = (
+                getattr(self, "_anim_key", None) == anim_key
+                and self._scene
+                and getattr(self, "_perm_host", None) is not None
+                and getattr(self, "_refits", 0) < self.config.max_refits)
+            if (can_refit and self.config.device_refit
+                    and "tlas" not in self._scene
+                    and self._intersector_name not in ("bvh", "tlas")):
+                # device-side deformation path: one jitted refresh of the
+                # shading planes + treelet tables; the wide-BVH arrays
+                # are left stale (no flagship consumer — engines force a
+                # rebuild when switching to 'bvh'/'tlas')
+                if getattr(self, "_device_refit", None) is None:
+                    self._device_refit = scene_data.make_device_refit(
+                        self._scene, instances, self._perm_host,
+                        self.config)
+                slot_planes = {
+                    im.mesh_slot: {
+                        "vertices": im.triangles.vertices,
+                        "normals": im.triangles.normals,
+                        "gnormal": im.triangles.gnormal,
+                        "tangent": im.triangles.tangent,
+                        "bitangent": im.triangles.bitangent,
+                    } for im in instances}
+                refit = self._device_refit(
+                    slot_planes, [im.transform for im in instances])
+            elif can_refit and getattr(self, "_bvh_host", None) is not None:
                 # same topology, new vertex data and/or transforms →
-                # refit instead of rebuild (no SAH, no re-jit)
+                # host refit instead of rebuild (no SAH, no re-jit)
                 refit = scene_data.refit_deformed(
                     dict(self._scene), instances, self._perm_host,
                     self._bvh_host, self.config, self._shape_caps,
@@ -214,6 +236,7 @@ class PathTracerEngine(EngineContext):
                     area_light_overrides=self._light_overrides,
                     shape_caps=self._shape_caps)
                 self._refits = 0
+                self._device_refit = None   # new structure → recompile
             self._geo_key = geo_key
             self._anim_key = anim_key
         self._perm_host = scene.pop("_perm_host",

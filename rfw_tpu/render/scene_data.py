@@ -177,6 +177,172 @@ def _build_tlas_tables(instances: list[InstancedMesh],
     }
 
 
+def woop_matrices_jnp(v0, v1, v2):
+    """jnp port of ops.intersect.woop_matrices for the device refit path
+    (f32 — the host build uses f64 then truncates; the Möller–Trumbore
+    winner refinement in the intersectors absorbs the difference)."""
+    import jax.numpy as jnp
+
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = jnp.cross(e1, e2)
+    det = jnp.sum(n * n, axis=-1)
+    bad = det < 1e-18
+    inv_det = 1.0 / jnp.where(bad, 1.0, det)
+    r0 = jnp.cross(e2, n) * inv_det[:, None]
+    r1 = jnp.cross(n, e1) * inv_det[:, None]
+    r2 = n
+    rot = jnp.stack([r0, r1, r2], axis=1)              # (T, 3, 3)
+    rot = jnp.where(bad[:, None, None], 0.0, rot)
+    trans = -jnp.einsum("tij,tj->ti", rot, v0)
+    trans = jnp.where(bad[:, None],
+                      jnp.array([0.0, 0.0, 1.0], jnp.float32), trans)
+    return jnp.concatenate([rot, trans[:, :, None]], axis=2)  # (T, 3, 4)
+
+
+def make_device_refit(scene: dict, instances: list[InstancedMesh],
+                      perm: np.ndarray, config: RenderConfig):
+    """Compile a DEVICE-side same-topology scene refresher (VERDICT r1
+    next #2: the ~2 s host refit was re-transform + re-collapse + Woop
+    rebuild in numpy — here the whole deformation path is one jitted
+    function, so a skinned-mesh frame costs a sub-MB upload + a few ms of
+    device math).
+
+    Static at compile time: instance structure, triangle counts, the
+    builder permutation and the cell membership (refit semantics — cull
+    quality degrades gracefully as geometry drifts, reference
+    top_level_bvh.cpp:17-53). Refreshes the flat shading planes, the
+    treelet/visit tables and the tri-pack geometric columns. The wide-BVH
+    node arrays are NOT refit (the flagship intersectors don't read
+    them); engines force a full rebuild when switching to the 'bvh'/
+    'tlas' intersectors.
+
+    Returns refresh(slot_planes, xforms) → partial scene dict of jnp
+    arrays, where slot_planes maps mesh_slot → {vertices, normals,
+    gnormal, tangent, bitangent} numpy/jnp arrays and xforms is a dict
+    with 'r' (I,3,3), 't' (I,3), 'nmat' (I,3,3) in instance order.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    slots = [im.mesh_slot for im in instances]
+    tl = scene["treelets"]
+    stp = np.asarray(tl["slot_to_prim"])
+    k = int(tl["size"])
+    n_cells = stp.shape[0] // k
+    from ..ops.pallas_intersect import SUPER_G
+    n_super = n_cells // SUPER_G
+    perm_j = jnp.asarray(perm.astype(np.int32))
+    pad_src = jnp.asarray(np.maximum(stp, 0))
+    pad_valid = jnp.asarray((stp >= 0).astype(np.float32))[:, None]
+    has_pack = "tri_pack" in scene
+
+    @jax.jit
+    def refresh(slot_planes, xforms):
+        parts = {kk: [] for kk in ("vertices", "normals", "gnormal",
+                                   "tangent", "bitangent")}
+        for i, slot in enumerate(slots):
+            p = slot_planes[slot]
+            r = xforms["r"][i]
+            t = xforms["t"][i]
+            nmat = xforms["nmat"][i]
+            parts["vertices"].append(p["vertices"] @ r.T + t)
+            for kk, m in (("normals", nmat), ("gnormal", nmat),
+                          ("tangent", r), ("bitangent", r)):
+                v = p[kk] @ m.T
+                v = v / jnp.maximum(
+                    jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+                parts[kk].append(v)
+        cat = {kk: jnp.concatenate(v, axis=0)[perm_j]
+               for kk, v in parts.items()}
+        verts = cat["vertices"]
+        e1 = verts[:, 1] - verts[:, 0]
+        e2 = verts[:, 2] - verts[:, 0]
+        area = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+
+        out = {
+            "tri_vertices": verts,
+            "tri_normals": cat["normals"],
+            "tri_gnormal": cat["gnormal"],
+            "tri_tangent": cat["tangent"],
+            "tri_bitangent": cat["bitangent"],
+            "tri_area": area,
+        }
+        # padded per-cell triangle planes (cell membership unchanged)
+        pv = verts[pad_src] * pad_valid[:, :, None]
+        pad_woop = woop_matrices_jnp(pv[:, 0], pv[:, 1], pv[:, 2])
+        # degenerate all-zero pad rows: make the w-plane unreachable
+        deg = jnp.sum(jnp.abs(pv.reshape(pv.shape[0], -1)), axis=1) < 1e-30
+        pad_woop = jnp.where(deg[:, None, None],
+                             jnp.zeros((3, 4), jnp.float32)
+                             .at[2, 3].set(1.0), pad_woop)
+        # fresh cell bounds over unchanged membership (far point when
+        # empty — see build_device_scene)
+        vlo = jnp.where(pad_valid > 0, pv.min(axis=1), 3e37)
+        vhi = jnp.where(pad_valid > 0, pv.max(axis=1), -3e37)
+        bmin_c = vlo.reshape(n_cells, k, 3).min(axis=1)
+        bmax_c = vhi.reshape(n_cells, k, 3).max(axis=1)
+        empty = bmax_c[:, 0] < bmin_c[:, 0]
+        bmin_c = jnp.where(empty[:, None], 3e37, bmin_c)
+        bmax_c = jnp.where(empty[:, None], 3e37, bmax_c)
+        w = pad_woop.reshape(n_cells, k, 3, 4).transpose(0, 2, 3, 1)
+        wplanes = jnp.zeros((n_cells, 16, k), jnp.float32)
+        wplanes = wplanes.at[:, 0:12].set(w.reshape(n_cells, 12, k))
+        wplanes = wplanes.at[:, 12, 0:3].set(bmin_c)
+        wplanes = wplanes.at[:, 12, 3:6].set(bmax_c)
+        cbounds = jnp.full((n_super, 8, SUPER_G), 3e37, jnp.float32)
+        cbounds = cbounds.at[:, 0:3, :].set(
+            bmin_c.reshape(n_super, SUPER_G, 3).transpose(0, 2, 1))
+        cbounds = cbounds.at[:, 3:6, :].set(
+            bmax_c.reshape(n_super, SUPER_G, 3).transpose(0, 2, 1))
+        sbmin = bmin_c.reshape(n_super, SUPER_G, 3).min(axis=1)
+        smax_raw = jnp.where(
+            bmax_c.reshape(n_super, SUPER_G, 3) > 1e37, -3e38,
+            bmax_c.reshape(n_super, SUPER_G, 3))
+        sbmax = smax_raw.max(axis=1)
+        s_empty = sbmax[:, 0] < sbmin[:, 0]
+        sbmin = jnp.where(s_empty[:, None], 3e37, sbmin)
+        sbmax = jnp.where(s_empty[:, None], 3e37, sbmax)
+        out["_treelets_update"] = {
+            "woop": pad_woop,
+            "wplanes": wplanes,
+            "verts": pv,
+            "bmin": bmin_c, "bmax": bmax_c,
+            "sbmin": sbmin, "sbmax": sbmax,
+            "cbounds": cbounds,
+            "scene_lo": verts.reshape(-1, 3).min(axis=0),
+            "scene_hi": verts.reshape(-1, 3).max(axis=0),
+        }
+        out["woop"] = woop_matrices_jnp(verts[:, 0], verts[:, 1],
+                                        verts[:, 2])
+        if has_pack:
+            tp = scene["tri_pack"]
+            tp = tp.at[:, 0:9].set(cat["normals"].reshape(-1, 9))
+            tp = tp.at[:, 15:18].set(cat["gnormal"])
+            tp = tp.at[:, 18:21].set(cat["tangent"])
+            tp = tp.at[:, 21:24].set(cat["bitangent"])
+            tp = tp.at[:, 26].set(area)
+            out["tri_pack"] = tp
+        return out
+
+    def apply(slot_planes, transforms):
+        r = np.stack([m[:3, :3] for m in transforms]).astype(np.float32)
+        t = np.stack([m[:3, 3] for m in transforms]).astype(np.float32)
+        nmat = np.stack([
+            np.linalg.inv(m[:3, :3]).T
+            if abs(np.linalg.det(m[:3, :3])) > 1e-12 else m[:3, :3]
+            for m in transforms]).astype(np.float32)
+        upd = refresh(slot_planes, {"r": r, "t": t, "nmat": nmat})
+        new_scene = dict(scene)
+        tl_new = dict(scene["treelets"])
+        tl_new.update(upd.pop("_treelets_update"))
+        new_scene.update(upd)
+        new_scene["treelets"] = tl_new
+        return new_scene
+
+    return apply
+
+
 def refit_deformed(scene: dict, instances: list[InstancedMesh],
                    perm: np.ndarray, bvh_host, config: RenderConfig,
                    shape_caps: dict, pack_host: np.ndarray | None = None):

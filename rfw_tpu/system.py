@@ -384,6 +384,14 @@ class RenderSystem:
     def get_probe_results(self):
         return self._context.get_probe_results()
 
+    # -- runtime settings (context.h:36-48 enumerable protocol) --------------
+
+    def get_available_settings(self):
+        return self._context.get_available_settings()
+
+    def set_setting(self, name: str, value: str) -> None:
+        self._context.set_setting(name, value)
+
     # -- stats ---------------------------------------------------------------
 
     def get_render_stats(self):

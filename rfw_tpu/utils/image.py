@@ -122,4 +122,6 @@ def save_png(path: str, img: np.ndarray, to_srgb: bool = True) -> None:
         else:
             img = rgb
         img = (img * 255.0 + 0.5).astype(np.uint8)
-    Image.fromarray(img).save(path)
+    # explicit format: `path` may be a file-like object (the live viewer
+    # streams PNGs from memory)
+    Image.fromarray(img).save(path, format="PNG")

@@ -99,6 +99,9 @@ def fetch_texel_trilinear(atlas, desc, tex_id, uv, lam,
         p1 = fetch_texel_bilinear(atlas, d1[..., 0], d1[..., 1],
                                   d1[..., 2], uv)
         return (1.0 - f) * p0 + f * p1
+    if filter == "stochastic":
+        raise ValueError("stochastic filter needs a seed — use "
+                         "fetch_texel_stochastic")
     l0 = jnp.round(lam).astype(jnp.int32)
     d0 = desc[tex_id, l0]
     if filter == "bilinear":
@@ -106,6 +109,38 @@ def fetch_texel_trilinear(atlas, desc, tex_id, uv, lam,
                                     d0[..., 2], uv)
     return fetch_texel_nearest(atlas, d0[..., 0], d0[..., 1],
                                d0[..., 2], uv)
+
+
+def fetch_texel_stochastic(atlas, desc, tex_id, uv, lam, seed):
+    """ONE-tap stochastic trilinear: choose the mip with probability equal
+    to the trilinear blend weight and the bilinear corner with
+    probabilities (fx, fy) — the expectation is exactly the 8-tap
+    trilinear filter, for 1/8 the gather cost (each tap is a ~7 ms HBM
+    gather per 518k lanes; gathers dominate the shade stage). The added
+    noise is texture-frequency, averages out across spp like any MC
+    estimator, and is far below path-tracing noise at low spp.
+
+    ``seed``: (R,) uint32 stream (consumed: 3 draws). Returns (texel,
+    new_seed).
+    """
+    from . import rng as rng_mod
+    levels = desc.shape[1]
+    lam = jnp.clip(lam, 0.0, levels - 1)
+    l0 = jnp.floor(lam).astype(jnp.int32)
+    f = lam - l0.astype(jnp.float32)
+    seed, (r_mip, r_x, r_y) = rng_mod.random_floats(seed, 3)
+    lev = jnp.where(r_mip < f, jnp.minimum(l0 + 1, levels - 1), l0)
+    d = desc[tex_id, lev]
+    addr, width, height = d[..., 0], d[..., 1], d[..., 2]
+    x = uv[..., 0] * width.astype(jnp.float32) - 0.5
+    y = uv[..., 1] * height.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    xi = jnp.where(r_x < x - x0, x0 + 1, x0)
+    yi = jnp.where(r_y < y - y0, y0 + 1, y0)
+    xi = jnp.mod(xi.astype(jnp.int32), jnp.maximum(width, 1))
+    yi = jnp.mod(yi.astype(jnp.int32), jnp.maximum(height, 1))
+    return atlas[addr + yi * width + xi], seed
 
 
 def _unpack_rgba8(word):
@@ -167,14 +202,28 @@ _PARAM_KEYS = ("metallic", "subsurface", "specular", "roughness",
 
 
 def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None,
-                     tex_filter: str = "trilinear"):
+                     tex_filter: str = "trilinear", stoch_seed=None):
     """Derive shading state for hit rays.
 
     scene: device scene dict (render/scene_data.py) with triangle SoA planes
     in *permuted* order, material planes, and texture atlas. prim: (R,)
     permuted triangle index (callers pass a valid index; misses are masked
-    by the engine). Returns (sd, n_geom, i_n, t_vec, b_vec, alpha_cut).
+    by the engine). ``stoch_seed``: (R,) uint32 stream, required for
+    tex_filter == "stochastic" (one unbiased tap per map instead of 8).
+    Returns (sd, n_geom, i_n, t_vec, b_vec, alpha_cut).
     """
+    if tex_filter == "stochastic" and stoch_seed is None:
+        tex_filter = "bilinear"     # no randomness available: fall back
+
+    def _fetch(atlas, desc, tid, uvq, lamq, salt):
+        nonlocal stoch_seed
+        if tex_filter == "stochastic":
+            texel, stoch_seed = fetch_texel_stochastic(
+                atlas, desc, tid, uvq, lamq, stoch_seed ^ jnp.uint32(salt))
+            return texel
+        return fetch_texel_trilinear(atlas, desc, tid, uvq, lamq,
+                                     filter=tex_filter)
+
     prim = jnp.maximum(prim, 0)
     pk = scene.get("tri_pack")
     if pk is not None:
@@ -270,8 +319,8 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None,
                 base_w * cone_width
                 / jnp.maximum(jnp.abs(dot3(-d, n_geom)), 1e-4), 1e-20))
                 - lod_base)
-            texel = fetch_texel_trilinear(atlas, desc, jnp.maximum(tex0, 0),
-                                          uv0, lam, filter=tex_filter)
+            texel = _fetch(atlas, desc, jnp.maximum(tex0, 0), uv0, lam,
+                           0x68E31DA4)
             sd["color"] = jnp.where(has_tex0[..., None],
                                     sd["color"] * texel[..., :3],
                                     sd["color"])
@@ -283,8 +332,8 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None,
             # B=metal)
             tex_r = mats["tex3_id"][mat_id]
             has_r = tex_r >= 0
-            mr = fetch_texel_trilinear(atlas, desc, jnp.maximum(tex_r, 0),
-                                       uv_i, lam, filter=tex_filter)
+            mr = _fetch(atlas, desc, jnp.maximum(tex_r, 0), uv_i, lam,
+                        0xB5297A4D)
             sd["roughness"] = jnp.where(
                 has_r, jnp.maximum(sd["roughness"] * mr[..., 1],
                                    _MIN_ROUGHNESS_PARAM), sd["roughness"])
@@ -295,8 +344,8 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None,
             # normal map (slot 1): tangent-space, UV-aligned frame
             tex_n = mats["tex1_id"][mat_id]
             has_n = tex_n >= 0
-            nm = fetch_texel_trilinear(atlas, desc, jnp.maximum(tex_n, 0),
-                                       uv_i, lam, filter=tex_filter)
+            nm = _fetch(atlas, desc, jnp.maximum(tex_n, 0), uv_i, lam,
+                        0x1B56C4E9)
             tangent = tangent_pk if tangent_pk is not None \
                 else scene["tri_tangent"][prim]
             bitangent = bitangent_pk if bitangent_pk is not None \

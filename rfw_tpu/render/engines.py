@@ -409,9 +409,14 @@ class PathTracerEngine(EngineContext):
         drv = getattr(self, "_driver", None)
         if drv is not None and drv.depth_times:
             dt = drv.depth_times
+            per_sample = elapsed / max(samples, 1)
             self.stats.primary_time = dt[0]
             self.stats.secondary_time = dt[1] if len(dt) > 1 else 0.0
-            self.stats.deep_time = sum(dt[2:])
+            # the final depth has no live-count sync, so its device work
+            # drains into the engine's block_until_ready — attribute the
+            # remainder of the measured sample time to it
+            self.stats.deep_time = max(
+                per_sample - dt[0] - (dt[1] if len(dt) > 1 else 0.0), 0.0)
         if probe is not None:
             p = np.asarray(probe)
             self._probe_result = (int(p[0]), int(p[1]), float(p[2]))

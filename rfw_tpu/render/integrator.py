@@ -155,7 +155,7 @@ def make_path_state(scene, view, width: int, height: int, sample_index,
 def depth_stage(scene, view, state: PathState, width: int, depth: int,
                 sample_index, probe_lane, config: RenderConfig,
                 intersector: Intersector, tex_flags=None,
-                sort_rays: bool | None = None):
+                sort_rays: bool | None = None, height: int | None = None):
     """One depth of the wavefront loop: closest hit → shade (sky/emissive)
     → NEE + occlusion → extension BSDF sample.
 
@@ -220,9 +220,15 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
 
     hit_pos = origin + direction * t[..., None]
     cone_width = view["spread_angle"] * t
+    stoch_seed = None
+    if config.texture_filter == "stochastic":
+        stoch_seed = rng.wang_hash(
+            rng.path_seed(pid, sample_index, depth)
+            ^ jnp.uint32(0x7FEB352D))
     sd, n_geom, i_n, t_vec, b_vec, alpha_cut = get_shading_data(
         scene, prim_safe, u, v, direction, cone_width,
-        tex_flags=tex_flags, tex_filter=config.texture_filter)
+        tex_flags=tex_flags, tex_filter=config.texture_filter,
+        stoch_seed=stoch_seed)
     # alpha cutout (Kernels.cu:636-648): the hit is transparent — the
     # ray continues unchanged through the surface on the next bounce
     alpha_cut = alpha_cut & alive
@@ -340,7 +346,31 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
         # declares the tables but never fills them) ----
         if env_nee_active and env_depth_ok(depth):
             il = config.env_nee_interleave
-            if il > 1:
+            if il > 1 and height is not None:
+                # interleaved sampling with PER-TILE evaluation: only
+                # ceil(W/tb)*ceil(H/tb) distinct env samples exist, so the
+                # inverse-CDF searchsorted (a ~17-step binary-search gather
+                # chain over the 131k-texel CDF — measured ~960 ms/sample
+                # at 1080p when run per LANE) runs on the tiny tile table;
+                # lanes fetch their tile's (dir, pdf, radiance) with ONE
+                # row gather. Bitwise-identical to the per-lane original:
+                # the tile seed recipe is unchanged.
+                tb = max(int(round(il ** 0.5)), 1)
+                tiles_x = (width + tb - 1) // tb
+                tiles_y = (height + tb - 1) // tb
+                tid = jnp.arange(tiles_x * tiles_y, dtype=jnp.uint32)
+                gseed_t = rng.wang_hash(
+                    rng.path_seed(tid, sample_index, depth)
+                    ^ jnp.uint32(0x517CC1B7))
+                _, re_t = rng.random_float(gseed_t)
+                ed_t, ep_t, er_t = sample_envmap(scene, re_t)
+                pack = jnp.concatenate(
+                    [ed_t, ep_t[:, None], er_t], axis=1)    # (T, 7)
+                gid = ((py // tb).astype(jnp.int32) * tiles_x
+                       + (px // tb).astype(jnp.int32))
+                row = pack[gid]
+                e_dir, e_pdf, e_rad = row[:, 0:3], row[:, 3], row[:, 4:7]
+            elif il > 1:
                 # interleaved sampling (Keller & Heidrich): one env
                 # sample per sqrt(il) x sqrt(il) IMAGE tile, derived
                 # from absolute pixel coords — identical regardless
@@ -359,9 +389,10 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
                     rng.path_seed(gid, sample_index, depth)
                     ^ jnp.uint32(0x517CC1B7))
                 _, re = rng.random_float(gseed)
+                e_dir, e_pdf, e_rad = sample_envmap(scene, re)
             else:
                 seed, re = rng.random_float(seed)
-            e_dir, e_pdf, e_rad = sample_envmap(scene, re)
+                e_dir, e_pdf, e_rad = sample_envmap(scene, re)
             e_cos = dot3(e_dir, i_n)
             eb_val, eb_pdf = bsdf.evaluate_bsdf(
                 sd, i_n, t_vec, b_vec, -direction, e_dir)
@@ -478,7 +509,7 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
     for depth in range(config.max_path_length + 1):
         state, stats_d, probe_d, aux_d = depth_stage(
             scene, view, state, width, depth, sample_index, probe_lane,
-            config, intersector, tex_flags=tex_flags)
+            config, intersector, tex_flags=tex_flags, height=height)
         for k, v in stats_d.items():
             stats[f"{k}_{depth}"] = v
         if depth == 0:

@@ -97,7 +97,7 @@ class WavefrontDriver:
             return depth_stage(scene, view, state, width, depth,
                                sample_index, probe_lane, config,
                                intersector, tex_flags=tex_flags,
-                               sort_rays=False)
+                               sort_rays=False, height=height)
 
         @jax.jit
         def compact_fn(scene, state):

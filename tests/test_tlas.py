@@ -232,3 +232,71 @@ def test_tlas_instance_move_fast_path(monkeypatch):
     fresh = eng2.render_frame(cam2.get_view().as_pytree(),
                               RenderStatus.RESET, samples=2)
     assert np.abs(np.asarray(moved) - np.asarray(fresh)).max() < 1e-4
+
+
+def test_flagship_instance_move_no_rebuild(monkeypatch):
+    """VERDICT r1 next #4 acceptance: an instance MOVE on the flagship
+    (visit) engine costs a jitted device refresh, not a flatten+rebuild,
+    and renders exactly like a fresh build. (Rigid moves keep the fixed
+    cell membership tight, so cull quality is preserved without a
+    TLAS-table indirection.)"""
+    import rfw_tpu
+    from rfw_tpu.config import RenderConfig
+    from rfw_tpu.render import RenderStatus, create_engine
+    from rfw_tpu.render import scene_data as sd
+    from rfw_tpu.scene import HostMaterial, MaterialList, make_quad
+    from rfw_tpu.scene.lights import PointLight, pack_lights
+
+    def engine():
+        cfg = RenderConfig(blue_noise=False, max_path_length=1,
+                           russian_roulette=False)
+        eng = create_engine("megakernel", cfg)
+        ml = MaterialList()
+        ml.add(HostMaterial(color=np.array([0.7, 0.6, 0.5]),
+                            roughness=1.0))
+        eng.set_materials(ml.generate_device_materials())
+        eng.set_lights(pack_lights(
+            [], [PointLight(position=np.array([1, 4, -1], np.float32),
+                            radiance=np.array([30, 30, 30], np.float32))],
+            [], []))
+        eng.set_setting("intersector", "visit")
+        eng.set_mesh(0, make_quad([0, 1, 0], [0, 0, 0], 8, 8,
+                                  0).triangles())
+        eng.set_mesh(1, make_quad([0, 0, -1], [0, 1, 1.5], 2, 2,
+                                  0).triangles())
+        cam = rfw_tpu.Camera()
+        cam.resize(40, 40)
+        cam.look_at([0, 2.5, -5.0], [0, 0.8, 0.0])
+        eng.resize(40, 40)
+        return eng, cam
+
+    moved = _xform([0.8, 0.3, 0.2], angle=0.5)
+
+    eng, cam = engine()
+    eng.set_instance(0, 0, np.eye(4, dtype=np.float32))
+    eng.set_instance(1, 1, np.eye(4, dtype=np.float32))
+    eng.render_frame(cam.get_view().as_pytree(), RenderStatus.RESET,
+                     samples=1)
+
+    calls = {"n": 0}
+    real = sd.build_device_scene
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(sd, "build_device_scene", counting)
+    eng.set_instance(1, 1, moved)
+    img_moved = np.asarray(eng.render_frame(
+        cam.get_view().as_pytree(), RenderStatus.RESET, samples=2))
+    assert calls["n"] == 0, "instance move took the full-rebuild path"
+    assert getattr(eng, "_device_refit", None) is not None
+
+    eng2, cam2 = engine()
+    eng2.set_instance(0, 0, np.eye(4, dtype=np.float32))
+    eng2.set_instance(1, 1, moved)
+    fresh = np.asarray(eng2.render_frame(
+        cam2.get_view().as_pytree(), RenderStatus.RESET, samples=2))
+    rmse = float(np.sqrt(((img_moved - fresh) ** 2).mean()))
+    assert rmse < 1e-3, rmse
+    assert img_moved.mean() > 1e-4

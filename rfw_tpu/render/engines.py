@@ -392,9 +392,19 @@ class PathTracerEngine(EngineContext):
         self._accumulator.block_until_ready()
         elapsed = timer.elapsed()
 
-        # stats (RenderStats protocol)
+        # stats (RenderStats protocol) — ONE batched device→host transfer
+        # (int()/np.asarray per value costs a tunnel round trip each;
+        # interactive frame rates are readback-bound)
         if stats is not None:
-            s = {k: int(v) for k, v in stats.items()}
+            keys = sorted(stats)
+            vec = [jnp.asarray(stats[k], jnp.float32) for k in keys]
+            if probe is not None:
+                vec.append(jnp.asarray(probe, jnp.float32))
+            flat = np.asarray(jnp.concatenate(
+                [jnp.atleast_1d(v) for v in vec]))
+            s = {k: int(flat[i]) for i, k in enumerate(keys)}
+            if probe is not None:
+                probe = flat[len(keys):len(keys) + 3]
             self.stats.primary_count = s.get("ray_count_0", 0)
             self.stats.secondary_count = s.get("ray_count_1", 0)
             self.stats.deep_count = sum(

@@ -166,7 +166,12 @@ class WavefrontDriver:
                 lambda *xs: jnp.concatenate(xs), *parts, tail)
             if depth < cfg.max_path_length:
                 state, live_dev = self._compact(scene, state)
-                live = int(live_dev)
+                if n > chunk:
+                    # the live count only picks the next depth's chunk
+                    # count — single-chunk frames skip the readback (a
+                    # device→host sync per depth dominates small
+                    # interactive frames)
+                    live = int(live_dev)
             self.depth_times.append(timer.elapsed())
             timer = Timer()
             if depth < cfg.max_path_length and live == 0:

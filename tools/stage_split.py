@@ -50,42 +50,42 @@ def bench_fn(label, fn, *args, reps=3):
 
 
 @jax.jit
-def closest_only(st):
+def closest_only(sc, st):
     tm = jnp.where(st.alive, jnp.float32(1e30), 0.0)
-    return inter.closest(scene, st.origin, st.direction, tm, sort=False)
+    return inter.closest(sc, st.origin, st.direction, tm, sort=False)
 
 
 @jax.jit
-def closest_shade(st):
+def closest_shade(sc, st):
     tm = jnp.where(st.alive, jnp.float32(1e30), 0.0)
-    t, prim, u, v = inter.closest(scene, st.origin, st.direction, tm,
+    t, prim, u, v = inter.closest(sc, st.origin, st.direction, tm,
                                   sort=False)
     prim_safe = jnp.maximum(prim, 0)
     cone = view["spread_angle"] * t
     sd, n_geom, i_n, t_vec, b_vec, ac = get_shading_data(
-        scene, prim_safe, u, v, st.direction, cone,
+        sc, prim_safe, u, v, st.direction, cone,
         tex_filter=cfg.texture_filter)
     return sd["color"], i_n
 
 
-def stage(st, c):
-    return integ.depth_stage(scene, view, st, W, 0, jnp.uint32(0),
+def stage(sc, st, c):
+    return integ.depth_stage(sc, view, st, W, 0, jnp.uint32(0),
                              jnp.int32(0), c, inter, sort_rays=False,
                              height=H)
 
 
 import dataclasses  # noqa: E402
-stage_novr = jax.jit(lambda st: stage(
-    st, dataclasses.replace(cfg, variance_reduction=False)))
-stage_noenv = jax.jit(lambda st: stage(
-    st, dataclasses.replace(cfg, envmap_nee=False)))
-stage_full = jax.jit(lambda st: stage(st, cfg))
+stage_novr = jax.jit(lambda sc, st: stage(
+    sc, st, dataclasses.replace(cfg, variance_reduction=False)))
+stage_noenv = jax.jit(lambda sc, st: stage(
+    sc, st, dataclasses.replace(cfg, envmap_nee=False)))
+stage_full = jax.jit(lambda sc, st: stage(sc, st, cfg))
 
-bench_fn("closest only", closest_only, state)
-bench_fn("closest+shading", closest_shade, state)
-bench_fn("d0 stage no NEE", stage_novr, state)
-bench_fn("d0 stage light NEE only", stage_noenv, state)
-bench_fn("d0 stage full", stage_full, state)
+bench_fn("closest only", closest_only, scene, state)
+bench_fn("closest+shading", closest_shade, scene, state)
+bench_fn("d0 stage no NEE", stage_novr, scene, state)
+bench_fn("d0 stage light NEE only", stage_noenv, scene, state)
+bench_fn("d0 stage full", stage_full, scene, state)
 
 # compaction cost at frame size
 full_state = jax.jit(lambda: integ.make_path_state(

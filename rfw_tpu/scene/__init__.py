@@ -27,6 +27,9 @@ def load_object(path: str, materials: MaterialList,
     if p.endswith(".dae"):
         from .collada import load_collada
         return load_collada(path, materials, material_override)
+    if p.endswith(".fbx"):
+        from .fbx import load_fbx
+        return load_fbx(path, materials, material_override)
     raise ValueError(f"unsupported model format: {path}")
 
 

@@ -52,7 +52,14 @@ def generate_primary_rays(view, width: int, height: int, sample_index,
     sx = (pid % jnp.uint32(width)).astype(jnp.int32)
     sy = (pid // jnp.uint32(width)).astype(jnp.int32)
 
-    if blue_noise_mask is not None:
+    if blue_noise_mask is not None and blue_noise_mask.ndim == 3:
+        # pre-shifted stack: ONE row gather for all four dims' shifts
+        row = rng.blue_noise_shift_row(blue_noise_mask, sx, sy)
+        r0 = rng.blue_noise_from_shift(row[:, 0], sample_index, 0)
+        r1 = rng.blue_noise_from_shift(row[:, 1], sample_index, 1)
+        r2 = rng.blue_noise_from_shift(row[:, 2], sample_index, 2)
+        r3 = rng.blue_noise_from_shift(row[:, 3], sample_index, 3)
+    elif blue_noise_mask is not None:
         r0 = rng.blue_noise_sample(blue_noise_mask, sx, sy, sample_index, 0)
         r1 = rng.blue_noise_sample(blue_noise_mask, sx, sy, sample_index, 1)
         r2 = rng.blue_noise_sample(blue_noise_mask, sx, sy, sample_index, 2)

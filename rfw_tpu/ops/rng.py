@@ -155,6 +155,48 @@ def blue_noise_mask(size: int = _MASK_SIZE, seed: int = 0x5F3759DF) -> np.ndarra
 # Generalized golden-ratio (R2) sequence constants (Roberts 2018, public).
 _R2_ALPHA = np.array([0.7548776662466927, 0.5698402909980532], dtype=np.float64)
 
+_STACK_DIMS = 16
+
+
+def _dim_offsets(dim: int, size: int) -> tuple[int, int]:
+    """Co-prime per-dimension toroidal offsets (see blue_noise_sample)."""
+    ox = (dim * 59 + (dim // 2) * 31) % size
+    oy = (dim * 101 + (dim // 2) * 17) % size
+    return ox, oy
+
+
+@functools.lru_cache(maxsize=1)
+def blue_noise_stack(size: int = _MASK_SIZE,
+                     dims: int = _STACK_DIMS) -> np.ndarray:
+    """(size, size, dims) stack of per-dimension shifted mask copies.
+
+    One (R, dims) ROW gather fetches every dimension's shift for a pixel
+    — each separate mask[y+oy, x+ox] lookup is its own ~7 ms HBM gather
+    per 518k lanes (raygen draws 4 dims, NEE 2 more: ~40 ms/chunk of
+    shift gathers collapse into one).
+    """
+    mask = blue_noise_mask(size)
+    out = np.empty((size, size, dims), np.float32)
+    for d in range(dims):
+        ox, oy = _dim_offsets(d, size)
+        out[:, :, d] = np.roll(mask, (-oy, -ox), axis=(0, 1))
+    return out
+
+
+def blue_noise_shift_row(stack, x, y):
+    """Per-pixel (R, dims) shift rows from the stack — ONE row gather."""
+    size = stack.shape[0]
+    return stack[y % size, x % size]
+
+
+def blue_noise_from_shift(shift, sample_index, dim: int):
+    """R2 sample given the pixel's pre-fetched shift for ``dim``."""
+    dim = int(dim)
+    a = jnp.float32(_R2_ALPHA[dim % 2])
+    k = (jnp.asarray(sample_index, jnp.float32)
+         + jnp.float32((dim // 2) * 0.38196601))
+    return jnp.mod(a * k + shift, 1.0).astype(jnp.float32)
+
 
 def blue_noise_sample(mask, x, y, sample_index, dim: int):
     """Blue-noise-shifted R2 sample for pixel (x,y), sample and dimension.
@@ -169,12 +211,10 @@ def blue_noise_sample(mask, x, y, sample_index, dim: int):
     """
     size = mask.shape[0]
     dim = int(dim)
-    # co-prime per-dimension offsets decorrelate the shift fields
-    ox = (dim * 59 + (dim // 2) * 31) % size
-    oy = (dim * 101 + (dim // 2) * 17) % size
-    shift = mask[(y + oy) % size, (x + ox) % size]
-    a = jnp.float32(_R2_ALPHA[dim % 2])
-    # Different dimension pairs advance at co-prime multiples of the base seq.
-    k = (jnp.asarray(sample_index, jnp.float32)
-         + jnp.float32((dim // 2) * 0.38196601))
-    return jnp.mod(a * k + shift, 1.0).astype(jnp.float32)
+    if mask.ndim == 3:      # pre-shifted stack (blue_noise_stack)
+        shift = mask[y % size, x % size, dim % mask.shape[2]]
+    else:
+        # co-prime per-dimension offsets decorrelate the shift fields
+        ox, oy = _dim_offsets(dim, size)
+        shift = mask[(y + oy) % size, (x + ox) % size]
+    return blue_noise_from_shift(shift, sample_index, dim)

@@ -253,13 +253,38 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None,
         + v[..., None] * tri_uv[:, 2]
 
     mats = scene["materials"]
+    # Pack ALL per-material parameters into one (M, 28) matrix in-jit
+    # (concat of tiny tables — free) and fetch with ONE row gather:
+    # ~18 separate (R,) gathers from a few-hundred-row table cost ~6 ms
+    # EACH on TPU (per-op, size-class-flat — the tri_pack lesson applied
+    # to materials; shading measured 144 ms/chunk, mostly these).
+    f32 = jnp.float32
+    cols = [mats["color"], mats["absorption"],
+            mats["flags"].astype(f32)[:, None]]
+    cols += [mats[k].astype(f32)[:, None] for k in _PARAM_KEYS]
+    cols += [mats["tex0_id"].astype(f32)[:, None],
+             mats["tex1_id"].astype(f32)[:, None],
+             mats["tex3_id"].astype(f32)[:, None],
+             mats["tex0_uvtransform"],
+             mats["alpha_cutout"].astype(f32)[:, None]]
+    if "mtex_id" in mats:
+        cols.append(mats["mtex_id"].astype(f32)[:, None])
+    mrow = jnp.concatenate(cols, axis=1)[mat_id]          # (R, 27/28)
     sd = {
-        "color": mats["color"][mat_id],
-        "absorption": mats["absorption"][mat_id],
-        "flags": mats["flags"][mat_id],
+        "color": mrow[:, 0:3],
+        "absorption": mrow[:, 3:6],
+        "flags": mrow[:, 6].astype(jnp.int32),
     }
-    for k in _PARAM_KEYS:
-        sd[k] = mats[k][mat_id]
+    for i, k in enumerate(_PARAM_KEYS):
+        sd[k] = mrow[:, 7 + i]
+    npar = 7 + len(_PARAM_KEYS)
+    m_tex0 = mrow[:, npar].astype(jnp.int32)
+    m_tex1 = mrow[:, npar + 1].astype(jnp.int32)
+    m_tex3 = mrow[:, npar + 2].astype(jnp.int32)
+    m_uvt = mrow[:, npar + 3:npar + 7]
+    m_alpha = mrow[:, npar + 7] > 0.5
+    m_mtex = (mrow[:, npar + 8].astype(jnp.int32)
+              if "mtex_id" in mats else None)
     sd["roughness"] = jnp.maximum(sd["roughness"], _MIN_ROUGHNESS_PARAM)
 
     alpha_cut = jnp.zeros_like(u, dtype=bool)
@@ -269,10 +294,10 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None,
         # merged-atlas fast path: one trilinear fetch for all three maps
         matlas = scene["matlas"]
         desc = scene["matlas_desc"]
-        eid = mats["mtex_id"][mat_id]
-        tex0 = mats["tex0_id"][mat_id]
+        eid = m_mtex
+        tex0 = m_tex0
         has_tex0 = tex0 >= 0
-        uvt = mats["tex0_uvtransform"][mat_id]
+        uvt = m_uvt
         uv0 = uvt[..., 0:2] * (uvt[..., 2:4] + uv_i)
         base_w = desc[eid, 0, 1].astype(jnp.float32)
         lam = (jnp.log2(jnp.maximum(
@@ -285,16 +310,16 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None,
                                     sd["color"] * texel[..., :3],
                                     sd["color"])
             alpha_cut = (has_tex0 & (texel[..., 3] < 0.5)
-                         & mats["alpha_cutout"][mat_id])
+                         & m_alpha)
         if tf["rough"]:
-            has_r = mats["tex3_id"][mat_id] >= 0
+            has_r = m_tex3 >= 0
             sd["roughness"] = jnp.where(
                 has_r, jnp.maximum(sd["roughness"] * mr[..., 1],
                                    _MIN_ROUGHNESS_PARAM), sd["roughness"])
             sd["metallic"] = jnp.where(has_r, sd["metallic"] * mr[..., 2],
                                        sd["metallic"])
         if tf["normal"]:
-            has_n = mats["tex1_id"][mat_id] >= 0
+            has_n = m_tex1 >= 0
             tangent = tangent_pk if tangent_pk is not None \
                 else scene["tri_tangent"][prim]
             bitangent = bitangent_pk if bitangent_pk is not None \
@@ -308,11 +333,11 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None,
         atlas = scene["atlas"]
         desc = scene["atlas_desc"]
         # diffuse map (slot 0)
-        tex0 = mats["tex0_id"][mat_id]
+        tex0 = m_tex0
         lam = jnp.zeros_like(u)
         has_tex0 = tex0 >= 0
         if tf["diffuse"]:
-            uvt = mats["tex0_uvtransform"][mat_id]
+            uvt = m_uvt
             uv0 = uvt[..., 0:2] * (uvt[..., 2:4] + uv_i)
             base_w = desc[jnp.maximum(tex0, 0), 0, 1].astype(jnp.float32)
             lam = (jnp.log2(jnp.maximum(
@@ -325,12 +350,12 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None,
                                     sd["color"] * texel[..., :3],
                                     sd["color"])
             alpha_cut = (has_tex0 & (texel[..., 3] < 0.5)
-                         & mats["alpha_cutout"][mat_id])
+                         & m_alpha)
 
         if tf["rough"]:
             # roughness map (slot 3): glTF metallicRoughness (G=rough,
             # B=metal)
-            tex_r = mats["tex3_id"][mat_id]
+            tex_r = m_tex3
             has_r = tex_r >= 0
             mr = _fetch(atlas, desc, jnp.maximum(tex_r, 0), uv_i, lam,
                         0xB5297A4D)
@@ -342,7 +367,7 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None,
 
         if tf["normal"]:
             # normal map (slot 1): tangent-space, UV-aligned frame
-            tex_n = mats["tex1_id"][mat_id]
+            tex_n = m_tex1
             has_n = tex_n >= 0
             nm = _fetch(atlas, desc, jnp.maximum(tex_n, 0), uv_i, lam,
                         0x1B56C4E9)

@@ -246,7 +246,9 @@ class PathTracerEngine(EngineContext):
         self._pack_host = scene.pop("_pack_host",
                                     getattr(self, "_pack_host", None))
         if self.config.blue_noise:
-            scene["blue_noise"] = rng_mod.blue_noise_mask()
+            # pre-shifted per-dimension stack: shift lookups for all dims
+            # of a pixel are one row gather (ops/rng.py blue_noise_stack)
+            scene["blue_noise"] = rng_mod.blue_noise_stack()
         # re-jit only when the scene's pytree structure/shapes changed —
         # per-frame animation updates keep shapes and reuse the compiled
         # stages (the analog of the reference's persistent kernels)
@@ -312,7 +314,13 @@ class PathTracerEngine(EngineContext):
             self._size = (width, height)
             return self._trace_fn
 
-        if self.use_wavefront_driver and cfg.compaction:
+        if (self.use_wavefront_driver and cfg.compaction
+                and n_chunks > 1):
+            # multi-chunk frames: per-depth compacted driver (later
+            # depths run ceil(live/chunk) chunks). Single-chunk frames
+            # stay on the fused one-jit path — the driver's ~10 separate
+            # dispatches + syncs dominate small interactive frames, and
+            # with one chunk compaction cannot reduce work
             from .wavefront_driver import WavefrontDriver
             self._driver = WavefrontDriver(width, height, cfg, intersector,
                                            tex_flags, n_local)

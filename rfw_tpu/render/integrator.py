@@ -306,10 +306,19 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
             # distinct dimension pair per depth (Kernels.cu uses
             # 4 + 4*pathLength) — reusing dims 4/5 at every depth
             # correlates the light samples across bounces
-            r0 = rng.blue_noise_sample(bn_mask, px, py, sample_index,
-                                       4 + 2 * depth)
-            r1 = rng.blue_noise_sample(bn_mask, px, py, sample_index,
-                                       5 + 2 * depth)
+            d0_, d1_ = 4 + 2 * depth, 5 + 2 * depth
+            if bn_mask.ndim == 3:   # stack: one row gather for both dims
+                brow = rng.blue_noise_shift_row(bn_mask, px, py)
+                nd = bn_mask.shape[2]
+                r0 = rng.blue_noise_from_shift(
+                    brow[:, d0_ % nd], sample_index, d0_)
+                r1 = rng.blue_noise_from_shift(
+                    brow[:, d1_ % nd], sample_index, d1_)
+            else:
+                r0 = rng.blue_noise_sample(bn_mask, px, py, sample_index,
+                                           d0_)
+                r1 = rng.blue_noise_sample(bn_mask, px, py, sample_index,
+                                           d1_)
             r0 = jnp.where(sample_index < config.blue_noise_spp_cutoff,
                            r0, 0.0)
             seed, (h0, h1) = rng.random_floats(seed, 2)

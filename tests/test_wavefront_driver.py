@@ -42,7 +42,11 @@ def _render(eng, samples=3):
 
 
 def test_compacted_equals_fused():
-    cfg = RenderConfig(max_path_length=2, blue_noise=False)
+    # small chunk → the frame spans 3 chunks, exercising the chunked
+    # per-depth loop + live-count readbacks (single-chunk frames route to
+    # the fused path by design)
+    cfg = RenderConfig(max_path_length=2, blue_noise=False,
+                       max_rays_per_pass=1024)
     fused = create_engine("megakernel", cfg)     # fused path, bvh
     _scene(fused)
     img_f = _render(fused)
@@ -58,7 +62,8 @@ def test_compacted_equals_fused():
 
 
 def test_compacted_stats_and_probe():
-    cfg = RenderConfig(max_path_length=2, blue_noise=False)
+    cfg = RenderConfig(max_path_length=2, blue_noise=False,
+                       max_rays_per_pass=1024)
     eng = create_engine("megakernel", cfg)
     eng.use_wavefront_driver = True
     _scene(eng)

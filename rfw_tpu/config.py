@@ -79,12 +79,18 @@ class RenderConfig:
     # the reference refits unconditionally, top_level_bvh.cpp:17-53; a
     # periodic rebuild is strictly safer). 0 disables refitting entirely.
     max_refits: int = 64
-    # texture filtering: "trilinear" (reference parity, 8 taps/map),
-    # "bilinear" (nearest mip, 4 taps — TPU texture cost is per-tap:
-    # ~7 ms per 518k-lane gather regardless of locality), "nearest"
-    # (1 tap). A quality/speed knob the reference gets from hardware
-    # samplers; here every tap is an explicit HBM gather.
-    texture_filter: str = "trilinear"
+    # texture filtering: "stochastic" (default: ONE tap per map whose
+    # EXPECTATION is exactly the 8-tap trilinear filter — mip level and
+    # bilinear corner chosen with probability equal to their filter
+    # weight; unbiased, texture-frequency noise averages out with spp),
+    # "trilinear" (deterministic 8 taps/map, the reference's filter),
+    # "bilinear" (nearest mip, 4 taps), "nearest" (1 tap, point).
+    # TPU texture cost is per-tap (~6 ms per 518k-lane gather regardless
+    # of locality — tools/texfilter_ab.py: closest+shade 242 ms trilinear
+    # vs 103 ms stochastic, zero measurable bias); the reference gets
+    # filtering free from hardware samplers, here every tap is an
+    # explicit HBM gather.
+    texture_filter: str = "stochastic"
 
     # Animation
     animation_enabled: bool = True

@@ -16,19 +16,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def compact_mask(mask):
-    """mask (N,) bool → (order (N,) i32, count) with live lanes first.
-
-    Stable: live lanes keep their relative order, dead lanes pack after
-    them (gather by ``order`` to compact any per-ray array).
-    """
-    n = mask.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    key = jnp.where(mask, idx, idx + n)   # dead lanes sort after live ones
-    order = jnp.argsort(key)
-    return order.astype(jnp.int32), jnp.sum(mask).astype(jnp.int32)
-
-
 def _morton3(x, y, z, bits: int = 7):
     """Interleave ``bits`` bits of three normalized uint coordinates."""
     out = jnp.zeros_like(x, dtype=jnp.uint32)
@@ -50,15 +37,3 @@ def ray_sort_keys(origins, directions, scene_lo, scene_hi, bits: int = 7):
     qi = (q * scale).astype(jnp.uint32)
     morton = _morton3(qi[:, 0], qi[:, 1], qi[:, 2], bits)
     return (octant << (3 * bits)) | morton
-
-
-def sort_rays(origins, directions, scene_lo, scene_hi, extra=()):
-    """Sort rays for block coherence; returns (order, inverse_order).
-
-    ``gather(x, order)`` groups coherent rays; results scatter back with
-    ``inverse_order``.
-    """
-    keys = ray_sort_keys(origins, directions, scene_lo, scene_hi)
-    order = jnp.argsort(keys).astype(jnp.int32)
-    inv = jnp.argsort(order).astype(jnp.int32)
-    return order, inv

@@ -103,6 +103,11 @@ class PathTracerEngine(EngineContext):
             from ..scene.skybox import Skybox
             self._skybox.update(
                 Skybox(pixels).build_importance_tables())
+            # packed radiance+pdf plane: bounce-depth MIS reads both for
+            # every lane — one (H, W, 4) gather instead of two
+            self._skybox["pixpdf"] = np.concatenate(
+                [pixels, np.asarray(self._skybox["pdf"],
+                                    np.float32)[..., None]], axis=-1)
         self._dirty = True
 
     # -- scene build ---------------------------------------------------------

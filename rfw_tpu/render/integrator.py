@@ -84,6 +84,18 @@ def skybox_pdf(scene, d):
     return scene["skybox"]["pdf"][y, x]
 
 
+def sample_skybox_with_pdf(scene, d):
+    """Miss radiance + IS pdf in ONE texel gather (bounce-depth MIS needs
+    both; the packed (H, W, 4) ``pixpdf`` plane halves the per-op gather
+    bill vs separate pixels/pdf lookups — engines.set_sky builds it)."""
+    sky = scene["skybox"]
+    x, y = _sky_texel(scene, d)
+    if "pixpdf" in sky:
+        row = sky["pixpdf"][y, x]
+        return row[..., 0:3], row[..., 3]
+    return sky["pixels"][y, x], sky["pdf"][y, x]
+
+
 def sample_envmap(scene, r):
     """Inverse-CDF envmap sample: uniform r → (direction, pdf, radiance).
 
@@ -195,7 +207,6 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
 
     miss = prim < 0
     # ---- skybox on miss (Kernels.cu:592-610) ----
-    sky = sample_skybox(scene, direction)
     env_nee_active = (config.envmap_nee and config.variance_reduction
                       and "skybox" in scene
                       and "pdf" in scene.get("skybox", {}))
@@ -206,10 +217,12 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
 
     if env_nee_active and depth > 0 and env_depth_ok(depth - 1):
         # MIS against envmap NEE at the previous vertex (no-op for
-        # specular bounces, which shot no NEE ray)
-        e_pdf = skybox_pdf(scene, direction)
+        # specular bounces, which shot no NEE ray). One packed gather
+        # serves both the radiance and the pdf.
+        sky, e_pdf = sample_skybox_with_pdf(scene, direction)
         denom_m = jnp.where(spec_bounce, last_pdf, last_pdf + e_pdf)
     else:
+        sky = sample_skybox(scene, direction)
         denom_m = last_pdf
     contrib = throughput * sky / jnp.maximum(denom_m, 1e-20)[..., None]
     contrib = clamp_intensity(_no_nan(contrib), clamp_v)
@@ -237,12 +250,13 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
         # aux feature buffers for the denoiser (ops/denoise.py)
         aux = {"normal": jnp.where(miss[..., None], 0.0, i_n),
                "depth": jnp.where(miss, 0.0, t)}
-        # probe readback (Kernels.cu:628-633)
+        # probe readback (Kernels.cu:628-633). Gather the probed lane's
+        # prim FIRST: indexing tri_instance[prim_safe][lane] gathers the
+        # whole (R,) plane twice (~6 ms each at 305k rows) for 2 scalars.
+        probe_prim = prim_safe[probe_lane]
         probe = jnp.stack([
-            scene["tri_instance"][prim_safe][probe_lane].astype(
-                jnp.float32),
-            scene["tri_prim"][prim_safe][probe_lane].astype(
-                jnp.float32),
+            scene["tri_instance"][probe_prim].astype(jnp.float32),
+            scene["tri_prim"][probe_prim].astype(jnp.float32),
             jnp.where(miss[probe_lane], jnp.float32(-1.0),
                       t[probe_lane]),
         ])

@@ -55,6 +55,7 @@ PIPE = 8           # in-flight DMAs: per-visit compute is below the ~4 us
 MAX_PASSES = 16    # recull passes bound (overflow blocks continue from an
 #                    exact watermark under the tightened horizon)
 ENUM_TILE = 1024   # granules per VMEM tile in the enumeration kernel
+EXIT_EVERY = 4     # visits between front-to-back exit reductions
 _BIGKEY = jnp.float32(1 << 25)
 
 
@@ -176,19 +177,24 @@ def _visit_kernel(super_g: int, k_size: int, m_c: int, t_epsilon: float,
                   # outputs (lane-major rows)
                   t_out, slot_out,
                   # scratch
-                  bt_s, bs_s, wp_s, sems):
+                  btk_s, bgk_s, wp_s, sems):
+    """Per-visit commit is a 3-op elementwise running minimum over a
+    (BLOCK, K) lane matrix — the ~15-op min+argmin reduction pair the
+    first version paid per visit runs ONCE per block at the end, and the
+    front-to-back exit reduction is amortized over EXIT_EVERY visits
+    (stale per-ray bounds are conservative: exit fires a little later,
+    never wrongly)."""
     row = jnp.remainder(pl.program_id(0), 8)
     n_visit = counts_ref[row, 0]
 
     rays = rays_ref[:]
     t_max0 = rays[3:4, :].T                   # (BLOCK, 1)
     ones = jnp.ones((1, BLOCK), jnp.float32)
-    zeros = jnp.zeros((1, BLOCK), jnp.float32)
     o4 = jnp.concatenate([rays[0:3, :], ones], axis=0)
-    d4 = jnp.concatenate([rays[4:7, :], zeros], axis=0)
+    d3 = rays[4:7, :]
 
-    bt_s[:] = t_max0
-    bs_s[:] = jnp.full((BLOCK, 1), -1, jnp.int32)
+    btk_s[:] = jnp.broadcast_to(t_max0, (BLOCK, k_size))
+    bgk_s[:] = jnp.zeros((BLOCK, k_size), jnp.int32)
 
     def gid(i):
         return ids_ref[row, jnp.minimum(i, m_c - 1)]
@@ -220,42 +226,51 @@ def _visit_kernel(super_g: int, k_size: int, m_c: int, t_epsilon: float,
 
         for j in range(super_g):
             base = 16 * j
-            bt = bt_s[:]
 
-            def xf(a, r0):
-                acc = a[0:1, :].T * wp[base + r0:base + r0 + 1, :]
-                for q in range(1, 4):
-                    acc = acc + (a[q:q + 1, :].T
+            def xf_o(r0):   # [o, 1] · rows → 3 FMA + 1 add
+                acc = wp[base + r0 + 3:base + r0 + 4, :] \
+                    + o4[0:1, :].T * wp[base + r0:base + r0 + 1, :]
+                for q in range(1, 3):
+                    acc = acc + (o4[q:q + 1, :].T
                                  * wp[base + r0 + q:base + r0 + q + 1, :])
                 return acc                    # (BLOCK, K)
 
-            ou, du = xf(o4, 0), xf(d4, 0)
-            ov, dv = xf(o4, 4), xf(d4, 4)
-            ow, dw = xf(o4, 8), xf(d4, 8)
+            def xf_d(r0):   # [d, 0] · rows → the 4th term is exactly 0
+                acc = d3[0:1, :].T * wp[base + r0:base + r0 + 1, :]
+                for q in range(1, 3):
+                    acc = acc + (d3[q:q + 1, :].T
+                                 * wp[base + r0 + q:base + r0 + q + 1, :])
+                return acc                    # (BLOCK, K)
+
+            ou, du = xf_o(0), xf_d(0)
+            ov, dv = xf_o(4), xf_d(4)
+            ow, dw = xf_o(8), xf_d(8)
             valid = jnp.abs(dw) > 1e-12
             t = -ow / jnp.where(valid, dw, 1.0)
             u = ou + t * du
             v = ov + t * dv
             hit = (valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                   & (t > t_epsilon) & (t < bt))
+                   & (t > t_epsilon))
             t_hit = jnp.where(hit, t, 1e30)
-            tmin = jnp.min(t_hit, axis=1, keepdims=True)
-            kbest = jnp.argmin(t_hit, axis=1, keepdims=True).astype(
-                jnp.int32)
-            better = tmin < bt
-            bs_s[:] = jnp.where(
-                better, (cur * super_g + j) * k_size + kbest, bs_s[:])
-            bt_s[:] = jnp.where(better, tmin, bt)
+            upd = t_hit < btk_s[:]            # strict: earliest visit wins
+            btk_s[:] = jnp.where(upd, t_hit, btk_s[:])
+            bgk_s[:] = jnp.where(upd, cur * super_g + j, bgk_s[:])
 
         import os
         if os.environ.get("RFW_VISIT_NOEXIT"):   # perf/correctness bisect
             done = jnp.bool_(False)
-        elif any_hit:
-            done = ~jnp.any((bs_s[:] < 0) & (t_max0 > 0))
         else:
-            # front-to-back: once every ray's best precedes the next
-            # granule's entry lower bound, no later granule can win
-            done = jnp.max(bt_s[:]) <= tnear_of(i + 1)
+            def check():
+                bt = jnp.min(btk_s[:], axis=1, keepdims=True)
+                if any_hit:
+                    return ~jnp.any((bt >= t_max0) & (t_max0 > 0))
+                # front-to-back: once every ray's best precedes the next
+                # granule's entry lower bound, no later granule can win
+                return jnp.max(bt) <= tnear_of(i + 1)
+
+            done = jax.lax.cond(
+                jnp.remainder(i, EXIT_EVERY) == EXIT_EVERY - 1,
+                check, lambda: jnp.bool_(False))
         return i + 1, done
 
     def cond(state):
@@ -270,13 +285,23 @@ def _visit_kernel(super_g: int, k_size: int, m_c: int, t_epsilon: float,
         def _(k=k):
             dma(jnp.remainder(i_end + k, PIPE), gid(i_end + k)).wait()
 
+    # one reduction pair per BLOCK: best t, its lane, that lane's cell
+    btk = btk_s[:]
+    tmin = jnp.min(btk, axis=1, keepdims=True)              # (BLOCK, 1)
+    kbest = jnp.argmin(btk, axis=1, keepdims=True).astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, k_size), 1)
+    gbest = jnp.max(jnp.where(lane == kbest, bgk_s[:], -1),
+                    axis=1, keepdims=True)                  # (BLOCK, 1)
+    found = tmin < t_max0
+    slot_v = jnp.where(found, gbest * k_size + kbest, -1)
+
     # lane-major output rows: (BLOCK, 1) scratch → (8, BLOCK) broadcast
     # streams contiguously (minor-dim-8 output blocks DMA as 32 B
     # segments — ~5 us/program of pure fixed cost, ops/pair_intersect.py)
     t_out[0, :, :] = jnp.broadcast_to(
-        bt_s[:].reshape(1, BLOCK), (8, BLOCK))
+        jnp.where(found, tmin, t_max0).reshape(1, BLOCK), (8, BLOCK))
     slot_out[0, :, :] = jnp.broadcast_to(
-        bs_s[:].reshape(1, BLOCK), (8, BLOCK))
+        slot_v.reshape(1, BLOCK), (8, BLOCK))
 
 
 @functools.partial(jax.jit, static_argnames=("super_g", "k_size",
@@ -324,8 +349,8 @@ def _run_visit_kernel(rays8, ids, counts, tnears, wgran,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         scratch_shapes=[
-            pltpu.VMEM((BLOCK, 1), jnp.float32),
-            pltpu.VMEM((BLOCK, 1), jnp.int32),
+            pltpu.VMEM((BLOCK, k_size), jnp.float32),
+            pltpu.VMEM((BLOCK, k_size), jnp.int32),
             pltpu.VMEM((PIPE, super_g * 16, k_size), jnp.float32),
             pltpu.SemaphoreType.DMA((PIPE,)),
         ],
@@ -406,7 +431,7 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
     hi = tl["scene_hi"] if "scene_hi" in tl else tl["bmax"].max(axis=0)
     diag = jnp.sqrt(jnp.sum((hi - lo) ** 2))
 
-    def one_pass(state):
+    def one_pass(state, m_c=None):
         it, wm, best_t, best_slot, finished = state
         t_hi = jnp.minimum(t_max, best_t)
         if any_hit:
@@ -415,7 +440,7 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
         rays8 = _pack_rays8(origins, directions, t_hi)
         b_entry = block_entries(rays8, bounds8)
         ids, counts, overflow, tnears, keys = order_candidates(
-            b_entry, wm, diag, M_C)
+            b_entry, wm, diag, M_C if m_c is None else m_c)
         t_row, s_row = _run_visit_kernel(
             rays8, ids, counts, tnears, wg, super_g, k_size,
             float(config.t_epsilon), any_hit)

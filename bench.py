@@ -85,6 +85,11 @@ def main() -> None:
           f"primary {stats.primary_count/1e6:.2f}M secondary "
           f"{stats.secondary_count/1e6:.2f}M deep {stats.deep_count/1e6:.2f}M "
           f"shadow {stats.shadow_count/1e6:.2f}M", file=sys.stderr)
+    # per-stage split (context.h:50-72 parity — measured by the driver's
+    # inter-depth syncs; imgui_app/main.cpp:270-296 displays the same)
+    print(f"# stage ms: primary {stats.primary_time*1000:.0f} secondary "
+          f"{stats.secondary_time*1000:.0f} deep {stats.deep_time*1000:.0f}",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "Mrays/sec/chip (pica-4x ~305k tris, 1080p path trace, "

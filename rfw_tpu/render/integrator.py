@@ -24,6 +24,7 @@ keyed by pixel id, so results are permutation-invariant).
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, NamedTuple
 
 import jax.numpy as jnp
@@ -35,6 +36,16 @@ from ..ops.bsdf import get as get_bsdf
 from ..ops.bsdf.common import (clamp_intensity, dot3, safe_origin,
                                survival_probability)
 from ..ops.shade import get_shading_data
+
+
+def _keep(*arrays):
+    """A cheap scalar that data-depends on every input, so truncated
+    stages cannot have their tail dead-code-eliminated by XLA."""
+    acc = jnp.float32(0.0)
+    for a in arrays:
+        af = a.astype(jnp.float32)
+        acc = acc + jnp.sum(jnp.where(jnp.isinf(af), 1.0, 0.0))
+    return acc
 
 
 class Intersector(NamedTuple):
@@ -181,6 +192,13 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
     for this depth; probe (3,) and aux planes are None unless depth == 0.
     """
     n = state.pid.shape[0]
+    # Stage-truncation profiling hook (§5 tracing): RFW_STAGE_TRUNC=k
+    # cuts this stage after phase k (1 closest, 2 shading data,
+    # 3 emissive/sky, 4 NEE math pre-occlusion, 5 NEE+occlusion) so
+    # per-phase device cost is attributable by differencing
+    # (tools/stage_trunc.py). Read at TRACE time — rebuild the jit after
+    # changing it. 0 (default) = off.
+    _STAGE_TRUNC = int(os.environ.get("RFW_STAGE_TRUNC", "0"))
     bsdf = get_bsdf(config.bsdf)
     clamp_v = jnp.float32(config.firefly_clamp)
     lights = scene["lights"]
@@ -204,6 +222,12 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
                                         ray_tmax, sort=do_sort)
     prim = jnp.where(alive, prim, -1)
     stats["ray_count"] = jnp.sum(alive)
+
+    if _STAGE_TRUNC == 1:   # profiling: closest hit only
+        radiance = radiance.at[:, 0].add(_keep(t, prim, u, v))
+        return (PathState(origin, direction, throughput, radiance,
+                          last_pdf, spec_bounce, last_n, alive, pid),
+                stats, probe, aux)
 
     miss = prim < 0
     # ---- skybox on miss (Kernels.cu:592-610) ----
@@ -245,6 +269,14 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
     # alpha cutout (Kernels.cu:636-648): the hit is transparent — the
     # ray continues unchanged through the surface on the next bounce
     alpha_cut = alpha_cut & alive
+
+    if _STAGE_TRUNC == 2:   # profiling: + shading data (textures)
+        radiance = radiance.at[:, 0].add(_keep(
+            sd["color"], sd["roughness"], n_geom, i_n, t_vec, b_vec,
+            alpha_cut))
+        return (PathState(origin, direction, throughput, radiance,
+                          last_pdf, spec_bounce, last_n, alive, pid),
+                stats, probe, aux)
 
     if depth == 0:
         # aux feature buffers for the denoiser (ops/denoise.py)
@@ -295,6 +327,11 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
     radiance = radiance + jnp.where((alive & emissive)[..., None],
                                     e_contrib, 0.0)
     alive = alive & ~emissive
+
+    if _STAGE_TRUNC == 3:   # profiling: + sky/emissive radiance
+        return (PathState(origin, direction, throughput, radiance,
+                          last_pdf, spec_bounce, last_n, alive, pid),
+                stats, probe, aux)
 
     # ---- fix normals, apply postponed pdf (Kernels.cu:698-703) ----
     flip = jnp.where(dot3(direction, n_geom) > 0, -1.0, 1.0)
@@ -364,6 +401,13 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
         s_dist = jnp.where(want_shadow,
                            dist - 2.0 * config.geometry_epsilon, 0.0)
         stats["shadow_count"] = jnp.sum(want_shadow)
+
+        if _STAGE_TRUNC == 4:   # profiling: + NEE math, no occlusion
+            radiance = radiance.at[:, 0].add(_keep(
+                nee, s_origin, s_dist, want_shadow))
+            return (PathState(origin, direction, throughput, radiance,
+                              last_pdf, spec_bounce, last_n, alive, pid),
+                    stats, probe, aux)
 
         # ---- envmap NEE (new capability; reference skybox.h:37-39
         # declares the tables but never fills them) ----
@@ -448,6 +492,11 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
                                        sort=depth > 0)
             radiance = radiance + jnp.where(
                 (want_shadow & ~occ)[..., None], nee, 0.0)
+
+    if _STAGE_TRUNC == 5:   # profiling: + occlusion, no extension
+        return (PathState(origin, direction, throughput, radiance,
+                          last_pdf, spec_bounce, last_n, alive, pid),
+                stats, probe, aux)
 
     if depth >= config.max_path_length:
         # final depth: no extension rays

@@ -72,6 +72,7 @@ class EngineContext:
         self.config = config or RenderConfig()
         self.stats = RenderStats()
         self._stat_averagers: dict[str, Averager] = {}
+        self._finished_frame = None
 
     # -- geometry / scene upload (context.h:93-103) --------------------------
 
@@ -108,6 +109,21 @@ class EngineContext:
         """Trace/raster one frame; returns the resolved HDR framebuffer
         (H, W, 3). Progressive engines accumulate until RESET."""
         raise NotImplementedError
+
+    def render_frame_async(self, view, status: RenderStatus,
+                           samples: int = 1) -> None:
+        """Dispatch a frame without waiting; ``finish_frame()`` collects
+        it. Default: render synchronously and stash (engines without an
+        async device path keep the ABI). PathTracerEngine overrides with
+        a true XLA async dispatch — the reference's thread-pool overlap
+        analog (system.cpp:438-458)."""
+        self._finished_frame = self.render_frame(view, status,
+                                                 samples=samples)
+
+    def finish_frame(self) -> np.ndarray:
+        frame = self._finished_frame
+        self._finished_frame = None
+        return frame
 
     # -- probe (context.h:104-105) -------------------------------------------
 

@@ -58,6 +58,7 @@ class PathTracerEngine(EngineContext):
         self._probe_xy = (0, 0)
         self._probe_result = (-1, -1, -1.0)
         self._trace_fn = None
+        self._pending = None
         self._intersector_name = self.default_intersector
         self._denoise = False
         self._mesh_versions: dict[int, int] = {}
@@ -373,6 +374,24 @@ class PathTracerEngine(EngineContext):
         ``view`` is a CameraView (camera.py) or its pytree. Size comes from
         the camera's pixel_count set at get_view time — pass explicitly via
         self.resize for raw pytrees."""
+        self.render_frame_async(view, status, samples)
+        return self.finish_frame()
+
+    def render_frame_async(self, view,
+                           status: RenderStatus = RenderStatus.RESET,
+                           samples: int = 1) -> None:
+        """Dispatch ``samples`` samples without waiting for the device.
+
+        The host-async overlap analog of the reference's thread pool
+        (system.cpp:438-458 overlaps animation/TLAS updates with device
+        work; CUDART/Context.cpp renders on a private stream): XLA's
+        async dispatch returns as soon as the work is enqueued, so the
+        caller can run host work — animation evaluation, the next
+        frame's skinning/refit, IO — while the chip traces. Call
+        ``finish_frame()`` to block and read the frame back. On the
+        multi-chunk compacted driver the overlap is partial (its
+        inter-depth live-count readbacks sync); single-chunk interactive
+        frames (the case that matters for overlap) are fully async."""
         from ..camera import CameraView
         if isinstance(view, CameraView):
             raise TypeError("pass Camera.get_view().as_pytree() plus "
@@ -402,6 +421,14 @@ class PathTracerEngine(EngineContext):
             else:
                 self._accumulator, probe, stats = out
             self._sample_count += 1
+        self._pending = (probe, stats, aux, timer, samples)
+
+    def finish_frame(self) -> np.ndarray:
+        """Block on the dispatched frame, fill stats, return resolved HDR."""
+        assert self._pending is not None, "no render_frame_async in flight"
+        probe, stats, aux, timer, samples = self._pending
+        self._pending = None
+        width, height = self._size
         self._accumulator.block_until_ready()
         elapsed = timer.elapsed()
 

@@ -364,6 +364,29 @@ class RenderSystem:
         self._should_reset = False
         return frame
 
+    def render_frame_async(self, camera: Camera | None = None,
+                           status: RenderStatus | None = None,
+                           samples: int = 1) -> None:
+        """Dispatch a frame without waiting (host-async overlap: run
+        animation/IO for the NEXT frame while the chip traces this one,
+        then ``finish_frame()``). The reference gets this overlap from
+        its thread pool (system.cpp:438-458); here XLA async dispatch
+        provides it thread-free."""
+        cam = camera or self.camera
+        self.synchronize()
+        if status is None:
+            status = (RenderStatus.RESET if self._should_reset
+                      else RenderStatus.CONVERGE)
+        w, h = cam.pixel_count
+        self._context.resize(w, h)
+        self._context.render_frame_async(cam.get_view().as_pytree(),
+                                         status, samples=samples)
+        self._should_reset = False
+
+    def finish_frame(self) -> np.ndarray:
+        """Block on the in-flight async frame and return it."""
+        return self._context.finish_frame()
+
     def render_tonemapped(self, camera: Camera | None = None,
                           status: RenderStatus | None = None,
                           samples: int = 1) -> np.ndarray:

@@ -56,13 +56,15 @@ class RenderConfig:
     # chunk) into near-parallel coherent rays. Unbiased — per-pixel noise
     # becomes per-tile noise that averages out across samples. 0/1 = off.
     env_nee_interleave: int = 256
-    # merge diffuse/normal/rough into one RGBA8 texture (8 taps vs 24).
-    # Default OFF: measured SLOWER in production (275 vs 239 ms per 518k
-    # lanes, tools/shade_opt2.py) — TPU gather cost is not per-descriptor
-    # as the 24-tap prototypes suggested, and the merged table is ~3x
-    # larger (triple-dedup duplication + upsampling to max resolution)
-    # which costs HBM locality. Kept as an option for atlas-bound scenes.
-    merged_material_atlas: bool = False
+    # merge diffuse/normal/rough into one RGBA8 texture: with the default
+    # STOCHASTIC filter this is ONE texel gather for all three maps vs
+    # three (fetch_merged_stochastic) — closest+shade 85.6 vs 108.7 ms
+    # per 518k chunk (tools/matlas_stoch_ab.py), zero measurable bias.
+    # (Under deterministic trilinear the merged table measured SLOWER —
+    # 275 vs 239 ms, tools/shade_opt2.py — because 8 taps of the ~3x
+    # larger table beat 24 taps of the small ones on bytes; the
+    # stochastic filter removes that tradeoff: 1 tap vs 3.)
+    merged_material_atlas: bool = True
     # build two-level TLAS/BLAS tables into the device scene (reference
     # TopLevelBVH parity: instances move with a TLAS refit, no BLAS work).
     # The 'tlas' intersector (render/intersectors.py) consumes them; the

@@ -150,6 +150,37 @@ def _unpack_rgba8(word):
          (word >> 24) & 0xFF], axis=-1).astype(jnp.float32) * (1.0 / 255.0)
 
 
+def fetch_merged_stochastic(matlas, desc, eid, uv, lam, seed):
+    """ONE texel gather serving diffuse + normal + rough at once: the
+    merged-atlas row (texture.build_merged_material_atlas) fetched with
+    the stochastic-trilinear estimator (fetch_texel_stochastic) — mip and
+    bilinear corner chosen with probability equal to their filter weight,
+    so the expectation is exactly fetch_merged_trilinear's 8-tap result.
+    The cheapest possible textured shade on TPU: gathers are per-op, and
+    this is one op for all three maps. Returns ((diffuse, normal, rough)
+    each (R, 4) f32, new_seed)."""
+    from . import rng as rng_mod
+    levels = desc.shape[1]
+    lam = jnp.clip(lam, 0.0, levels - 1)
+    l0 = jnp.floor(lam).astype(jnp.int32)
+    f = lam - l0.astype(jnp.float32)
+    seed, (r_mip, r_x, r_y) = rng_mod.random_floats(seed, 3)
+    lev = jnp.where(r_mip < f, jnp.minimum(l0 + 1, levels - 1), l0)
+    d = desc[eid, lev]
+    addr, width, height = d[..., 0], d[..., 1], d[..., 2]
+    x = uv[..., 0] * width.astype(jnp.float32) - 0.5
+    y = uv[..., 1] * height.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    xi = jnp.where(r_x < x - x0, x0 + 1, x0)
+    yi = jnp.where(r_y < y - y0, y0 + 1, y0)
+    xi = jnp.mod(xi.astype(jnp.int32), jnp.maximum(width, 1))
+    yi = jnp.mod(yi.astype(jnp.int32), jnp.maximum(height, 1))
+    px = matlas[addr + yi * width + xi]                    # (R, 4) u32
+    return (_unpack_rgba8(px[:, 0]), _unpack_rgba8(px[:, 1]),
+            _unpack_rgba8(px[:, 2])), seed
+
+
 def fetch_merged_trilinear(matlas, desc, eid, uv, lam):
     """Trilinear fetch from the merged material atlas (texture.py
     build_merged_material_atlas): ONE tap per corner serves the diffuse,
@@ -304,7 +335,13 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None,
             base_w * cone_width
             / jnp.maximum(jnp.abs(dot3(-d, n_geom)), 1e-4), 1e-20))
             - lod_base)
-        texel, nm, mr = fetch_merged_trilinear(matlas, desc, eid, uv0, lam)
+        if tex_filter == "stochastic" and stoch_seed is not None:
+            (texel, nm, mr), stoch_seed = fetch_merged_stochastic(
+                matlas, desc, eid, uv0, lam,
+                stoch_seed ^ jnp.uint32(0x2545F491))
+        else:
+            texel, nm, mr = fetch_merged_trilinear(matlas, desc, eid,
+                                                   uv0, lam)
         if tf["diffuse"]:
             sd["color"] = jnp.where(has_tex0[..., None],
                                     sd["color"] * texel[..., :3],

@@ -42,22 +42,28 @@ from .integrator import (Intersector, PathState, _tile_permutation,
 
 
 def _pack_state(state: PathState):
-    """PathState → (N, 20) f32 matrix (ints/bools bitcast/encoded) for a
-    single-row-gather permutation."""
+    """PathState → (N, 18) f32 matrix (ints/bools bitcast/encoded) for a
+    single-row-gather permutation. Column order puts the fields a DEAD
+    lane still owes the frame (radiance, flags, pid) LAST, so the
+    compaction can gather dead tail rows at 5 columns instead of 18
+    (_TAIL_COL; live-path fields of dead lanes are never read again)."""
     f = jnp.float32
     flags = (state.alive.astype(f) + 2.0 * state.spec_bounce.astype(f))
     pid_f = jax.lax.bitcast_convert_type(state.pid, f)
     cols = [state.origin, state.direction, state.throughput,
-            state.radiance, state.last_n,
-            state.last_pdf[:, None], flags[:, None], pid_f[:, None]]
+            state.last_n, state.last_pdf[:, None],
+            state.radiance, flags[:, None], pid_f[:, None]]
     return jnp.concatenate(cols, axis=1)          # (N, 18) → pad-free
+
+
+_TAIL_COL = 13   # radiance(13:16), flags(16), pid(17)
 
 
 def _unpack_state(m) -> PathState:
     flags = m[:, 16]
     return PathState(
         origin=m[:, 0:3], direction=m[:, 3:6], throughput=m[:, 6:9],
-        radiance=m[:, 9:12], last_n=m[:, 12:15], last_pdf=m[:, 15],
+        radiance=m[:, 13:16], last_n=m[:, 9:12], last_pdf=m[:, 12],
         spec_bounce=flags >= 2.0,
         alive=jnp.mod(flags, 2.0) >= 1.0,
         pid=jax.lax.bitcast_convert_type(m[:, 17], jnp.uint32))
@@ -100,7 +106,7 @@ class WavefrontDriver:
                                sort_rays=False, height=height)
 
         @jax.jit
-        def compact_fn(scene, state):
+        def compact_keys_fn(scene, state):
             tl = scene["treelets"]
             lo = tl["scene_lo"] if "scene_lo" in tl else \
                 tl["bmin"].min(axis=0)
@@ -110,8 +116,31 @@ class WavefrontDriver:
             keys = keys + jnp.where(state.alive, jnp.uint32(0),
                                     jnp.uint32(1) << 28)
             order = jnp.argsort(keys).astype(jnp.int32)
-            m = _pack_state(state)[order]
-            return _unpack_state(m), jnp.sum(state.alive)
+            return order, jnp.sum(state.alive)
+
+        @functools.partial(jax.jit, static_argnames=("m",))
+        def compact_apply_fn(state, order, m):
+            # live lanes sort first; only rows [:m] enter the next
+            # depth's chunks, so the permutation gathers full rows for
+            # them and just the radiance/flags/pid tail columns for the
+            # dead remainder (gather cost is per-op AND per-byte)
+            full = _pack_state(state)
+            front = full[order[:m]]
+            if m < full.shape[0]:
+                tail_cols = full[:, _TAIL_COL:][order[m:]]
+                tail = jnp.concatenate(
+                    [jnp.zeros((tail_cols.shape[0], _TAIL_COL),
+                               jnp.float32), tail_cols], axis=1)
+                full = jnp.concatenate([front, tail], axis=0)
+            else:
+                full = front
+            return _unpack_state(full)
+
+        @jax.jit
+        def compact_fn(scene, state):
+            order, live = compact_keys_fn(scene, state)
+            return compact_apply_fn(state, order, m=int(state.pid.shape[0])
+                                    ), live
 
         @jax.jit
         def finalize_fn(state):
@@ -121,6 +150,8 @@ class WavefrontDriver:
         self._init = init_fn
         self._stage = stage_fn
         self._compact = compact_fn
+        self._compact_keys = compact_keys_fn
+        self._compact_apply = compact_apply_fn
         self._finalize = finalize_fn
         self.depth_times: list[float] = []
 
@@ -165,13 +196,15 @@ class WavefrontDriver:
             state = jax.tree.map(
                 lambda *xs: jnp.concatenate(xs), *parts, tail)
             if depth < cfg.max_path_length:
-                state, live_dev = self._compact(scene, state)
+                order, live_dev = self._compact_keys(scene, state)
                 if n > chunk:
                     # the live count only picks the next depth's chunk
                     # count — single-chunk frames skip the readback (a
                     # device→host sync per depth dominates small
                     # interactive frames)
                     live = int(live_dev)
+                m = min(max(1, -(-live // chunk)) * chunk, n)
+                state = self._compact_apply(state, order, m=m)
             self.depth_times.append(timer.elapsed())
             timer = Timer()
             if depth < cfg.max_path_length and live == 0:

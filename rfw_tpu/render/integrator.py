@@ -218,8 +218,11 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
     ray_tmax = jnp.where(alive, jnp.float32(1e30), 0.0)
     # primary rays arrive in pixel order (coherent) — skip the sort
     do_sort = (depth > 0) if sort_rays is None else sort_rays
+    # depth 0 arrives in pixel-tile order: tight block envelopes let the
+    # visit intersector enumerate per-block instead of per-ray
     t, prim, u, v = intersector.closest(scene, origin, direction,
-                                        ray_tmax, sort=do_sort)
+                                        ray_tmax, sort=do_sort,
+                                        coherent=depth == 0)
     prim = jnp.where(alive, prim, -1)
     stats["ray_count"] = jnp.sum(alive)
 

@@ -28,7 +28,7 @@ def _tris_from_scene(scene):
 
 
 def make_brute_intersector(config: RenderConfig) -> Intersector:
-    def closest(scene, o, d, t_max=None, sort=True):
+    def closest(scene, o, d, t_max=None, sort=True, coherent=False):
         t, prim, u, v = traverse.brute_force_closest(
             o, d, _tris_from_scene(scene), t_epsilon=config.t_epsilon)
         if t_max is not None:
@@ -36,7 +36,7 @@ def make_brute_intersector(config: RenderConfig) -> Intersector:
             t = jnp.where(prim >= 0, t, BIG_T)
         return t, prim, u, v
 
-    def occluded(scene, o, d, dist, sort=True):
+    def occluded(scene, o, d, dist, sort=True, coherent=False):
         t, prim, _, _ = traverse.brute_force_closest(
             o, d, _tris_from_scene(scene), t_epsilon=config.t_epsilon)
         return (prim >= 0) & (t < dist)
@@ -46,12 +46,12 @@ def make_brute_intersector(config: RenderConfig) -> Intersector:
 
 def make_bvh_intersector(config: RenderConfig,
                          leaf_size: int = 4) -> Intersector:
-    def closest(scene, o, d, t_max=None, sort=True):
+    def closest(scene, o, d, t_max=None, sort=True, coherent=False):
         return traverse.traverse_wide(
             o, d, scene["bvh"], _tris_from_scene(scene),
             leaf_size=leaf_size, t_epsilon=config.t_epsilon, t_max=t_max)
 
-    def occluded(scene, o, d, dist, sort=True):
+    def occluded(scene, o, d, dist, sort=True, coherent=False):
         t, prim, _, _ = traverse.traverse_wide(
             o, d, scene["bvh"], _tris_from_scene(scene),
             leaf_size=leaf_size, t_max=dist, t_epsilon=config.t_epsilon,
@@ -72,7 +72,7 @@ def make_dense_intersector(config: RenderConfig) -> Intersector:
     — the Pallas kernel adds the dynamic skipping.
     """
 
-    def closest(scene, o, d, t_max=None, sort=True):
+    def closest(scene, o, d, t_max=None, sort=True, coherent=False):
         tl = scene["treelets"]
         t, slot, u, v = closest_hit_woop(
             o, d, tl["woop"], jnp.arange(tl["woop"].shape[0]),
@@ -83,7 +83,7 @@ def make_dense_intersector(config: RenderConfig) -> Intersector:
         t = jnp.where(prim >= 0, t, BIG_T)
         return t, prim, u, v
 
-    def occluded(scene, o, d, dist, sort=True):
+    def occluded(scene, o, d, dist, sort=True, coherent=False):
         tl = scene["treelets"]
         hit, t, u, v = intersect_woop(o, d, tl["woop"],
                                       t_epsilon=config.t_epsilon)
@@ -95,11 +95,11 @@ def make_dense_intersector(config: RenderConfig) -> Intersector:
 def make_pallas_intersector(config: RenderConfig) -> Intersector:
     from ..ops import pallas_intersect
 
-    def closest(scene, o, d, t_max=None, sort=True):
+    def closest(scene, o, d, t_max=None, sort=True, coherent=False):
         return pallas_intersect.closest_hit(scene, o, d, config,
                                             t_max=t_max, sort=sort)
 
-    def occluded(scene, o, d, dist, sort=True):
+    def occluded(scene, o, d, dist, sort=True, coherent=False):
         return pallas_intersect.any_hit(scene, o, d, dist, config,
                                         sort=sort)
 
@@ -112,11 +112,11 @@ def make_pairs_intersector(config: RenderConfig) -> Intersector:
     per-block envelope union)."""
     from ..ops import pair_intersect
 
-    def closest(scene, o, d, t_max=None, sort=True):
+    def closest(scene, o, d, t_max=None, sort=True, coherent=False):
         return pair_intersect.closest_hit(scene, o, d, config,
                                           t_max=t_max, sort=sort)
 
-    def occluded(scene, o, d, dist, sort=True):
+    def occluded(scene, o, d, dist, sort=True, coherent=False):
         return pair_intersect.any_hit(scene, o, d, dist, config, sort=sort)
 
     return Intersector(closest, occluded)
@@ -129,12 +129,14 @@ def make_visit_intersector(config: RenderConfig) -> Intersector:
     stream class (coherent and scattered)."""
     from ..ops import visit_intersect
 
-    def closest(scene, o, d, t_max=None, sort=True):
+    def closest(scene, o, d, t_max=None, sort=True, coherent=False):
         return visit_intersect.closest_hit(scene, o, d, config,
-                                           t_max=t_max, sort=sort)
+                                           t_max=t_max, sort=sort,
+                                           coherent=coherent)
 
-    def occluded(scene, o, d, dist, sort=True):
-        return visit_intersect.any_hit(scene, o, d, dist, config, sort=sort)
+    def occluded(scene, o, d, dist, sort=True, coherent=False):
+        return visit_intersect.any_hit(scene, o, d, dist, config,
+                                       sort=sort, coherent=coherent)
 
     return Intersector(closest, occluded)
 
@@ -157,12 +159,12 @@ def make_hybrid_intersector(config: RenderConfig) -> Intersector:
     sup = make_pallas_intersector(config)
     prs = make_pairs_intersector(config)
 
-    def closest(scene, o, d, t_max=None, sort=True):
+    def closest(scene, o, d, t_max=None, sort=True, coherent=False):
         if sort:
             return prs.closest(scene, o, d, t_max=t_max)
         return sup.closest(scene, o, d, t_max=t_max, sort=False)
 
-    def occluded(scene, o, d, dist, sort=True):
+    def occluded(scene, o, d, dist, sort=True, coherent=False):
         return sup.occluded(scene, o, d, dist, sort=sort)
 
     return Intersector(closest, occluded)
@@ -220,13 +222,13 @@ def make_tlas_intersector(config: RenderConfig) -> Intersector:
                 best_v = jnp.where(better, v_i, best_v)
         return best_t, best_flat, best_u, best_v
 
-    def closest(scene, o, d, t_max=None, sort=True):
+    def closest(scene, o, d, t_max=None, sort=True, coherent=False):
         n = o.shape[0]
         tm = jnp.full(n, BIG_T) if t_max is None else t_max
         t, prim, u, v = _loop(scene, o, d, tm, any_hit=False)
         return jnp.where(prim >= 0, t, BIG_T), prim, u, v
 
-    def occluded(scene, o, d, dist, sort=True):
+    def occluded(scene, o, d, dist, sort=True, coherent=False):
         _, prim, _, _ = _loop(scene, o, d, dist, any_hit=True)
         return prim >= 0
 

@@ -201,3 +201,21 @@ def test_visit_coherent_unsorted(soup_scene):
                                                     sort=False)
     t_b, prim_b, _, _ = _brute(scene, o, d, cfg)
     assert (np.asarray(prim_p) == np.asarray(prim_b)).mean() > 0.999
+
+
+def test_visit_envelope_enum_matches_brute(soup_scene):
+    """coherent=True (per-BLOCK envelope enumeration) must stay exact —
+    conservative lists can only ADD visits, never lose the closest hit."""
+    scene, cfg = soup_scene
+    o, d, tm = _rays(1024, seed=11, dead_frac=0.2)
+    t_p, prim_p, _, _ = visit_intersect.closest_hit(
+        scene, o, d, cfg, t_max=tm, sort=False, coherent=True)
+    t_b, prim_b, _, _ = _brute(scene, o, d, cfg)
+    prim_b = jnp.where((t_b < tm) & (prim_b >= 0), prim_b, -1)
+    t_p, prim_p = np.asarray(t_p), np.asarray(prim_p)
+    t_b, prim_b = np.asarray(t_b), np.asarray(prim_b)
+    assert ((prim_p >= 0) == (prim_b >= 0)).all()
+    both = (prim_p >= 0) & (prim_b >= 0)
+    assert (prim_p[both] == prim_b[both]).mean() > 0.999
+    terr = np.abs(t_p[both] - t_b[both])
+    assert (terr / np.maximum(t_b[both], 1e-6)).max() < 1e-4

@@ -147,6 +147,7 @@ class WavefrontDriver:
             order = jnp.argsort(state.pid).astype(jnp.int32)
             return state.radiance[order]
 
+        self._m_pred: dict[int, int] = {}
         self._init = init_fn
         self._stage = stage_fn
         self._compact = compact_fn
@@ -197,6 +198,14 @@ class WavefrontDriver:
                 lambda *xs: jnp.concatenate(xs), *parts, tail)
             if depth < cfg.max_path_length:
                 order, live_dev = self._compact_keys(scene, state)
+                # dispatch the gather IMMEDIATELY with a PREDICTED row
+                # count (live counts are stable across samples) — syncing
+                # on the live readback first leaves the device idle for a
+                # dispatch round trip per depth (measured ~90 ms/sample
+                # on the remote tunnel). If the prediction was too small
+                # (live grew — rare), redo with the exact count.
+                m_pred = self._m_pred.get(depth, n)
+                new_state = self._compact_apply(state, order, m=m_pred)
                 if n > chunk:
                     # the live count only picks the next depth's chunk
                     # count — single-chunk frames skip the readback (a
@@ -204,7 +213,10 @@ class WavefrontDriver:
                     # interactive frames)
                     live = int(live_dev)
                 m = min(max(1, -(-live // chunk)) * chunk, n)
-                state = self._compact_apply(state, order, m=m)
+                self._m_pred[depth] = m
+                if m > m_pred:   # under-predicted: live rows were tailed
+                    new_state = self._compact_apply(state, order, m=m)
+                state = new_state
             self.depth_times.append(timer.elapsed())
             timer = Timer()
             if depth < cfg.max_path_length and live == 0:

@@ -1,7 +1,9 @@
-"""Attribute the compacted driver's per-sample tail at 1080p: the final
-depth runs with no live-count sync, so its device work drains into
-finalize/accumulate and the depth_times split under-reports it. This tool
-forces a tiny readback after every phase to get a true attribution."""
+"""Attribute the compacted driver's per-sample phases at 1080p with
+forced syncs after every phase (the production step() overlaps phases;
+the final depth otherwise drains unmeasured into finalize).
+
+Usage: python tools/driver_tail.py [--legacy-atlas]
+"""
 import sys
 import time
 
@@ -15,7 +17,9 @@ from rfw_tpu.config import RenderConfig  # noqa: E402
 import bench as benchmod  # noqa: E402
 
 W, H = 1920, 1080
-rs = RenderSystem("wavefront", RenderConfig())
+cfg = RenderConfig(
+    merged_material_atlas="--legacy-atlas" not in sys.argv[1:])
+rs = RenderSystem("wavefront", cfg)
 benchmod.build_scene(rs)
 rs.camera.resize(W, H)
 rs.camera.fov = 60.0
@@ -28,7 +32,6 @@ drv = eng._driver
 assert drv is not None
 scene = eng._scene
 view = rs.camera.get_view().as_pytree()
-cfg = drv.config
 chunk = drv.chunk
 n = drv.n
 
@@ -60,8 +63,17 @@ def run_sample(sample_index, phases):
         state = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts, tail)
         mark(f"d{depth} stage x{n_chunks}", state)
         if depth < cfg.max_path_length:
-            state, live_dev = drv._compact(scene, state)
+            # mirror step(): predicted-m apply dispatched before the
+            # live sync (no pipeline bubble on the dispatch RTT)
+            order, live_dev = drv._compact_keys(scene, state)
+            m_pred = drv._m_pred.get(depth, n)
+            new_state = drv._compact_apply(state, order, m=m_pred)
             live = int(live_dev)
+            m = min(max(1, -(-live // chunk)) * chunk, n)
+            drv._m_pred[depth] = m
+            if m > m_pred:
+                new_state = drv._compact_apply(state, order, m=m)
+            state = new_state
             mark(f"d{depth} compact+sync", state)
     radiance = drv._finalize(state)
     mark("finalize", radiance)
@@ -69,12 +81,14 @@ def run_sample(sample_index, phases):
 
 
 phases: dict = {}
-run_sample(0, {})                 # compile
+run_sample(0, {})                 # compile + first m predictions
+run_sample(1, {})                 # warm with stable m
 t0 = time.time()
 REPS = 3
 for i in range(REPS):
-    run_sample(i + 1, phases)
+    run_sample(i + 2, phases)
 total = (time.time() - t0) / REPS
-print(f"total {total * 1000:.0f} ms/sample", flush=True)
+print(f"total {total * 1000:.0f} ms/sample "
+      f"(merged_atlas={cfg.merged_material_atlas})", flush=True)
 for k, v in phases.items():
     print(f"  {k}: {v / REPS * 1000:.1f} ms", flush=True)

@@ -529,9 +529,11 @@ def closest_hit(scene, origins, directions, config: RenderConfig,
                 t_max=None, sort: bool = True, coherent: bool = False):
     """Intersector ABI: (t, prim, u, v); lanes with t_max == 0 are dead.
     ``sort=False`` for streams already in a coherent order; ``coherent``
-    additionally enables the per-block envelope enumeration (primary
-    tiles — NOT compaction-sorted bounce streams, whose blocks still
-    span wide envelopes)."""
+    additionally enables the per-block envelope enumeration (valid with
+    or without the internal sort — blocks are whatever order the stream
+    lands in; callers set it when blocks are TIGHT: primary tiles,
+    light-converging shadow rays. Compaction-sorted bounce closest
+    measured faster with per-ray enumeration)."""
     tl = scene["treelets"]
     n = origins.shape[0]
     if t_max is None:
@@ -545,7 +547,7 @@ def closest_hit(scene, origins, directions, config: RenderConfig,
         inv = slice(None)
     o, d, tm, r = _pad_rays(origins, directions, t_max)
     t, slot = _trace(scene, o, d, tm, config, any_hit=False,
-                     coherent=coherent and not sort)
+                     coherent=coherent)
     t, slot = t[:r], slot[:r]
     found = slot >= 0
     prim = jnp.where(found, tl["slot_to_prim"][jnp.maximum(slot, 0)], -1)
@@ -577,7 +579,7 @@ def any_hit(scene, origins, directions, dist, config: RenderConfig,
         inv = slice(None)
     o, d, tm, r = _pad_rays(origins, directions, dist)
     t, slot = _trace(scene, o, d, tm, config, any_hit=True,
-                     coherent=coherent and not sort)
+                     coherent=coherent)
     slot = slot[:r]
     hit = slot >= 0
     prim = jnp.where(hit, tl["slot_to_prim"][jnp.maximum(slot, 0)], -1)

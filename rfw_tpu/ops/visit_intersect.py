@@ -42,6 +42,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -56,7 +57,7 @@ MAX_PASSES = 16    # recull passes bound (overflow blocks continue from an
 #                    exact watermark under the tightened horizon)
 ENUM_TILE = 1024   # granules per VMEM tile in the enumeration kernel
 EXIT_EVERY = 4     # visits between front-to-back exit reductions
-_BIGKEY = jnp.float32(1 << 25)
+_BIGKEY = np.float32(1 << 25)   # np: no backend init at import
 
 
 def _cid_bits(t_c: int) -> int:
@@ -183,6 +184,67 @@ def _imul(a_lo, a_hi, b_lo, b_hi):
 # ---------------------------------------------------------------------------
 # Phase 2: entry-ordered visit lists (XLA — small row sort)
 # ---------------------------------------------------------------------------
+
+def sort_candidates(b_entry, diag, m_c: int):
+    """(NB, T) entries → (keys_all, counts_all): the FULL entry-sorted
+    packed-key table, computed ONCE per launch.
+
+    Granule keys are geometric — an entry value depends only on the ray
+    block's origins/directions, never on the per-pass horizons (a
+    tightened ``t_hi`` only *removes* granules from the crossed set) —
+    so the pass-0 table is a superset ordering that stays valid for
+    every recull pass: pass ``it`` consumes the window
+    ``[it*m_c, (it+1)*m_c)`` (see ``window_candidates``). Visiting a
+    granule the tightened horizon would have pruned is harmless (the
+    kernel's front-to-back exit skips it); *skipping* one never happens,
+    which is what makes windowed continuation exact. (A per-pass
+    re-enumeration with the cheap envelope instead is UNSOUND: envelope
+    keys lower-bound per-ray keys, so an unprocessed granule could dip
+    below the watermark and be skipped.)
+
+    Keys pack the quantized entry with the granule id into exact-int f32
+    (< 2^24) — unique per granule. The table is padded to a multiple of
+    ``m_c`` with invalid keys so window slices never clamp into valid
+    entries."""
+    t_c = b_entry.shape[1]
+    cb = _cid_bits(t_c)
+    qmax = (1 << (24 - cb)) - 1
+    q = jnp.minimum(jnp.floor(b_entry * (qmax / diag)), jnp.float32(qmax))
+    q = jnp.maximum(q, 0.0)
+    cid = jnp.arange(t_c, dtype=jnp.float32)[None]
+    key = q * (1 << cb) + cid
+    key = jnp.where(b_entry < BIG_T, key, _BIGKEY)
+    keys_all = jax.lax.sort(key, dimension=-1)
+    counts_all = jnp.sum(key < _BIGKEY, axis=-1).astype(jnp.int32)
+    pad = (-t_c) % m_c
+    if pad:
+        keys_all = jnp.pad(keys_all, ((0, 0), (0, pad)),
+                           constant_values=float(_BIGKEY))
+    return keys_all, counts_all
+
+
+def window_candidates(keys_all, counts_all, it, diag, m_c: int, t_c: int):
+    """Pass ``it``'s visit window: (ids, counts, tnears, next_tnear).
+    ``next_tnear`` is the entry lower bound of each block's FIRST granule
+    beyond this window (BIG_T when exhausted) — a ray whose best hit
+    precedes it cannot be beaten by any later pass."""
+    cb = _cid_bits(t_c)
+    qmax = (1 << (24 - cb)) - 1
+    gran = diag / qmax
+    t_pad = keys_all.shape[1]
+    start = jnp.minimum(it * m_c, t_pad - m_c)
+    keys = jax.lax.dynamic_slice_in_dim(keys_all, start, m_c, axis=1)
+    counts = jnp.clip(counts_all - it * m_c, 0, m_c)
+    ids = jnp.where(keys < _BIGKEY,
+                    keys.astype(jnp.int32) & ((1 << cb) - 1), t_c)
+    tnears = jnp.where(keys < _BIGKEY,
+                       jnp.floor(keys / (1 << cb)) * gran, BIG_T)
+    nxt = jax.lax.dynamic_slice_in_dim(
+        keys_all, jnp.minimum((it + 1) * m_c, t_pad - 1), 1, axis=1)[:, 0]
+    next_tnear = jnp.where(nxt < _BIGKEY,
+                           jnp.floor(nxt / (1 << cb)) * gran, BIG_T)
+    return ids, counts, tnears, next_tnear
+
 
 def order_candidates(b_entry, win_key, diag, m_c: int):
     """(NB, T) entries → (ids, counts, overflow, tnears, keys), restricted
@@ -475,23 +537,29 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
     tl = scene["treelets"]
     wg, bounds8, super_g, k_size = _granularity(tl, config)
     n = origins.shape[0]
-    nb = n // BLOCK
+    t_c = bounds8.shape[1]
     t_max = jnp.asarray(t_max, jnp.float32)
     lo = tl["scene_lo"] if "scene_lo" in tl else tl["bmin"].min(axis=0)
     hi = tl["scene_hi"] if "scene_hi" in tl else tl["bmax"].max(axis=0)
     diag = jnp.sqrt(jnp.sum((hi - lo) ** 2))
 
-    def one_pass(state, m_c=None):
-        it, wm, best_t, best_slot, finished = state
+    # enumerate + sort ONCE per launch (see sort_candidates: keys are
+    # geometric, so recull passes just consume successive windows)
+    t_hi0 = jnp.where(t_max <= 0, 0.0, t_max)
+    rays8_0 = _pack_rays8(origins, directions, t_hi0)
+    b_entry = (block_entries_envelope(rays8_0, bounds8) if coherent
+               else block_entries(rays8_0, bounds8))
+    keys_all, counts_all = sort_candidates(b_entry, diag, M_C)
+
+    def one_pass(state):
+        it, best_t, best_slot, finished = state
         t_hi = jnp.minimum(t_max, best_t)
         if any_hit:
             t_hi = jnp.where(best_slot >= 0, 0.0, t_hi)
         t_hi = jnp.where(finished, 0.0, t_hi)
         rays8 = _pack_rays8(origins, directions, t_hi)
-        b_entry = (block_entries_envelope(rays8, bounds8) if coherent
-                   else block_entries(rays8, bounds8))
-        ids, counts, overflow, tnears, keys = order_candidates(
-            b_entry, wm, diag, M_C if m_c is None else m_c)
+        ids, counts, tnears, next_tnear = window_candidates(
+            keys_all, counts_all, it, diag, M_C, t_c)
         t_row, s_row = _run_visit_kernel(
             rays8, ids, counts, tnears, wg, super_g, k_size,
             float(config.t_epsilon), any_hit)
@@ -504,24 +572,26 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
         better = (s_row >= 0) & (t_row < jnp.minimum(best_t, t_max))
         new_t = jnp.where(better, t_row, best_t)
         new_slot = jnp.where(better, s_row, best_slot)
-        # a ray is done unless its BLOCK overflowed the visit cap. Those
-        # blocks continue next pass from an exact watermark (one past the
-        # last enumerated key) under the now-tightened per-ray horizon —
-        # processed granules never re-enumerate, so every pass makes
-        # progress and the walk is exact.
+        # a ray is done when its block's window list is exhausted, when
+        # its best hit precedes the next window's first entry bound
+        # (front-to-back: no later granule can beat it), or — for
+        # occlusion — as soon as anything hit.
+        overflow = counts_all > (it + 1) * M_C
         blk_of = jnp.repeat(overflow, BLOCK)[:n]
-        fin = finished | ~blk_of
-        new_wm = jnp.where(overflow, keys[:, -1] + 1.0, _BIGKEY)
-        return it + 1, new_wm, new_t, new_slot, fin
+        ray_next = jnp.repeat(next_tnear, BLOCK)[:n]
+        if any_hit:
+            fin = finished | ~blk_of | (new_slot >= 0)
+        else:
+            fin = finished | ~blk_of | (new_t <= ray_next)
+        return it + 1, new_t, new_slot, fin
 
     def cond(state):
-        it, _, _, _, finished = state
+        it, _, _, finished = state
         return (it < MAX_PASSES) & ~jnp.all(finished)
 
-    state = (jnp.int32(0), jnp.zeros(nb, jnp.float32),
-             jnp.broadcast_to(t_max, (n,)),
+    state = (jnp.int32(0), jnp.broadcast_to(t_max, (n,)),
              jnp.full(n, -1, jnp.int32), t_max <= 0)
-    _, _, t, slot, _ = jax.lax.while_loop(cond, one_pass, state)
+    _, t, slot, _ = jax.lax.while_loop(cond, one_pass, state)
     return t, slot
 
 

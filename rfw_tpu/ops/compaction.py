@@ -26,8 +26,25 @@ def _morton3(x, y, z, bits: int = 7):
     return out
 
 
-def ray_sort_keys(origins, directions, scene_lo, scene_hi, bits: int = 7):
-    """Coherence keys: [3-bit octant | 3*bits Morton(origin)]."""
+def ray_sort_keys(origins, directions, scene_lo, scene_hi,
+                  bits: int = 5, dir_bits: int = 2):
+    """Coherence keys: [octant3 | Morton(origin, bits) | Morton(dir,
+    dir_bits)] — 3 + 3*bits + 3*dir_bits low bits (callers stack flags
+    from bit 28 up).
+
+    The direction refinement below the octant is measured, not vibes: on
+    the real 518k-lane depth-1 bounce stream (pica-4x 1080p), the visit
+    intersector's per-256-ray-block economics under candidate orderings
+    (tools/sortkey_sim.py) are
+
+        octant | morton7(origin)              exec 208 visits/block
+        octant | morton5(o) | morton2(d)      exec 112-123 visits/block
+
+    — bounce origins are already neighborhood-coherent, so extra origin
+    bits are wasted entropy while the hemisphere-scattered directions,
+    which drive the crossed-cell union, go ungrouped. Coarser origins +
+    a 2-bit-per-axis direction Morton cut executed visits ~40%. Finer
+    direction bits (3+) or direction-major orderings measured worse."""
     octant = ((directions[:, 0] > 0).astype(jnp.uint32)
               | ((directions[:, 1] > 0).astype(jnp.uint32) << 1)
               | ((directions[:, 2] > 0).astype(jnp.uint32) << 2))
@@ -36,4 +53,11 @@ def ray_sort_keys(origins, directions, scene_lo, scene_hi, bits: int = 7):
     scale = jnp.float32((1 << bits) - 1)
     qi = (q * scale).astype(jnp.uint32)
     morton = _morton3(qi[:, 0], qi[:, 1], qi[:, 2], bits)
-    return (octant << (3 * bits)) | morton
+    key = (octant << (3 * bits)) | morton
+    if dir_bits:
+        dq = jnp.clip((directions + 1.0) * 0.5, 0.0, 1.0)
+        di = jnp.minimum((dq * (1 << dir_bits)).astype(jnp.uint32),
+                         (1 << dir_bits) - 1)
+        dmorton = _morton3(di[:, 0], di[:, 1], di[:, 2], dir_bits)
+        key = (key << (3 * dir_bits)) | dmorton
+    return key

@@ -12,6 +12,14 @@ import sys
 
 import numpy as np
 
+# --cpu must take effect BEFORE any rfw_tpu/jax.numpy import: module
+# constants would otherwise initialize the default (TPU) backend, which
+# blocks on the remote tunnel even for CPU-only renders
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import rfw_tpu  # noqa: E402

@@ -19,7 +19,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-BIG_T = jnp.float32(1e30)
+# np scalar, NOT jnp: a module-level jnp constant forces backend init at
+# import time (hangs CPU-only runs when the axon TPU tunnel is down)
+BIG_T = np.float32(1e30)
 
 
 def dot3(a, b):

@@ -60,6 +60,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -87,7 +88,8 @@ PAIR_BUDGET = 12   # kernel pair slots per ray: the expanded pair list is
 A_MAX = 16         # phase-A window iterations bound (4 windows + retries)
 PIPE = 4           # in-flight super DMAs
 MAX_PASSES = 64    # hard bound on windowed passes (termination guard)
-_BIGKEY = jnp.float32(1 << 25)   # > any packed (q, sid) key
+_BIGKEY = np.float32(1 << 25)   # > any packed (q, sid) key (np: no
+#                                 backend init at import)
 
 
 def _sid_bits(t_s: int) -> int:

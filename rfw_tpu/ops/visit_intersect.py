@@ -497,6 +497,15 @@ def _pad_rays(origins, directions, t_max):
     return origins, directions, t_max, r
 
 
+def _gather_rays(origins, directions, t_max, order):
+    """Permute (o, d, t) with ONE (n, 7) row gather — three narrow
+    gathers pay three per-op costs (TPU gather cost model,
+    render/scene_data.build_tri_pack doc)."""
+    packed = jnp.concatenate(
+        [origins, directions, t_max[:, None]], axis=1)[order]
+    return packed[:, 0:3], packed[:, 3:6], packed[:, 6]
+
+
 def _sorted(tl, origins, directions, t_max):
     from .compaction import ray_sort_keys
     lo = tl["scene_lo"] if "scene_lo" in tl else tl["bmin"].min(axis=0)
@@ -611,10 +620,10 @@ def closest_hit(scene, origins, directions, config: RenderConfig,
     t_max = jnp.broadcast_to(t_max, (n,))
     if sort:
         order, inv = _sorted(tl, origins, directions, t_max)
-        origins, directions, t_max = (origins[order], directions[order],
-                                      t_max[order])
+        origins, directions, t_max = _gather_rays(
+            origins, directions, t_max, order)
     else:
-        inv = slice(None)
+        inv = None
     o, d, tm, r = _pad_rays(origins, directions, t_max)
     t, slot = _trace(scene, o, d, tm, config, any_hit=False,
                      coherent=coherent)
@@ -628,11 +637,20 @@ def closest_hit(scene, origins, directions, config: RenderConfig,
     rhit, rt, ru, rv = intersect_tri(
         o[:r], d[:r], tv[:, 0], tv[:, 1] - tv[:, 0],
         tv[:, 2] - tv[:, 0], t_epsilon=config.t_epsilon * 0.5)
-    t = jnp.where(found & rhit, rt, t)
+    t = jnp.where(found, jnp.where(rhit, rt, t), BIG_T)
+    prim = jnp.where(found, prim, -1)
     u = jnp.where(found & rhit, ru, 0.0)
     v = jnp.where(found & rhit, rv, 0.0)
-    return (jnp.where(found, t, BIG_T)[inv], jnp.where(found, prim, -1)[inv],
-            u[inv], v[inv])
+    if inv is None:
+        return t, prim, u, v
+    # un-permute with ONE (n, 4) row gather (4 narrow gathers measured
+    # ~6 ms each at this size — gather cost is per-op, scene_data doc)
+    packed = jnp.stack(
+        [t, jax.lax.bitcast_convert_type(prim, jnp.float32), u, v],
+        axis=1)[inv]
+    return (packed[:, 0],
+            jax.lax.bitcast_convert_type(packed[:, 1], jnp.int32),
+            packed[:, 2], packed[:, 3])
 
 
 def any_hit(scene, origins, directions, dist, config: RenderConfig,
@@ -643,8 +661,8 @@ def any_hit(scene, origins, directions, dist, config: RenderConfig,
     dist = jnp.broadcast_to(dist, (n,))
     if sort:
         order, inv = _sorted(tl, origins, directions, dist)
-        origins, directions, dist = (origins[order], directions[order],
-                                     dist[order])
+        origins, directions, dist = _gather_rays(
+            origins, directions, dist, order)
     else:
         inv = slice(None)
     o, d, tm, r = _pad_rays(origins, directions, dist)

@@ -96,6 +96,18 @@ class WavefrontDriver:
             return make_path_state(scene, view, width, height,
                                    sample_index, config, pid)
 
+        @jax.jit
+        def stage0_fn(scene, view, pid_slice, sample_index, probe_lane):
+            # ray-gen fused into the depth-0 stage: the whole-frame
+            # PathState never materializes in HBM before the first
+            # intersect (one init dispatch + a state write+read saved)
+            state = make_path_state(scene, view, width, height,
+                                    sample_index, config, pid_slice)
+            return depth_stage(scene, view, state, width, 0,
+                               sample_index, probe_lane, config,
+                               intersector, tex_flags=tex_flags,
+                               sort_rays=False, height=height)
+
         @functools.partial(jax.jit, static_argnames=("depth",))
         def stage_fn(scene, view, state, sample_index, probe_lane, depth):
             # closest-hit streams arrive pre-sorted: depth 0 in pixel-tile
@@ -149,6 +161,7 @@ class WavefrontDriver:
 
         self._m_pred: dict[int, int] = {}
         self._init = init_fn
+        self._stage0 = stage0_fn
         self._stage = stage_fn
         self._compact = compact_fn
         self._compact_keys = compact_keys_fn
@@ -168,7 +181,8 @@ class WavefrontDriver:
         probe_i = int(probe_index)
         probe_lane = (probe_i if self._inv_np is None
                       else int(self._inv_np[probe_i]))
-        state = self._init(scene, view, sample_index)
+        state = None   # built by the fused ray-gen + depth-0 stage
+        pid_dev = jnp.asarray(self._pid_np)
         live = n
         stats: dict = {}
         probe = None
@@ -179,12 +193,17 @@ class WavefrontDriver:
             n_chunks = max(1, -(-live // chunk))
             parts = []
             for c in range(n_chunks):
-                sl = self._slice(state, c)
                 rel = probe_lane - c * chunk
                 in_chunk = depth == 0 and 0 <= rel < chunk
-                out, st, probe_c, aux_c = self._stage(
-                    scene, view, sl, sample_index,
-                    jnp.int32(rel if in_chunk else 0), depth)
+                if depth == 0:
+                    out, st, probe_c, aux_c = self._stage0(
+                        scene, view, pid_dev[c * chunk:(c + 1) * chunk],
+                        sample_index, jnp.int32(rel if in_chunk else 0))
+                else:
+                    sl = self._slice(state, c)
+                    out, st, probe_c, aux_c = self._stage(
+                        scene, view, sl, sample_index,
+                        jnp.int32(rel if in_chunk else 0), depth)
                 parts.append(out)
                 for k, v in st.items():
                     key = f"{k}_{depth}"
@@ -193,9 +212,13 @@ class WavefrontDriver:
                     probe = probe_c
                 if depth == 0:
                     aux_parts.append(aux_c)
-            tail = jax.tree.map(lambda a: a[n_chunks * chunk:], state)
-            state = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs), *parts, tail)
+            if state is None:   # depth 0: chunks cover the whole frame
+                state = jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs), *parts)
+            else:
+                tail = jax.tree.map(lambda a: a[n_chunks * chunk:], state)
+                state = jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs), *parts, tail)
             if depth < cfg.max_path_length:
                 order, live_dev = self._compact_keys(scene, state)
                 # dispatch the gather IMMEDIATELY with a PREDICTED row

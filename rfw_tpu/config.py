@@ -127,6 +127,14 @@ class RenderConfig:
     # minimal dense work) or "super" (SUPER_G cells per visit — fewer,
     # fatter visits). See ops/visit_intersect.py.
     visit_granularity: str = "cell"
+    visit_regroup: bool = True        # two-phase mid-trace ray regroup on
+    #                                   large scattered streams: cap the
+    #                                   per-block union walk at W_A visits,
+    #                                   re-compact survivors into dense
+    #                                   blocks, finish those (58% of
+    #                                   baseline visits on the real d1
+    #                                   stream — ops/visit_intersect.py
+    #                                   _trace_regroup, tools/regroup_sim.py)
     ray_block: int = 256              # rays per Pallas block
     use_pallas: bool = True           # use the Pallas/MXU intersector when on TPU
 

@@ -51,6 +51,13 @@ from .intersect import BIG_T, intersect_tri, safe_inv_dir
 
 BLOCK = 256        # rays per block
 M_C = 128          # visit-list cap (granules per block per pass)
+W_A = 48           # phase-A window before the mid-trace regroup
+#                    (_trace_regroup): sim'd optimum on the real d1 bounce
+#                    stream — tools/regroup_sim.py: W=48 leaves 16.6%
+#                    survivors and cuts total executed visits to 58.3% of
+#                    the single-phase straggler bound (one sky/straggler
+#                    ray otherwise forces its whole block through the
+#                    union walk)
 PIPE = 8           # in-flight DMAs: per-visit compute is below the ~4 us
 #                    HBM latency; a deep pipeline keeps the DMA engine busy
 MAX_PASSES = 16    # recull passes bound (overflow blocks continue from an
@@ -604,6 +611,116 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
     return t, slot
 
 
+def _trace_regroup(scene, origins, directions, t_max, config: RenderConfig,
+                   any_hit: bool, coherent: bool = False):
+    """Two-phase visit tracing with a mid-trace ray regroup.
+
+    The visit kernel's per-block cost is the straggler bound: a block
+    walks its entry-sorted union until EVERY ray's best hit precedes the
+    next granule's entry, so one sky/straggler ray drags 255 resolved
+    rays through the whole union (~106 visits/block vs per-ray
+    crossings-to-hit mean 8, STATUS.md). Phase A walks only the first
+    ``W_A`` visits per block; rays still unresolved compact — survivors
+    first, original (compaction-key) order preserved — into fresh dense
+    256-ray blocks and phase B walks those to exactness. On the real d1
+    bounce stream this cuts total executed visits to 58.3% of the
+    single-phase baseline (tools/regroup_sim.py).
+
+    The regroup costs one argsort of a bool (survivor partition; the
+    inverse permutation comes from two cumsums, not a second argsort),
+    one (n_b, 7) ray row gather, a quarter-size re-enumeration, and one
+    (n, 2) merge row gather — all well under the saved kernel time at
+    518k-lane chunks. Exactness: phase A's per-ray finished test is the
+    same front-to-back bound the recull loop uses (best_t ≤ entry lower
+    bound of the first UNVISITED granule, quantization-floored so it
+    errs toward "not finished"); survivors re-trace from scratch under
+    their tightened horizon; a guarded full-size phase C covers the
+    rare case where survivors exceed the n/4 batch."""
+    tl = scene["treelets"]
+    wg, bounds8, super_g, k_size = _granularity(tl, config)
+    n = origins.shape[0]
+    t_c = bounds8.shape[1]
+    t_max = jnp.asarray(t_max, jnp.float32)
+    lo = tl["scene_lo"] if "scene_lo" in tl else tl["bmin"].min(axis=0)
+    hi = tl["scene_hi"] if "scene_hi" in tl else tl["bmax"].max(axis=0)
+    diag = jnp.sqrt(jnp.sum((hi - lo) ** 2))
+
+    # --- phase A: first W_A visits of window 0
+    t_hi0 = jnp.where(t_max <= 0, 0.0, t_max)
+    rays8_0 = _pack_rays8(origins, directions, t_hi0)
+    b_entry = (block_entries_envelope(rays8_0, bounds8) if coherent
+               else block_entries(rays8_0, bounds8))
+    keys_all, counts_all = sort_candidates(b_entry, diag, M_C)
+    w_a = min(W_A, M_C - 1)   # tnears[:, w_a] must exist in the window
+    ids, counts, tnears, _ = window_candidates(
+        keys_all, counts_all, jnp.int32(0), diag, M_C, t_c)
+    t_row, s_row = _run_visit_kernel(
+        rays8_0, ids, jnp.minimum(counts, w_a), tnears, wg,
+        super_g, k_size, float(config.t_epsilon), any_hit)
+    hitA = (s_row >= 0) & (t_row < t_max)
+    best_t = jnp.where(hitA, t_row, t_max)
+    best_slot = jnp.where(hitA, s_row, -1)
+
+    # finished = walked everything, or best hit precedes the entry lower
+    # bound of the first UNVISITED granule (tnears[:, W_A] — BIG_T when
+    # the block has ≤ W_A granules); occlusion rays finish on any hit
+    ray_more = jnp.repeat(counts_all > w_a, BLOCK)[:n]
+    ray_next = jnp.repeat(tnears[:, w_a], BLOCK)[:n]
+    if any_hit:
+        fin = ~ray_more | (best_slot >= 0)
+    else:
+        fin = ~ray_more | (best_t <= ray_next)
+    fin = fin | (t_max <= 0)
+
+    # --- regroup: survivors first, original order preserved
+    n_surv = jnp.sum(~fin)
+    order2 = jnp.argsort(fin.astype(jnp.int32)).astype(jnp.int32)
+    #                                   ^ stable: survivors (0) sort first
+    cf = jnp.cumsum(fin.astype(jnp.int32))
+    rank2 = jnp.where(fin, n_surv + cf - 1,
+                      jnp.cumsum((~fin).astype(jnp.int32)) - 1)
+    n_b = max(BLOCK, -(-(n // 4) // BLOCK) * BLOCK)
+    t_hi_b = jnp.where(fin, 0.0, jnp.minimum(best_t, t_max))
+    packed = jnp.concatenate(
+        [origins, directions, t_hi_b[:, None]], axis=1)[order2[:n_b]]
+    t_b, s_b = _trace(scene, packed[:, 0:3], packed[:, 3:6], packed[:, 6],
+                      config, any_hit)
+
+    # merge: ray i's phase-B row is rank2[i] (one (n, 2) row gather)
+    pk = jnp.stack(
+        [t_b, jax.lax.bitcast_convert_type(s_b, jnp.float32)],
+        axis=1)[jnp.minimum(rank2, n_b - 1)]
+    t_bi = pk[:, 0]
+    s_bi = jax.lax.bitcast_convert_type(pk[:, 1], jnp.int32)
+    betterB = (rank2 < n_b) & (s_bi >= 0) & (t_bi < best_t)
+    best_t = jnp.where(betterB, t_bi, best_t)
+    best_slot = jnp.where(betterB, s_bi, best_slot)
+
+    # --- phase C (rare): survivors that did not fit the n/4 batch
+    if n_b < n:
+        def c_branch(bt):
+            t_hi_c = jnp.where(fin | (rank2 < n_b), 0.0,
+                               jnp.minimum(bt, t_max))
+            return _trace(scene, origins, directions, t_hi_c, config,
+                          any_hit)
+
+        t_c_, s_c_ = jax.lax.cond(
+            n_surv > n_b, c_branch,
+            lambda bt: (jnp.zeros((n,), jnp.float32),
+                        jnp.full((n,), -1, jnp.int32)),
+            best_t)
+        betterC = (s_c_ >= 0) & (t_c_ < best_t)
+        best_t = jnp.where(betterC, t_c_, best_t)
+        best_slot = jnp.where(betterC, s_c_, best_slot)
+    return best_t, best_slot
+
+
+def _use_regroup(config: RenderConfig, n: int, coherent: bool) -> bool:
+    """Regroup pays for itself on large scattered streams; coherent
+    blocks resolve within a few visits and never multi-pass."""
+    return bool(config.visit_regroup) and not coherent and n >= 8 * BLOCK
+
+
 def closest_hit(scene, origins, directions, config: RenderConfig,
                 t_max=None, sort: bool = True, coherent: bool = False):
     """Intersector ABI: (t, prim, u, v); lanes with t_max == 0 are dead.
@@ -625,8 +742,10 @@ def closest_hit(scene, origins, directions, config: RenderConfig,
     else:
         inv = None
     o, d, tm, r = _pad_rays(origins, directions, t_max)
-    t, slot = _trace(scene, o, d, tm, config, any_hit=False,
-                     coherent=coherent)
+    trace = (_trace_regroup if _use_regroup(config, o.shape[0], coherent)
+             else _trace)
+    t, slot = trace(scene, o, d, tm, config, any_hit=False,
+                    coherent=coherent)
     t, slot = t[:r], slot[:r]
     found = slot >= 0
     prim = jnp.where(found, tl["slot_to_prim"][jnp.maximum(slot, 0)], -1)
@@ -666,8 +785,10 @@ def any_hit(scene, origins, directions, dist, config: RenderConfig,
     else:
         inv = slice(None)
     o, d, tm, r = _pad_rays(origins, directions, dist)
-    t, slot = _trace(scene, o, d, tm, config, any_hit=True,
-                     coherent=coherent)
+    trace = (_trace_regroup if _use_regroup(config, o.shape[0], coherent)
+             else _trace)
+    t, slot = trace(scene, o, d, tm, config, any_hit=True,
+                    coherent=coherent)
     slot = slot[:r]
     hit = slot >= 0
     prim = jnp.where(hit, tl["slot_to_prim"][jnp.maximum(slot, 0)], -1)

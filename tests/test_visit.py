@@ -219,3 +219,54 @@ def test_visit_envelope_enum_matches_brute(soup_scene):
     assert (prim_p[both] == prim_b[both]).mean() > 0.999
     terr = np.abs(t_p[both] - t_b[both])
     assert (terr / np.maximum(t_b[both], 1e-6)).max() < 1e-4
+
+
+def test_visit_regroup_matches_brute(soup_scene):
+    """The two-phase mid-trace regroup (default on streams >= 8 blocks)
+    must stay exactly brute-force-correct. 4096 scattered rays engage
+    _trace_regroup; the soup scene leaves plenty of phase-A survivors."""
+    scene, cfg = soup_scene
+    assert cfg.visit_regroup
+    o, d, tm = _rays(4096, seed=17, dead_frac=0.2)
+    t_p, prim_p, _, _ = visit_intersect.closest_hit(scene, o, d, cfg,
+                                                    t_max=tm)
+    t_b, prim_b, _, _ = _brute(scene, o, d, cfg)
+    prim_b = jnp.where((t_b < tm) & (prim_b >= 0), prim_b, -1)
+    t_p, prim_p = np.asarray(t_p), np.asarray(prim_p)
+    t_b, prim_b = np.asarray(t_b), np.asarray(prim_b)
+    assert ((prim_p >= 0) == (prim_b >= 0)).all()
+    both = (prim_p >= 0) & (prim_b >= 0)
+    assert (prim_p[both] == prim_b[both]).mean() > 0.999
+    terr = np.abs(t_p[both] - t_b[both])
+    assert (terr / np.maximum(t_b[both], 1e-6)).max() < 1e-4
+
+
+def test_visit_regroup_phase_c(soup_scene, monkeypatch):
+    """Phase C: survivors exceeding the n/4 phase-B batch must still be
+    traced to exactness. W_A=1 leaves nearly every ray unresolved after
+    phase A, so n_surv >> n/4 and the lax.cond branch runs."""
+    scene, cfg = soup_scene
+    monkeypatch.setattr(visit_intersect, "W_A", 1)
+    o, d, tm = _rays(4096, seed=23, dead_frac=0.1)
+    t_p, prim_p, _, _ = visit_intersect.closest_hit(scene, o, d, cfg,
+                                                    t_max=tm)
+    t_b, prim_b, _, _ = _brute(scene, o, d, cfg)
+    prim_b = jnp.where((t_b < tm) & (prim_b >= 0), prim_b, -1)
+    prim_p, prim_b = np.asarray(prim_p), np.asarray(prim_b)
+    assert ((prim_p >= 0) == (prim_b >= 0)).all()
+    both = (prim_p >= 0) & (prim_b >= 0)
+    assert (prim_p[both] == prim_b[both]).mean() > 0.999
+
+
+def test_visit_regroup_any_hit(soup_scene):
+    """Occlusion through the regroup path: binary result must match."""
+    scene, cfg = soup_scene
+    o, d, _ = _rays(4096, seed=29, dead_frac=0.0)
+    rng = np.random.default_rng(31)
+    dist = np.full(4096, 6.0, np.float32)
+    dist[rng.random(4096) < 0.3] = 0.0
+    dist = jnp.asarray(dist)
+    occ = np.asarray(visit_intersect.any_hit(scene, o, d, dist, cfg))
+    t_b, prim_b, _, _ = _brute(scene, o, d, cfg)
+    occ_b = np.asarray((prim_b >= 0) & (np.asarray(t_b) < np.asarray(dist)))
+    assert (occ == occ_b).all()

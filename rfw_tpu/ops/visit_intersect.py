@@ -715,9 +715,18 @@ def _trace_regroup(scene, origins, directions, t_max, config: RenderConfig,
     return best_t, best_slot
 
 
-def _use_regroup(config: RenderConfig, n: int, coherent: bool) -> bool:
+def _use_regroup(config: RenderConfig, n: int, coherent: bool,
+                 any_hit: bool = False) -> bool:
     """Regroup pays for itself on large scattered streams; coherent
-    blocks resolve within a few visits and never multi-pass."""
+    blocks resolve within a few visits and never multi-pass. For
+    occlusion it is OFF by default: the sim evidence (16.6% survivors,
+    58% visits) is from the closest-hit d1 stream — unoccluded shadow
+    rays never resolve, so their survivor fraction may exceed the n/4
+    phase-B batch and trip the full-size phase C. RFW_REGROUP_OCCL=1
+    routes occlusion through it for the on-chip A/B."""
+    import os
+    if any_hit and not os.environ.get("RFW_REGROUP_OCCL"):
+        return False
     return bool(config.visit_regroup) and not coherent and n >= 8 * BLOCK
 
 
@@ -785,7 +794,8 @@ def any_hit(scene, origins, directions, dist, config: RenderConfig,
     else:
         inv = slice(None)
     o, d, tm, r = _pad_rays(origins, directions, dist)
-    trace = (_trace_regroup if _use_regroup(config, o.shape[0], coherent)
+    trace = (_trace_regroup
+             if _use_regroup(config, o.shape[0], coherent, any_hit=True)
              else _trace)
     t, slot = trace(scene, o, d, tm, config, any_hit=True,
                     coherent=coherent)

@@ -258,8 +258,9 @@ def test_visit_regroup_phase_c(soup_scene, monkeypatch):
     assert (prim_p[both] == prim_b[both]).mean() > 0.999
 
 
-def test_visit_regroup_any_hit(soup_scene):
+def test_visit_regroup_any_hit(soup_scene, monkeypatch):
     """Occlusion through the regroup path: binary result must match."""
+    monkeypatch.setenv("RFW_REGROUP_OCCL", "1")
     scene, cfg = soup_scene
     o, d, _ = _rays(4096, seed=29, dead_frac=0.0)
     rng = np.random.default_rng(31)

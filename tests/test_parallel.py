@@ -105,3 +105,32 @@ def test_n_devices_visit_intersector():
     cfg8 = RenderConfig(blue_noise=False, max_path_length=1, n_devices=8)
     img8, _ = _render_engine("megakernel", cfg8, intersector="visit")
     assert np.abs(img1 - img8).max() < 1e-5
+
+
+def test_n_devices_visit_regroup_engages():
+    """Per-shard streams large enough to engage the two-phase regroup
+    (>= 8 ray blocks per shard after padding): the regroup's argsort /
+    cumsum / gathers run INSIDE the shard_map body and must keep the
+    8-device frame identical to single-device."""
+    import rfw_tpu
+    from rfw_tpu.render import RenderStatus, create_engine
+    from rfw_tpu.ops import visit_intersect
+
+    def render(cfg):
+        eng = create_engine("megakernel", cfg)
+        _build_engine_scene(eng)
+        eng.set_setting("intersector", "visit")
+        cam = rfw_tpu.Camera()
+        cam.resize(160, 104)
+        cam.look_at([0, 2.5, -5.0], [0, 0.8, 0.0])
+        eng.resize(160, 104)
+        return np.asarray(eng.render_frame(cam.get_view().as_pytree(),
+                                           RenderStatus.RESET, samples=1))
+
+    n_shard = 160 * 104 // 8
+    pad = -(n_shard) % visit_intersect.BLOCK
+    assert n_shard + pad >= 8 * visit_intersect.BLOCK  # gate engages
+    img1 = render(RenderConfig(blue_noise=False, max_path_length=1))
+    img8 = render(RenderConfig(blue_noise=False, max_path_length=1,
+                               n_devices=8))
+    assert np.abs(img1 - img8).max() < 1e-5

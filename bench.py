@@ -5,6 +5,9 @@ Target (BASELINE.json north star): >100 Mrays/sec/chip, Sponza-class scene
 at 1080p. The bundled sponza.obj is absent from the reference checkout (only
 .mtl + textures), so the Sponza-class stand-in is the pica scene (76k tris)
 instanced 2x2 → ~305k triangles, matching Sponza's geometric complexity.
+(fireplace_room — VERDICT r1's suggested alternative — is likewise .mtl +
+textures only in this checkout; of the bundled interiors only pica has
+geometry. pica's 36 textured materials exercise the atlas/mip path.)
 """
 
 from __future__ import annotations

@@ -102,8 +102,10 @@ class RenderConfig:
     # Debug instrumentation (SURVEY §5 sanitizer analog): when on, the
     # integrator asserts finite radiance per stage and the pair driver
     # reports rays whose traversal was truncated by its pass bounds
-    # (normally silent — ADVICE r1). Costs a host callback per launch;
-    # off in production.
+    # (normally silent — ADVICE r1). Also counts NaN contributions the
+    # always-on guards scrub on SELECTED lanes into per-depth
+    # "nan_scrubbed" stats and warns per frame (SURVEY §5 NaN sanitizer
+    # mode). Costs a host callback per launch; off in production.
     debug_checks: bool = False
 
     # BSDF model (reference bsdf/bsdf.h:19-22: disney active; lambert and

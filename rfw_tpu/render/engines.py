@@ -453,6 +453,12 @@ class PathTracerEngine(EngineContext):
             self.stats.shadow_count = sum(
                 v for k, v in s.items() if k.startswith("shadow_count_"))
             self.stats.render_time = elapsed
+            nan_ct = sum(v for k, v in s.items()
+                         if k.startswith("nan_scrubbed"))
+            if nan_ct:   # debug_checks sanitizer (SURVEY §5): loud, not
+                from ..utils import logger   # silent zeroing
+                logger.warning("debug_checks: %d NaN contributions "
+                               "scrubbed this frame", nan_ct)
         # per-depth stage times (context.h:50-72 parity): the compacted
         # driver syncs between depths (live-count readback), so the split
         # is measured, not estimated

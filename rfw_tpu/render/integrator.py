@@ -134,6 +134,19 @@ def _no_nan(x):
     return jnp.where(jnp.isnan(x), 0.0, x)
 
 
+def _scrub(x, mask, stats, config):
+    """Zero NaN contributions (the reference's inline guards,
+    Kernels.cu:603,638,686,744,785). With ``config.debug_checks`` the
+    count of SELECTED lanes that needed scrubbing lands in
+    ``stats["nan_scrubbed"]`` — SURVEY §5's NaN sanitizer mode: the
+    always-on guard keeps production output clean, debug mode makes
+    numeric regressions visible instead of silently zeroed."""
+    if config.debug_checks:
+        bad = jnp.any(jnp.isnan(x), axis=-1) & mask
+        stats["nan_scrubbed"] = stats.get("nan_scrubbed", 0) + jnp.sum(bad)
+    return _no_nan(x)
+
+
 def _tile_permutation(width: int, n: int, tile: int = 16):
     """Static pixel→lane permutation grouping 16×16 image tiles into
     contiguous lanes. Row-major lanes put 256 consecutive pixels of ONE
@@ -252,7 +265,8 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
         sky = sample_skybox(scene, direction)
         denom_m = last_pdf
     contrib = throughput * sky / jnp.maximum(denom_m, 1e-20)[..., None]
-    contrib = clamp_intensity(_no_nan(contrib), clamp_v)
+    contrib = clamp_intensity(_scrub(contrib, alive & miss, stats, config),
+                              clamp_v)
     radiance = radiance + jnp.where((alive & miss)[..., None], contrib,
                                     0.0)
     alive = alive & ~miss
@@ -326,7 +340,8 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
             last_pdf, 1e-20)[..., None]
         e_contrib = jnp.where(spec_bounce[..., None], spec_c, mis_c)
     e_contrib = jnp.where((d_dot_nl > 0)[..., None], e_contrib, 0.0)
-    e_contrib = clamp_intensity(_no_nan(e_contrib), clamp_v)
+    e_contrib = clamp_intensity(
+        _scrub(e_contrib, alive & emissive, stats, config), clamp_v)
     radiance = radiance + jnp.where((alive & emissive)[..., None],
                                     e_contrib, 0.0)
     alive = alive & ~emissive
@@ -397,9 +412,10 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
                  + ls["light_pdf"] * ls["pick_prob"])
         nee = (throughput * s_val * ls["radiance"]
                * (n_dot_l / jnp.maximum(denom, 1e-20))[..., None])
-        nee = clamp_intensity(_no_nan(nee), clamp_v)
         want_shadow = (alive & ~spec_mat & ~alpha_cut & (n_dot_l > 0)
                        & (ls["light_pdf"] > 0) & (s_pdf > 0))
+        nee = clamp_intensity(_scrub(nee, want_shadow, stats, config),
+                              clamp_v)
         s_origin = safe_origin(hit_pos, n_geom)
         s_dist = jnp.where(want_shadow,
                            dist - 2.0 * config.geometry_epsilon, 0.0)
@@ -469,9 +485,10 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
             e_denom = e_pdf + eb_pdf
             e_contrib = (throughput * eb_val * e_rad
                          * (e_cos / jnp.maximum(e_denom, 1e-20))[..., None])
-            e_contrib = clamp_intensity(_no_nan(e_contrib), clamp_v)
             e_want = (alive & ~spec_mat & ~alpha_cut & (e_cos > 0)
                       & (e_pdf > 0) & (eb_pdf > 0))
+            e_contrib = clamp_intensity(
+                _scrub(e_contrib, e_want, stats, config), clamp_v)
             # one fused occlusion launch for light + envmap shadow rays
             # (halves per-call overhead). ALWAYS sorted: envmap
             # directions are random per lane, and unsorted mixed-octant

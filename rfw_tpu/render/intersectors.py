@@ -14,6 +14,7 @@ analog of the reference's per-backend traversal code:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..config import RenderConfig
@@ -195,9 +196,18 @@ def make_tlas_intersector(config: RenderConfig) -> Intersector:
             wb = {"bmin": blas["bmin"], "bmax": blas["bmax"],
                   "child": blas["child"], "count": blas["count"]}
             tris = (blas["v0"], blas["e1"], blas["e2"])
-            for i in range(blas["inst_inv"].shape[0]):
-                lo = blas["inst_bmin"][i]
-                hi = blas["inst_bmax"][i]
+
+            # lax.scan over the instance axis: the BLAS traversal is
+            # traced ONCE per mesh, not once per instance — graph size,
+            # compile time and dispatch count stay O(meshes) for
+            # many-instance scenes (reference builds a BVH over
+            # instances, top_level_bvh.cpp:55-102; on TPU the per-ray
+            # world-AABB premask below plays that cull's role, zeroing
+            # t_max so non-crossing rays exit the traversal immediately)
+            def body(carry, inst, wb=wb, tris=tris,
+                     prim_order=blas["prim_order"]):
+                best_t, best_flat, best_u, best_v = carry
+                lo, hi, inv, base = inst
                 t1 = (lo[None] - o) * inv_d
                 t2 = (hi[None] - o) * inv_d
                 tn = jnp.max(jnp.minimum(t1, t2), axis=-1)
@@ -205,7 +215,6 @@ def make_tlas_intersector(config: RenderConfig) -> Intersector:
                 hit_box = (tf >= jnp.maximum(tn, 0.0)) & (tn < best_t)
                 if any_hit:
                     hit_box = hit_box & (best_flat < 0)
-                inv = blas["inst_inv"][i]
                 o_obj = o @ inv[:3, :3].T + inv[:3, 3]
                 d_obj = d @ inv[:3, :3].T
                 t_i, prim_i, u_i, v_i = traverse.traverse_wide(
@@ -213,13 +222,17 @@ def make_tlas_intersector(config: RenderConfig) -> Intersector:
                     t_max=jnp.where(hit_box, best_t, 0.0),
                     t_epsilon=config.t_epsilon, any_hit=any_hit)
                 better = (prim_i >= 0) & (t_i < best_t)
-                orig = (blas["inst_base"][i]
-                        + blas["prim_order"][jnp.maximum(prim_i, 0)])
+                orig = base + prim_order[jnp.maximum(prim_i, 0)]
                 flat = tl["orig_to_perm"][orig]
-                best_t = jnp.where(better, t_i, best_t)
-                best_flat = jnp.where(better, flat, best_flat)
-                best_u = jnp.where(better, u_i, best_u)
-                best_v = jnp.where(better, v_i, best_v)
+                return (jnp.where(better, t_i, best_t),
+                        jnp.where(better, flat, best_flat),
+                        jnp.where(better, u_i, best_u),
+                        jnp.where(better, v_i, best_v)), None
+
+            (best_t, best_flat, best_u, best_v), _ = jax.lax.scan(
+                body, (best_t, best_flat, best_u, best_v),
+                (blas["inst_bmin"], blas["inst_bmax"],
+                 blas["inst_inv"], blas["inst_base"]))
         return best_t, best_flat, best_u, best_v
 
     def closest(scene, o, d, t_max=None, sort=True, coherent=False):

@@ -70,3 +70,35 @@ timeit("argsort only", argsort_only, keys)
 timeit("a) argsort + split gather", split_gather, keys, state)
 timeit("b) 19-operand lax.sort", multi_sort, keys, *cols)
 timeit("c) argsort + full gather", full_gather, keys, state)
+
+# -- the sorted-launch round trip (occlusion pattern, N=1M, 7 ray cols):
+#    current: argsort -> (n,7) gather -> trace -> (n,1) inv gather
+#    cand:    8-operand sort in -> trace -> 2-operand sort back
+N2 = 1036800
+k2 = jax.device_put(jnp.asarray(keys_np[:N2]))
+ray7 = jax.device_put(jnp.asarray(state_np[:N2, :7]))
+ray_cols = [jax.device_put(jnp.asarray(state_np[:N2, i]))
+            for i in range(7)]
+lane = jnp.arange(N2, dtype=jnp.uint32)
+
+
+@jax.jit
+def rt_gather(k, r):
+    order = jnp.argsort(k).astype(jnp.int32)
+    rs = r[order]                      # (n,7) row gather in
+    occ = rs[:, 0] > 0                 # stand-in for the trace
+    inv = jnp.argsort(order).astype(jnp.int32)
+    return occ[inv]                    # un-permute out
+
+
+@jax.jit
+def rt_sortcarry(k, lane, *rc):
+    srt = jax.lax.sort((k, lane) + rc, dimension=0, num_keys=1)
+    occ = srt[2] > 0
+    _, occ_back = jax.lax.sort((srt[1], occ.astype(jnp.uint32)),
+                               dimension=0, num_keys=1)
+    return occ_back
+
+
+timeit("d) occl argsort+2 gathers", rt_gather, k2, ray7)
+timeit("e) occl sort-carry both ways", rt_sortcarry, k2, lane, *ray_cols)

@@ -242,9 +242,10 @@ def test_visit_regroup_matches_brute(soup_scene):
 
 
 def test_visit_regroup_phase_c(soup_scene, monkeypatch):
-    """Phase C: survivors exceeding the n/4 phase-B batch must still be
-    traced to exactness. W_A=1 leaves nearly every ray unresolved after
-    phase A, so n_surv >> n/4 and the lax.cond branch runs."""
+    """Batch overflow: survivors exceeding the first n/4 batch must
+    still be traced to exactness. W_A=1 leaves nearly every ray
+    unresolved after phase A, so n_surv >> n/4 and the lax.cond-gated
+    extra quarter batches run."""
     scene, cfg = soup_scene
     monkeypatch.setattr(visit_intersect, "W_A", 1)
     o, d, tm = _rays(4096, seed=23, dead_frac=0.1)

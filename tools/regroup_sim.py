@@ -91,9 +91,10 @@ def block_exec(rows, wcap=None):
     rank[rank_order] = np.arange(u)
     res = resolves[rows][:, union]
     pos = np.where(res, rank[None, :], 10**9).min(axis=1)
-    # miss rays (resolve nothing) walk the whole union
-    pos = np.minimum(pos, u - 1 + (pos >= 10**9) * 0)
+    # LIVE miss rays (resolve nothing) walk the whole union; DEAD rays
+    # (t_max <= 0, the kernel's `fin | (t_max <= 0)`) resolve at once
     pos = np.where(pos >= 10**9, u - 1, pos)
+    pos = np.where(tmax_s[rows] <= 0, -1, pos)
     straggler = int(pos.max()) + 1
     if wcap is None:
         return straggler, np.ones(len(rows), bool)

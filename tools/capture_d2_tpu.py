@@ -60,3 +60,29 @@ np.savez("/tmp/d2_stream.npz",
          bmin=np.asarray(tl["bmin"]), bmax=np.asarray(tl["bmax"]))
 print(f"dumped /tmp/d2_stream.npz  live {float((tm > 0).mean()):.2f}",
       flush=True)
+
+# --- d1-vertex occlusion stream (the fused shadow launch): the bench
+# scene is env-lit (test sky), so the launch is envmap shadow rays with
+# ONE sampled direction per 16x16 image tile (env_nee_interleave),
+# origins at the scattered d1 hit points, dist unbounded. t_hit from a
+# closest run stands in for "first occluder" (conservative for any-hit).
+hit_pos = np.asarray(st2.origin)   # d2 origins ARE d1 hit points
+pid = np.asarray(st2.pid)
+px, py = pid % W, pid // W
+tiles_x = (W + 15) // 16
+gid = (py // 16) * tiles_x + (px // 16)
+rng = np.random.default_rng(7)
+tdirs = rng.normal(size=(tiles_x * ((H + 15) // 16) + 1, 3))
+tdirs[:, 1] = np.abs(tdirs[:, 1])            # skyward bias like the CDF
+tdirs /= np.linalg.norm(tdirs, axis=-1, keepdims=True)
+od = jnp.asarray(tdirs[gid], jnp.float32)
+occ_tm = np.where(np.asarray(st2.alive), 1e30, 0.0).astype(np.float32)
+out1 = f(scene, jnp.asarray(hit_pos, jnp.float32), od,
+         jnp.asarray(occ_tm))
+np.savez("/tmp/occl_d1_stream.npz",
+         origin=hit_pos, direction=np.asarray(od),
+         tmax=occ_tm, t_hit=np.asarray(out1[0]),
+         bmin=np.asarray(tl["bmin"]), bmax=np.asarray(tl["bmax"]))
+occluded = (np.asarray(out1[1]) >= 0) & (np.asarray(out1[0]) < occ_tm)
+print(f"dumped /tmp/occl_d1_stream.npz  occluded "
+      f"{occluded[occ_tm > 0].mean():.2f}", flush=True)

@@ -21,7 +21,8 @@ tmax = npz["tmax"]; t_hit = npz["t_hit"]
 bmin = npz["bmin"]; bmax = npz["bmax"]
 T = bmin.shape[0]
 N = o.shape[0]
-B = 256
+import os
+B = int(os.environ.get("RS_B", 256))
 S = min(65536, N)
 print(f"stream N={N} T={T} live={(tmax > 0).mean():.2f} sim on {S}")
 

@@ -56,8 +56,37 @@ def build_scene(rs):
     return rs
 
 
+def _wait_for_chip() -> None:
+    """The axon pool claim can be transiently unavailable (claims hang
+    ~25 min, then raise UNAVAILABLE — observed during round 2). Probe in
+    SUBPROCESSES (a failed in-process init is cached by jax) and only
+    proceed once a claim succeeds, so a pool blip doesn't cost the
+    round's benchmark. Bounded by RFW_BENCH_CLAIM_RETRIES (default 3)."""
+    import subprocess
+    retries = int(os.environ.get("RFW_BENCH_CLAIM_RETRIES", "3"))
+    probe = ("import jax; assert jax.devices()[0].platform != 'cpu'; "
+             "print('ok')")
+    for attempt in range(retries):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                timeout=1900, text=True)
+            if out.returncode == 0 and "ok" in out.stdout:
+                if attempt:
+                    print(f"# TPU claim recovered on probe {attempt + 1}",
+                          file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# TPU claim probe {attempt + 1}/{retries} failed; "
+              "retrying", file=sys.stderr)
+        time.sleep(30)
+    # fall through: let the real init raise its own error
+
+
 def main() -> None:
     t_setup = time.time()
+    _wait_for_chip()
     from rfw_tpu.config import RenderConfig
     from rfw_tpu.system import RenderSystem
     from rfw_tpu.render import RenderStatus

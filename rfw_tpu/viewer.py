@@ -11,6 +11,8 @@ the equivalent surface here is a self-contained HTTP viewer:
 * WASD/QE + arrow keys drive the camera (accumulation resets on move),
 * a stats panel shows Mrays/s, per-stage times and ray counts,
 * the runtime-settings protocol (intersector, denoise, …) is editable,
+* a material editor panel (color/roughness per material → dirty
+  MATERIALS bit, the main.cpp:300-330 material panel analog),
 * clicking the canvas probes the pixel (instance / primitive / distance —
   the probeTool analog, main.cpp:331-357).
 
@@ -46,7 +48,8 @@ h3 { margin:6px 0 } #probe { color:#9c9 }
    shift fast &middot; click = probe</div>
   <div id="probe"></div></div>
  <div><h3>stats</h3><table id="stats"></table>
-  <h3>settings</h3><div id="settings"></div></div>
+  <h3>settings</h3><div id="settings"></div>
+  <h3>materials</h3><div id="mats"></div></div>
 </div>
 <script>
 const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
@@ -68,10 +71,32 @@ setInterval(async () => {
   if (s.probe) document.getElementById('probe').textContent =
     `probe: instance ${s.probe[0]} prim ${s.probe[1]} ` +
     `dist ${s.probe[2].toFixed(3)}`;
+  if (s.materials && !document.activeElement.onchange)
+    drawMats(s.materials);
 }, 1000);
 async function setSetting(name, value) {
   await fetch('/input', {method: 'POST',
     body: JSON.stringify({action: 'set', name, value})});
+}
+// material editor (imgui_app main.cpp material panel analog)
+function hex(c) { return '#' + c.map(v => Math.round(
+  Math.min(1, Math.max(0, v)) * 255).toString(16)
+  .padStart(2, '0')).join(''); }
+function drawMats(list) {
+  document.getElementById('mats').innerHTML = list.map(m =>
+    `<div>#${m.index} ${m.name || ''} ` +
+    `<input type="color" value="${hex(m.color)}" ` +
+    `onchange="setMat(${m.index},this.value,null)">` +
+    ` rough <input type="number" min="0" max="1" step="0.05" ` +
+    `style="width:4em" value="${m.roughness.toFixed(2)}" ` +
+    `onchange="setMat(${m.index},null,this.value)"></div>`).join('');
+}
+async function setMat(index, color, rough) {
+  const body = {action: 'material', index};
+  if (color) body.color = [1, 3, 5].map(
+    i => parseInt(color.substr(i, 2), 16) / 255);
+  if (rough !== null) body.roughness = parseFloat(rough);
+  await fetch('/input', {method: 'POST', body: JSON.stringify(body)});
 }
 const held = new Set();
 addEventListener('keydown', e => { held.add(e.key); e.preventDefault(); });
@@ -137,6 +162,13 @@ class LiveViewer:
                                  "options": s.options}
                                 for s in
                                 viewer.rs.get_available_settings()],
+                            "materials": [
+                                {"index": i, "name": m.name,
+                                 "color": [float(c) for c in
+                                           np.asarray(m.color)[:3]],
+                                 "roughness": float(m.roughness)}
+                                for i, m in enumerate(
+                                    viewer.rs.materials.materials)],
                         }).encode()
                     self._send(200, body, "application/json")
                 else:
@@ -208,6 +240,22 @@ class LiveViewer:
                                         str(ev.get("value")))
                 except Exception as e:   # surface, don't kill the loop
                     logger.warning("setting rejected: %s", e)
+            elif act == "material":
+                # the ImGui material editor analog (main.cpp:300-330):
+                # edit → dirty MATERIALS bit → next synchronize re-uploads
+                import dataclasses
+                try:
+                    i = int(ev.get("index", -1))
+                    m = self.rs.get_material(i)
+                    kw = {}
+                    if ev.get("color") is not None:
+                        kw["color"] = np.asarray(ev["color"], np.float32)
+                    if ev.get("roughness") is not None:
+                        kw["roughness"] = float(ev["roughness"])
+                    self.rs.set_material(i, dataclasses.replace(m, **kw))
+                    moved = True   # reset accumulation
+                except Exception as e:
+                    logger.warning("material edit rejected: %s", e)
         return moved
 
     # -- loop ----------------------------------------------------------------

@@ -69,6 +69,15 @@ def test_viewer_endpoints_and_camera():
         _post(viewer.port, "/input", {"action": "keys", "keys": ["w"]})
         _post(viewer.port, "/input",
               {"action": "set", "name": "denoise", "value": "0"})
+        # material editor: color+roughness edit lands in the system of
+        # record and dirties MATERIALS (imgui material panel analog)
+        stats = json.loads(_get(viewer.port, "/stats"))
+        assert len(stats["materials"]) == 2
+        assert stats["materials"][0]["color"][0] == 0.6015625 or \
+            abs(stats["materials"][0]["color"][0] - 0.6) < 1e-5
+        _post(viewer.port, "/input",
+              {"action": "material", "index": 0,
+               "color": [0.9, 0.1, 0.1], "roughness": 0.25})
 
         # wait until stats reflect rendering progress
         for _ in range(100):
@@ -81,6 +90,9 @@ def test_viewer_endpoints_and_camera():
         assert not np.allclose(rs.camera.position, pos0), \
             "keyboard input did not move the camera"
         assert stats["probe"] is not None
+        m0 = rs.get_material(0)
+        assert abs(float(m0.roughness) - 0.25) < 1e-6
+        assert abs(float(np.asarray(m0.color)[0]) - 0.9) < 1e-6
     finally:
         viewer.stop()
         t.join(timeout=60)

@@ -117,6 +117,8 @@ def test_ply_roundtrip(tmp_path):
 @pytest.mark.parametrize("rel,min_tris", [
     ("models/dragon.obj", 10000),
     ("models/legocar.obj", 1000),
+    ("models/lpshead/head.OBJ", 5000),   # uppercase extension dispatch
+    ("models/pica/scene.gltf", 50000),   # external .bin + texture refs
 ])
 def test_obj_breadth(assets_dir, rel, min_tris):
     """Larger OBJ assets load with sane geometry."""

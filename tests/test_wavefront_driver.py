@@ -77,3 +77,30 @@ def test_compacted_stats_and_probe():
     assert s.primary_time > 0 and s.secondary_time > 0
     inst, prim, dist = eng.get_probe_results()
     assert dist > 0 and inst in (0, 1)
+
+
+def test_compacted_m_underprediction_redo():
+    """The compaction gather is dispatched on a PREDICTED live-row count;
+    when the prediction is too small (live grew), step() must redo the
+    apply with the exact count — seeding a too-small prediction must not
+    change the frame."""
+    cfg = RenderConfig(max_path_length=2, blue_noise=False,
+                       max_rays_per_pass=1024)
+    ref = create_engine("megakernel", cfg)
+    ref.use_wavefront_driver = True
+    _scene(ref)
+    img_ref = _render(ref, samples=1)
+
+    eng = create_engine("megakernel", cfg)
+    eng.use_wavefront_driver = True
+    _scene(eng)
+    eng.resize(64, 48)
+    eng.update()
+    eng._get_trace_fn(64, 48)
+    drv = eng._driver
+    assert drv is not None
+    drv._m_pred = {0: 1024, 1: 1024}   # force under-prediction
+    img = _render(eng, samples=1)
+    assert np.abs(img - img_ref).max() < 1e-5
+    # predictions learned the true live counts (multiples of the chunk)
+    assert drv._m_pred[0] > 1024

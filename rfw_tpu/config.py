@@ -119,6 +119,12 @@ class RenderConfig:
     # capability" reachable straight from the product ABI.
     n_devices: int = 0
     compaction: bool = True           # prefix-sum stream compaction between bounces
+    compact_via_sort: bool = False    # carry the packed state through ONE
+    #                                   stable multi-operand lax.sort
+    #                                   instead of argsort + row gather
+    #                                   (bitwise-identical; default
+    #                                   pending the on-chip A/B —
+    #                                   tools/compact_ab.py)
     max_rays_per_pass: int = 1 << 19  # chunk big frames: bounds HBM temps
     #                                   (1080p in one pass OOMs a 16GB chip)
     treelet_size: int = 128           # triangles per dense-intersection treelet

@@ -149,6 +149,30 @@ class WavefrontDriver:
             return _unpack_state(full)
 
         @jax.jit
+        def compact_sort_fn(scene, state):
+            # sort-carry compaction: ONE stable multi-operand lax.sort
+            # permutes the packed state in-sort instead of argsort + row
+            # gather (row gathers are per-row-descriptor-bound on TPU;
+            # merge sort streams). Stable sort == argsort order, so the
+            # two paths are bitwise-identical. Gated by
+            # config.compact_via_sort pending the on-chip A/B
+            # (tools/compact_ab.py).
+            tl = scene["treelets"]
+            lo = tl["scene_lo"] if "scene_lo" in tl else \
+                tl["bmin"].min(axis=0)
+            hi = tl["scene_hi"] if "scene_hi" in tl else \
+                tl["bmax"].max(axis=0)
+            keys = ray_sort_keys(state.origin, state.direction, lo, hi)
+            keys = keys + jnp.where(state.alive, jnp.uint32(0),
+                                    jnp.uint32(1) << 28)
+            full = _pack_state(state)
+            ops = jax.lax.sort(
+                (keys,) + tuple(full[:, i] for i in range(full.shape[1])),
+                dimension=0, num_keys=1)
+            return (_unpack_state(jnp.stack(ops[1:], axis=1)),
+                    jnp.sum(state.alive))
+
+        @jax.jit
         def compact_fn(scene, state):
             order, live = compact_keys_fn(scene, state)
             return compact_apply_fn(state, order, m=int(state.pid.shape[0])
@@ -160,6 +184,7 @@ class WavefrontDriver:
             return state.radiance[order]
 
         self._m_pred: dict[int, int] = {}
+        self._compact_sort = compact_sort_fn
         self._init = init_fn
         self._stage0 = stage0_fn
         self._stage = stage_fn
@@ -219,7 +244,11 @@ class WavefrontDriver:
                 tail = jax.tree.map(lambda a: a[n_chunks * chunk:], state)
                 state = jax.tree.map(
                     lambda *xs: jnp.concatenate(xs), *parts, tail)
-            if depth < cfg.max_path_length:
+            if depth < cfg.max_path_length and cfg.compact_via_sort:
+                state, live_dev = self._compact_sort(scene, state)
+                if n > chunk:
+                    live = int(live_dev)
+            elif depth < cfg.max_path_length:
                 order, live_dev = self._compact_keys(scene, state)
                 # dispatch the gather IMMEDIATELY with a PREDICTED row
                 # count (live counts are stable across samples) — syncing

@@ -104,3 +104,23 @@ def test_compacted_m_underprediction_redo():
     assert np.abs(img - img_ref).max() < 1e-5
     # predictions learned the true live counts (multiples of the chunk)
     assert drv._m_pred[0] > 1024
+
+
+def test_compact_via_sort_bitwise():
+    """Sort-carry compaction (one stable multi-operand lax.sort) must
+    be bitwise-identical to argsort + row gather: stable sort realizes
+    the same permutation, and nothing else in the pipeline changes."""
+    base = RenderConfig(max_path_length=2, blue_noise=False,
+                        max_rays_per_pass=1024)
+    a = create_engine("megakernel", base)
+    a.use_wavefront_driver = True
+    _scene(a)
+    img_a = _render(a, samples=2)
+
+    import dataclasses
+    b = create_engine("megakernel",
+                      dataclasses.replace(base, compact_via_sort=True))
+    b.use_wavefront_driver = True
+    _scene(b)
+    img_b = _render(b, samples=2)
+    assert np.array_equal(img_a, img_b)

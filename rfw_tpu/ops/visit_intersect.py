@@ -525,6 +525,38 @@ def _sorted(tl, origins, directions, t_max):
     return order, inv
 
 
+def _sort_carry_in(tl, origins, directions, t_max):
+    """Coherence-sort rays by carrying them THROUGH one multi-operand
+    ``lax.sort`` instead of argsort + row gathers (measured 15.3 vs
+    28.1 ms per 1M-lane round trip, tools/compact_ab.py d/e — merge sort
+    streams; row gathers are per-row-descriptor-bound). A lane iota as
+    the second sort key makes the order exactly the stable argsort order,
+    so results are bitwise-identical to the gather path. Returns sorted
+    (o, d, t_max, lane); un-permute results with ``_sort_carry_out``."""
+    from .compaction import ray_sort_keys
+    lo = tl["scene_lo"] if "scene_lo" in tl else tl["bmin"].min(axis=0)
+    hi = tl["scene_hi"] if "scene_hi" in tl else tl["bmax"].max(axis=0)
+    keys = ray_sort_keys(origins, directions, lo, hi)
+    keys = keys + jnp.where(t_max <= 0, jnp.uint32(1) << 28, 0).astype(
+        jnp.uint32)
+    lane = jnp.arange(origins.shape[0], dtype=jnp.uint32)
+    srt = jax.lax.sort(
+        (keys, lane,
+         origins[:, 0], origins[:, 1], origins[:, 2],
+         directions[:, 0], directions[:, 1], directions[:, 2], t_max),
+        dimension=0, num_keys=2)
+    o = jnp.stack(srt[2:5], axis=1)
+    d = jnp.stack(srt[5:8], axis=1)
+    return o, d, srt[8], srt[1]
+
+
+def _sort_carry_out(lane, *cols):
+    """Restore original lane order: one sort keyed by the (unique) lane
+    ids, carrying the result columns."""
+    srt = jax.lax.sort((lane,) + tuple(cols), dimension=0, num_keys=1)
+    return srt[1:]
+
+
 def _granularity(tl, config: RenderConfig):
     """Visit-granule tables: ('cell': one K-tri cell per DMA/visit) or
     ('super': SUPER_G consecutive cells — fewer, fatter visits)."""
@@ -756,12 +788,10 @@ def closest_hit(scene, origins, directions, config: RenderConfig,
     if t_max is None:
         t_max = jnp.full(n, BIG_T)
     t_max = jnp.broadcast_to(t_max, (n,))
+    lane = None
     if sort:
-        order, inv = _sorted(tl, origins, directions, t_max)
-        origins, directions, t_max = _gather_rays(
-            origins, directions, t_max, order)
-    else:
-        inv = None
+        origins, directions, t_max, lane = _sort_carry_in(
+            tl, origins, directions, t_max)
     o, d, tm, r = _pad_rays(origins, directions, t_max)
     trace = (_trace_regroup if _use_regroup(config, o.shape[0], coherent)
              else _trace)
@@ -781,16 +811,12 @@ def closest_hit(scene, origins, directions, config: RenderConfig,
     prim = jnp.where(found, prim, -1)
     u = jnp.where(found & rhit, ru, 0.0)
     v = jnp.where(found & rhit, rv, 0.0)
-    if inv is None:
+    if lane is None:
         return t, prim, u, v
-    # un-permute with ONE (n, 4) row gather (4 narrow gathers measured
-    # ~6 ms each at this size — gather cost is per-op, scene_data doc)
-    packed = jnp.stack(
-        [t, jax.lax.bitcast_convert_type(prim, jnp.float32), u, v],
-        axis=1)[inv]
-    return (packed[:, 0],
-            jax.lax.bitcast_convert_type(packed[:, 1], jnp.int32),
-            packed[:, 2], packed[:, 3])
+    # un-permute by sorting the results back by lane id (sort-carry both
+    # ways — cheaper than argsort + row gathers, tools/compact_ab.py d/e)
+    t, prim, u, v = _sort_carry_out(lane, t, prim, u, v)
+    return t, prim, u, v
 
 
 def any_hit(scene, origins, directions, dist, config: RenderConfig,
@@ -799,12 +825,10 @@ def any_hit(scene, origins, directions, dist, config: RenderConfig,
     tl = scene["treelets"]
     n = origins.shape[0]
     dist = jnp.broadcast_to(dist, (n,))
+    lane = None
     if sort:
-        order, inv = _sorted(tl, origins, directions, dist)
-        origins, directions, dist = _gather_rays(
-            origins, directions, dist, order)
-    else:
-        inv = slice(None)
+        origins, directions, dist, lane = _sort_carry_in(
+            tl, origins, directions, dist)
     o, d, tm, r = _pad_rays(origins, directions, dist)
     trace = (_trace_regroup
              if _use_regroup(config, o.shape[0], coherent, any_hit=True)
@@ -813,5 +837,10 @@ def any_hit(scene, origins, directions, dist, config: RenderConfig,
                     coherent=coherent)
     slot = slot[:r]
     hit = slot >= 0
-    prim = jnp.where(hit, tl["slot_to_prim"][jnp.maximum(slot, 0)], -1)
-    return (prim >= 0)[inv]
+    occluded = jnp.where(
+        hit, tl["slot_to_prim"][jnp.maximum(slot, 0)], -1) >= 0
+    if lane is None:
+        return occluded
+    # carry as i32 (PRED-typed sort operands are backend-fragile)
+    (occ_i,) = _sort_carry_out(lane, occluded.astype(jnp.int32))
+    return occ_i > 0

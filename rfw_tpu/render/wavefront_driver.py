@@ -165,11 +165,16 @@ class WavefrontDriver:
             keys = ray_sort_keys(state.origin, state.direction, lo, hi)
             keys = keys + jnp.where(state.alive, jnp.uint32(0),
                                     jnp.uint32(1) << 28)
+            # lane iota as a second key: the sort order is exactly the
+            # stable argsort order, so ties permute identically to the
+            # gather path (guaranteed bitwise-equal frames)
+            lane = jnp.arange(keys.shape[0], dtype=jnp.uint32)
             full = _pack_state(state)
             ops = jax.lax.sort(
-                (keys,) + tuple(full[:, i] for i in range(full.shape[1])),
-                dimension=0, num_keys=1)
-            return (_unpack_state(jnp.stack(ops[1:], axis=1)),
+                (keys, lane) + tuple(full[:, i]
+                                     for i in range(full.shape[1])),
+                dimension=0, num_keys=2)
+            return (_unpack_state(jnp.stack(ops[2:], axis=1)),
                     jnp.sum(state.alive))
 
         @jax.jit

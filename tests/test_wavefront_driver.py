@@ -85,7 +85,9 @@ def test_compacted_m_underprediction_redo():
     apply with the exact count — seeding a too-small prediction must not
     change the frame."""
     cfg = RenderConfig(max_path_length=2, blue_noise=False,
-                       max_rays_per_pass=1024)
+                       max_rays_per_pass=1024,
+                       compact_via_sort=False)   # m-prediction is the
+    #                                              argsort-path mechanism
     ref = create_engine("megakernel", cfg)
     ref.use_wavefront_driver = True
     _scene(ref)
@@ -111,7 +113,7 @@ def test_compact_via_sort_bitwise():
     be bitwise-identical to argsort + row gather: stable sort realizes
     the same permutation, and nothing else in the pipeline changes."""
     base = RenderConfig(max_path_length=2, blue_noise=False,
-                        max_rays_per_pass=1024)
+                        max_rays_per_pass=1024, compact_via_sort=False)
     a = create_engine("megakernel", base)
     a.use_wavefront_driver = True
     _scene(a)

@@ -762,12 +762,13 @@ def _trace_regroup(scene, origins, directions, t_max, config: RenderConfig,
 def _use_regroup(config: RenderConfig, n: int, coherent: bool,
                  any_hit: bool = False) -> bool:
     """Regroup pays for itself on large scattered streams; coherent
-    blocks resolve within a few visits and never multi-pass. For
-    occlusion it is OFF by default: the sim evidence (16.6% survivors,
-    58% visits) is from the closest-hit d1 stream — unoccluded shadow
-    rays never resolve, so their survivor fraction may exceed the n/4
-    phase-B batch and trip the full-size phase C. RFW_REGROUP_OCCL=1
-    routes occlusion through it for the on-chip A/B."""
+    blocks resolve within a few visits and never multi-pass. MEASURED
+    on-chip (tools/driver_tail.py, 1080p pica-4x): regroup on = 2013
+    ms/sample vs 2151 off — keep on. For occlusion it stays OFF:
+    unoccluded shadow rays never resolve, so their survivor fraction
+    exceeds the n/4 phase-B batch and trips the staged full-size
+    batches — RFW_REGROUP_OCCL=1 measured 2209 ms/sample (d0 stage
+    780 → 930 ms)."""
     import os
     if any_hit and not os.environ.get("RFW_REGROUP_OCCL"):
         return False

@@ -494,12 +494,16 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
             # directions are random per lane, and unsorted mixed-octant
             # blocks degenerate the envelope cull to full scans
             # (measured 11.4 s/sample at 1080p with sort=False).
+            # At depth 0 the sorted stream is envelope-coherent (origins
+            # pixel-local, light rays converge, env rays parallel per
+            # tile): per-block envelope enum measured 21.3 vs 38.7 ms
+            # per 518k chunk, bit-exact (tools/env_d0_ab.py).
             occ2 = intersector.occluded(
                 scene,
                 jnp.concatenate([s_origin, s_origin]),
                 jnp.concatenate([l_dir, e_dir]),
                 jnp.concatenate([s_dist, jnp.where(e_want, 1e30, 0.0)]),
-                sort=True)
+                sort=True, coherent=depth == 0)
             occ, e_occ = occ2[:n], occ2[n:]
             radiance = radiance + jnp.where(
                 (want_shadow & ~occ)[..., None], nee, 0.0)
@@ -507,9 +511,11 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
                 (e_want & ~e_occ)[..., None], e_contrib, 0.0)
         else:
             # depth-0 shadow rays start at pixel-ordered (coherent) hit
-            # points — skip the sort there; bounce origins are scattered
+            # points — skip the sort there (and use the envelope enum;
+            # tools/env_d0_ab.py); bounce origins are scattered
             occ = intersector.occluded(scene, s_origin, l_dir, s_dist,
-                                       sort=depth > 0)
+                                       sort=depth > 0,
+                                       coherent=depth == 0)
             radiance = radiance + jnp.where(
                 (want_shadow & ~occ)[..., None], nee, 0.0)
 

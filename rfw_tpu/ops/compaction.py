@@ -28,23 +28,26 @@ def _morton3(x, y, z, bits: int = 7):
 
 def ray_sort_keys(origins, directions, scene_lo, scene_hi,
                   bits: int = 5, dir_bits: int = 2):
-    """Coherence keys: [octant3 | Morton(origin, bits) | Morton(dir,
-    dir_bits)] — 3 + 3*bits + 3*dir_bits low bits (callers stack flags
+    """Coherence keys: [octant3 | Morton(dir, dir_bits) | Morton(origin,
+    bits)] — 3 + 3*dir_bits + 3*bits low bits (callers stack flags
     from bit 28 up).
 
-    The direction refinement below the octant is measured, not vibes: on
-    the real 518k-lane depth-1 bounce stream (pica-4x 1080p), the visit
-    intersector's per-256-ray-block economics under candidate orderings
-    (tools/sortkey_sim.py) are
+    DIRECTION-MAJOR below the octant, measured on the real 518k-lane
+    depth-1 bounce stream (pica-4x 1080p; tools/sortkey_sim2.py —
+    sortkey_sim.py's box included 3e37 padding cells, degenerating its
+    origin mortons, so its earlier origin-major conclusion was an
+    artifact). Per-256-ray-block executed visits under the straggler
+    bound:
 
-        octant | morton7(origin)              exec 208 visits/block
-        octant | morton5(o) | morton2(d)      exec 112-123 visits/block
+        octant | morton5(o) | morton2(d)   exec 219 visits/block (old)
+        octant | morton2(d) | morton5(o)   exec 122 visits/block
+        octant | morton3(d) | morton5(o)   exec 142
+        octant | morton2(d) | morton7(o)   exec 132
 
-    — bounce origins are already neighborhood-coherent, so extra origin
-    bits are wasted entropy while the hemisphere-scattered directions,
-    which drive the crossed-cell union, go ungrouped. Coarser origins +
-    a 2-bit-per-axis direction Morton cut executed visits ~40%. Finer
-    direction bits (3+) or direction-major orderings measured worse."""
+    Hemisphere-scattered directions drive the crossed-cell union, so a
+    coarse direction grouping ABOVE the origin Morton cuts executed
+    visits ~40%; finer direction bins (3+) scatter the origin clusters
+    and lose."""
     octant = ((directions[:, 0] > 0).astype(jnp.uint32)
               | ((directions[:, 1] > 0).astype(jnp.uint32) << 1)
               | ((directions[:, 2] > 0).astype(jnp.uint32) << 2))
@@ -53,11 +56,11 @@ def ray_sort_keys(origins, directions, scene_lo, scene_hi,
     scale = jnp.float32((1 << bits) - 1)
     qi = (q * scale).astype(jnp.uint32)
     morton = _morton3(qi[:, 0], qi[:, 1], qi[:, 2], bits)
-    key = (octant << (3 * bits)) | morton
+    key = morton
     if dir_bits:
         dq = jnp.clip((directions + 1.0) * 0.5, 0.0, 1.0)
         di = jnp.minimum((dq * (1 << dir_bits)).astype(jnp.uint32),
                          (1 << dir_bits) - 1)
         dmorton = _morton3(di[:, 0], di[:, 1], di[:, 2], dir_bits)
-        key = (key << (3 * dir_bits)) | dmorton
-    return key
+        key = (dmorton << (3 * bits)) | key
+    return (octant << (3 * bits + 3 * dir_bits)) | key

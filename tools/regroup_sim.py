@@ -26,8 +26,10 @@ B = int(os.environ.get("RS_B", 256))
 S = min(65536, N)
 print(f"stream N={N} T={T} live={(tmax > 0).mean():.2f} sim on {S}")
 
-# ---- production key: octant | morton5(origin) | morton2(dir), dead last
-lo = bmin.min(axis=0); hi = bmax.max(axis=0)
+# ---- production key: octant | morton2(dir) | morton5(origin), dead last
+# (direction-major since sortkey_sim2; box excludes 3e37 padding cells)
+_real = bmax[:, 0] < 1e30
+lo = bmin[_real].min(axis=0); hi = bmax[_real].max(axis=0)
 ext = np.maximum(hi - lo, 1e-6)
 
 
@@ -47,8 +49,7 @@ def prod_key(o_, d_, dead):
               | ((d_[:, 2] > 0).astype(np.uint64) << 2))
     dq = np.clip((d_ + 1) * 0.5, 0, 1)
     di = np.minimum((dq * 4).astype(np.uint64), 3)
-    key = (octant << 15) | morton3(qi, 5)
-    key = (key << 6) | morton3(di, 2)
+    key = (octant << 21) | (morton3(di, 2) << 15) | morton3(qi, 5)
     return key | (dead.astype(np.uint64) << 40)
 
 

@@ -48,6 +48,7 @@ def ray_sort_keys(origins, directions, scene_lo, scene_hi,
     coarse direction grouping ABOVE the origin Morton cuts executed
     visits ~40%; finer direction bins (3+) scatter the origin clusters
     and lose."""
+    import os
     octant = ((directions[:, 0] > 0).astype(jnp.uint32)
               | ((directions[:, 1] > 0).astype(jnp.uint32) << 1)
               | ((directions[:, 2] > 0).astype(jnp.uint32) << 2))
@@ -56,6 +57,15 @@ def ray_sort_keys(origins, directions, scene_lo, scene_hi,
     scale = jnp.float32((1 << bits) - 1)
     qi = (q * scale).astype(jnp.uint32)
     morton = _morton3(qi[:, 0], qi[:, 1], qi[:, 2], bits)
+    if os.environ.get("RFW_KEYS_ORIGIN_MAJOR"):   # perf bisect knob
+        key = (octant << jnp.uint32(3 * bits)) | morton
+        if dir_bits:
+            dq = jnp.clip((directions + 1.0) * 0.5, 0.0, 1.0)
+            di = jnp.minimum((dq * (1 << dir_bits)).astype(jnp.uint32),
+                             (1 << dir_bits) - 1)
+            dmorton = _morton3(di[:, 0], di[:, 1], di[:, 2], dir_bits)
+            key = (key << jnp.uint32(3 * dir_bits)) | dmorton
+        return key
     key = morton
     if dir_bits:
         dq = jnp.clip((directions + 1.0) * 0.5, 0.0, 1.0)

@@ -494,16 +494,20 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
             # directions are random per lane, and unsorted mixed-octant
             # blocks degenerate the envelope cull to full scans
             # (measured 11.4 s/sample at 1080p with sort=False).
-            # At depth 0 the sorted stream is envelope-coherent (origins
-            # pixel-local, light rays converge, env rays parallel per
-            # tile): per-block envelope enum measured 21.3 vs 38.7 ms
-            # per 518k chunk, bit-exact (tools/env_d0_ab.py).
+            # PER-RAY enumeration even at depth 0: the per-block envelope
+            # won the ISOLATED launch A/B (32.6 vs 61.9 ms, occl_d0_ab)
+            # but costs +390 ms/sample in the real pipeline under either
+            # key scheme (driver_tail: d0 780 -> 1177 dir-major,
+            # 1208 origin-major) — route by pipeline measurement, not
+            # microbench (the session-2 lesson, STATUS.md). RFW_D0_OCCL_ENV
+            # re-enables the envelope for future A/Bs.
+            _occ_env = bool(os.environ.get("RFW_D0_OCCL_ENV"))
             occ2 = intersector.occluded(
                 scene,
                 jnp.concatenate([s_origin, s_origin]),
                 jnp.concatenate([l_dir, e_dir]),
                 jnp.concatenate([s_dist, jnp.where(e_want, 1e30, 0.0)]),
-                sort=True, coherent=depth == 0)
+                sort=True, coherent=depth == 0 and _occ_env)
             occ, e_occ = occ2[:n], occ2[n:]
             radiance = radiance + jnp.where(
                 (want_shadow & ~occ)[..., None], nee, 0.0)

@@ -189,6 +189,7 @@ class WavefrontDriver:
             return state.radiance[order]
 
         self._m_pred: dict[int, int] = {}
+        self._chunks_pred: dict[int, int] = {}
         self._compact_sort = compact_sort_fn
         self._init = init_fn
         self._stage0 = stage0_fn
@@ -220,9 +221,9 @@ class WavefrontDriver:
         self.depth_times = []
         timer = Timer()
         for depth in range(cfg.max_path_length + 1):
-            n_chunks = max(1, -(-live // chunk))
             parts = []
-            for c in range(n_chunks):
+
+            def run_chunk(c, depth=depth, parts=parts):
                 rel = probe_lane - c * chunk
                 in_chunk = depth == 0 and 0 <= rel < chunk
                 if depth == 0:
@@ -239,9 +240,34 @@ class WavefrontDriver:
                     key = f"{k}_{depth}"
                     stats[key] = stats.get(key, 0) + v
                 if in_chunk:
+                    nonlocal probe
                     probe = probe_c
                 if depth == 0:
                     aux_parts.append(aux_c)
+
+            if depth == 0 or n <= chunk:
+                n_chunks = max(1, -(-live // chunk))
+                for c in range(n_chunks):
+                    run_chunk(c)
+            else:
+                # dispatch the PREDICTED chunk count first (live counts
+                # are stable across samples), THEN sync the live count
+                # the compaction produced — the readback RTT overlaps
+                # the stage dispatches instead of stalling them. Extra
+                # (over-predicted) chunks only touch dead lanes: every
+                # radiance/state update is alive-gated and the final
+                # image is keyed by pid, so results are bitwise-equal.
+                n_pred = min(self._chunks_pred.get(depth,
+                                                   max(1, -(-n // chunk))),
+                             max(1, -(-n // chunk)))
+                for c in range(n_pred):
+                    run_chunk(c)
+                live = int(live_dev)
+                need = max(1, -(-live // chunk))
+                self._chunks_pred[depth] = need
+                for c in range(n_pred, need):   # under-predicted: top up
+                    run_chunk(c)
+                n_chunks = max(n_pred, need)
             if state is None:   # depth 0: chunks cover the whole frame
                 state = jax.tree.map(
                     lambda *xs: jnp.concatenate(xs), *parts)
@@ -251,8 +277,6 @@ class WavefrontDriver:
                     lambda *xs: jnp.concatenate(xs), *parts, tail)
             if depth < cfg.max_path_length and cfg.compact_via_sort:
                 state, live_dev = self._compact_sort(scene, state)
-                if n > chunk:
-                    live = int(live_dev)
             elif depth < cfg.max_path_length:
                 order, live_dev = self._compact_keys(scene, state)
                 # dispatch the gather IMMEDIATELY with a PREDICTED row
@@ -276,8 +300,10 @@ class WavefrontDriver:
                 state = new_state
             self.depth_times.append(timer.elapsed())
             timer = Timer()
-            if depth < cfg.max_path_length and live == 0:
-                break   # every path terminated — skip remaining depths
+            # (no early all-dead break: the live count is now synced
+            # AFTER the next depth's predicted chunks dispatch, and a
+            # fully-dead depth costs one alive-gated no-op chunk — rarer
+            # and cheaper than stalling every sample on the readback)
         radiance = self._finalize(state)
         accumulator = accumulator + radiance
         aux = jax.tree.map(lambda *xs: jnp.concatenate(xs), *aux_parts)

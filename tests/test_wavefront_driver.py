@@ -108,6 +108,34 @@ def test_compacted_m_underprediction_redo():
     assert drv._m_pred[0] > 1024
 
 
+def test_chunk_prediction_over_and_under():
+    """Next-depth chunk counts are dispatched from a per-depth PREDICTION
+    before the live-count readback (no dispatch bubble). Over-prediction
+    runs extra chunks on dead lanes (alive-gated no-ops); under-prediction
+    tops up after the sync — both must leave the frame unchanged."""
+    cfg = RenderConfig(max_path_length=2, blue_noise=False,
+                       max_rays_per_pass=1024)
+    ref = create_engine("megakernel", cfg)
+    ref.use_wavefront_driver = True
+    _scene(ref)
+    img_ref = _render(ref, samples=1)
+
+    for seed_pred in ({1: 1, 2: 1}, {1: 3, 2: 3}):
+        eng = create_engine("megakernel", cfg)
+        eng.use_wavefront_driver = True
+        _scene(eng)
+        eng.resize(64, 48)
+        eng.update()
+        eng._get_trace_fn(64, 48)
+        drv = eng._driver
+        assert drv is not None
+        drv._chunks_pred = dict(seed_pred)
+        img = _render(eng, samples=1)
+        assert np.array_equal(img, img_ref), seed_pred
+        # predictions re-learned the true chunk needs
+        assert 1 <= drv._chunks_pred[1] <= 3
+
+
 def test_compact_via_sort_bitwise():
     """Sort-carry compaction (one stable multi-operand lax.sort) must
     be bitwise-identical to argsort + row gather: stable sort realizes

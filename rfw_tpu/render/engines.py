@@ -411,8 +411,17 @@ class PathTracerEngine(EngineContext):
         probe = None
         stats = None
         aux = None
-        for _ in range(samples):
-            out = step(
+        drv = getattr(self, "_driver", None)
+        for s in range(samples):
+            step_s = step
+            if drv is not None and samples > 1 and s == samples - 1:
+                # last sample of a multi-sample frame runs the host-loop
+                # PROFILED step: its per-depth syncs fill the per-stage
+                # RenderStats times (context.h:50-72 parity) at 1/samples
+                # of the sync cost; frames agree to float ulps (same
+                # stage/compaction functions, different jit graphs)
+                step_s = drv.step_profiled
+            out = step_s(
                 self._scene, self._accumulator,
                 view, jnp.uint32(self._sample_count),
                 jnp.int32(probe_index))
@@ -464,15 +473,12 @@ class PathTracerEngine(EngineContext):
         # is measured, not estimated
         drv = getattr(self, "_driver", None)
         if drv is not None and drv.depth_times:
+            # measured by the profiled step's per-depth syncs (the last
+            # sample of a multi-sample frame)
             dt = drv.depth_times
-            per_sample = elapsed / max(samples, 1)
             self.stats.primary_time = dt[0]
             self.stats.secondary_time = dt[1] if len(dt) > 1 else 0.0
-            # the final depth has no live-count sync, so its device work
-            # drains into the engine's block_until_ready — attribute the
-            # remainder of the measured sample time to it
-            self.stats.deep_time = max(
-                per_sample - dt[0] - (dt[1] if len(dt) > 1 else 0.0), 0.0)
+            self.stats.deep_time = sum(dt[2:]) if len(dt) > 2 else 0.0
         if probe is not None:
             p = np.asarray(probe)
             self._probe_result = (int(p[0]), int(p[1]), float(p[2]))

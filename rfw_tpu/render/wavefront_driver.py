@@ -1,29 +1,39 @@
 """Compacted wavefront driver: per-depth whole-frame stages with lane
-compaction between depths.
+compaction between depths, compiled as ONE XLA program per sample.
 
 The reference's wavefront loop compacts its ray queues with atomic
 counters between bounces (CUDART Kernels.cu:640,747,788 extensionRays /
 shadowRays + InitCounters per depth) so later bounces only pay for live
-paths. Round 1 ran whole paths per chunk with dead lanes masked: at depth
-1 ~45% of lanes are dead, at depth 2 ~72% (STATUS.md) — every intersect /
-sort / shade op still paid them. This driver is the TPU-native
-re-expression:
+paths, and its host loop reads those counters back every depth
+(Context.cpp:109-147). Round 1 ran whole paths per chunk with dead lanes
+masked; round 2 first ran a host-side Python loop per depth — measured
+~230 ms/sample of host-level overhead at 1080p (per-chunk dispatches,
+pytree slice dispatches, concat dispatches, live-count readback bubbles;
+tools/driver_tail.py vs tools/stage_trunc.py). This version is the
+TPU-native end state:
 
-* stages run per DEPTH over the whole frame, chunked at the engine chunk
-  size (static shapes — one compiled stage per depth);
-* between depths the per-lane ``PathState`` packs into one (N, 20) f32
-  matrix and sorts by (dead, direction octant, origin Morton): ONE row
-  gather instead of nine (TPU gather cost is per-op — see
-  render/scene_data.build_tri_pack), live lanes first and coherence-
-  ordered for the intersector (whose own per-launch sort is then skipped);
-* the live count reads back per depth (4 bytes) and the host runs only
-  ``ceil(live / chunk)`` chunks of the next depth;
+* the WHOLE SAMPLE is one ``jit``: ray-gen + every depth + compaction +
+  finalize, ONE dispatch, zero device→host syncs inside a sample;
+* each depth chunk-loops via ``lax.fori_loop`` with a **traced** trip
+  count ``ceil(live / chunk)`` — the live count never visits the host,
+  and later depths still only pay for live lanes (static shapes: every
+  chunk body is the same compiled block on a dynamic row offset);
+* between depths the per-lane ``PathState`` lives packed in one (N, 18)
+  f32 matrix (ints/bools bitcast) and compacts by ONE stable
+  multi-operand ``lax.sort`` keyed (dead, direction octant, dir Morton,
+  origin Morton) — live lanes first, coherence-ordered for the
+  intersector (whose own per-launch sort is then skipped);
 * after the last depth one sort by pixel id restores row-major order.
 
 Bitwise identity: every random draw is keyed by pixel id (+ sample,
 depth), so lane permutation does not change any pixel's arithmetic — with
 a deterministic intersector the compacted frame equals the fused
 ``trace_sample`` frame exactly (tests/test_wavefront_driver.py).
+
+``step_profiled`` keeps the host-side per-depth loop (forced syncs) to
+fill the per-stage RenderStats times (context.h:50-72 parity) — engines
+run it for the last sample of a multi-sample frame so live stats stay
+fresh at ~1/samples of the sync cost.
 """
 
 from __future__ import annotations
@@ -44,9 +54,8 @@ from .integrator import (Intersector, PathState, _tile_permutation,
 def _pack_state(state: PathState):
     """PathState → (N, 18) f32 matrix (ints/bools bitcast/encoded) for a
     single-row-gather permutation. Column order puts the fields a DEAD
-    lane still owes the frame (radiance, flags, pid) LAST, so the
-    compaction can gather dead tail rows at 5 columns instead of 18
-    (_TAIL_COL; live-path fields of dead lanes are never read again)."""
+    lane still owes the frame (radiance, flags, pid) LAST (historical:
+    the argsort-path compaction gathers dead tail rows at 5 columns)."""
     f = jnp.float32
     flags = (state.alive.astype(f) + 2.0 * state.spec_bounce.astype(f))
     pid_f = jax.lax.bitcast_convert_type(state.pid, f)
@@ -69,9 +78,43 @@ def _unpack_state(m) -> PathState:
         pid=jax.lax.bitcast_convert_type(m[:, 17], jnp.uint32))
 
 
+def _compact_keys_of(scene, state: PathState):
+    tl = scene["treelets"]
+    lo = tl["scene_lo"] if "scene_lo" in tl else tl["bmin"].min(axis=0)
+    hi = tl["scene_hi"] if "scene_hi" in tl else tl["bmax"].max(axis=0)
+    keys = ray_sort_keys(state.origin, state.direction, lo, hi)
+    return keys + jnp.where(state.alive, jnp.uint32(0),
+                            jnp.uint32(1) << 28)
+
+
+def _compact_sort_packed(scene, packed):
+    """Sort-carry compaction on the packed (N, 18) state: ONE stable
+    multi-operand lax.sort permutes the state in-sort (argsort + row
+    gather measured slower — merge sort streams, row gathers are
+    per-row-descriptor-bound; tools/compact_ab.py). A lane iota as the
+    second key makes the order exactly the stable argsort order, so the
+    two compaction paths are bitwise-identical."""
+    state = _unpack_state(packed)
+    keys = _compact_keys_of(scene, state)
+    lane = jnp.arange(keys.shape[0], dtype=jnp.uint32)
+    ops = jax.lax.sort(
+        (keys, lane) + tuple(packed[:, i] for i in range(packed.shape[1])),
+        dimension=0, num_keys=2)
+    return jnp.stack(ops[2:], axis=1), jnp.sum(state.alive)
+
+
+def _compact_gather_packed(scene, packed):
+    """argsort + ONE (N, 18) row gather — the legacy compaction kept for
+    the bitwise sort-vs-gather oracle (test_compact_via_sort_bitwise)."""
+    state = _unpack_state(packed)
+    keys = _compact_keys_of(scene, state)
+    order = jnp.argsort(keys).astype(jnp.int32)
+    return packed[order], jnp.sum(state.alive)
+
+
 class WavefrontDriver:
-    """Builds and caches the jitted per-depth stages + compaction for one
-    (width, height, config, intersector) combination."""
+    """Builds and caches the jitted whole-sample step (plus the host-loop
+    profiled step) for one (width, height, config, intersector) combo."""
 
     def __init__(self, width: int, height: int, config: RenderConfig,
                  intersector: Intersector, tex_flags, chunk: int):
@@ -80,6 +123,7 @@ class WavefrontDriver:
         self.config = config
         self.chunk = chunk
         n = width * height
+        assert n % chunk == 0, "engine picks chunk counts dividing n"
         self.n = n
         tp = _tile_permutation(width, n)
         if tp is not None:
@@ -89,53 +133,154 @@ class WavefrontDriver:
         else:
             self._pid_np = np.arange(n, dtype=np.uint32)
             self._inv_np = None
-        pid = jnp.asarray(self._pid_np)
+        # device-resident lane tables (args, not jit closure constants —
+        # closure numpy constants bake into the HLO as literals)
+        self._pid_dev = jax.device_put(jnp.asarray(self._pid_np))
+        self._inv_dev = (jax.device_put(jnp.asarray(self._inv_np))
+                         if self._inv_np is not None else None)
+        self._intersector = intersector
+        self._tex_flags = tex_flags
+        self.depth_times: list[float] = []
+        self._build_fns(config, intersector, tex_flags)
 
+    # -- jitted building blocks ------------------------------------------------
+
+    def _build_fns(self, config, intersector, tex_flags):
+        width, height, chunk, n = (self.width, self.height, self.chunk,
+                                   self.n)
+        cfg = config
+        compact_packed = (_compact_sort_packed if cfg.compact_via_sort
+                          else _compact_gather_packed)
+
+        def stage_chunk(scene, view, state_c, sample_index, probe_rel,
+                        depth: int):
+            return depth_stage(scene, view, state_c, width, depth,
+                               sample_index, probe_rel, cfg, intersector,
+                               tex_flags=tex_flags, sort_rays=False,
+                               height=height)
+
+        # ---- the whole-sample program -------------------------------------
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def sample_fn(scene, accumulator, pid_all, inv_all, view,
+                      sample_index, probe_lane):
+            nc0 = n // chunk
+            stats_all = {}
+
+            # depth 0: ray-gen fused into the stage; static chunk count.
+            def d0_body(c, carry):
+                packed, probe, stats, aux_n, aux_d = carry
+                off = c * chunk
+                pid_c = jax.lax.dynamic_slice(pid_all, (off,), (chunk,))
+                st_c = make_path_state(scene, view, width, height,
+                                       sample_index, cfg, pid_c)
+                rel = probe_lane - off
+                in_chunk = (rel >= 0) & (rel < chunk)
+                out, st, probe_c, aux_c = stage_chunk(
+                    scene, view, st_c, sample_index,
+                    jnp.where(in_chunk, rel, 0), 0)
+                packed = jax.lax.dynamic_update_slice(
+                    packed, _pack_state(out), (off, 0))
+                probe = jnp.where(in_chunk, probe_c, probe)
+                stats = {k: stats[k] + v for k, v in st.items()}
+                aux_n = jax.lax.dynamic_update_slice(
+                    aux_n, aux_c["normal"], (off, 0))
+                aux_d = jax.lax.dynamic_update_slice(
+                    aux_d, aux_c["depth"], (off,))
+                return packed, probe, stats, aux_n, aux_d
+
+            stats0 = {"ray_count": jnp.int32(0)}
+            if cfg.variance_reduction:
+                stats0["shadow_count"] = jnp.int32(0)
+            if cfg.debug_checks:
+                stats0["nan_scrubbed"] = jnp.int32(0)
+            carry = (jnp.zeros((n, 18), jnp.float32),
+                     jnp.zeros(3, jnp.float32), stats0,
+                     jnp.zeros((n, 3), jnp.float32),
+                     jnp.zeros(n, jnp.float32))
+            packed, probe, st0, aux_n, aux_d = jax.lax.fori_loop(
+                0, nc0, d0_body, carry)
+            for k, v in st0.items():
+                stats_all[f"{k}_0"] = v
+
+            live = None
+            for depth in range(1, cfg.max_path_length + 1):
+                packed, live = compact_packed(scene, packed)
+
+                def d_body(c, carry, depth=depth):
+                    packed, stats = carry
+                    off = c * chunk
+                    rows = jax.lax.dynamic_slice(packed, (off, 0),
+                                                 (chunk, 18))
+                    out, st, _, _ = stage_chunk(
+                        scene, view, _unpack_state(rows), sample_index,
+                        jnp.int32(0), depth)
+                    packed = jax.lax.dynamic_update_slice(
+                        packed, _pack_state(out), (off, 0))
+                    stats = {k: stats[k] + v for k, v in st.items()}
+                    return packed, stats
+
+                # TRACED trip count: later depths only run ceil(live/chunk)
+                # chunks; 0 live lanes → 0 iterations (the all-dead break
+                # for free, no host readback anywhere in the sample)
+                nc_d = (live.astype(jnp.int32) + (chunk - 1)) // chunk
+                packed, st_d = jax.lax.fori_loop(
+                    0, nc_d, d_body, (packed, stats0))
+                for k, v in st_d.items():
+                    stats_all[f"{k}_{depth}"] = v
+
+            # finalize: restore pixel order by ONE pid-keyed sort-carry
+            pid_f = packed[:, 17]
+            pid_u = jax.lax.bitcast_convert_type(pid_f, jnp.uint32)
+            srt = jax.lax.sort(
+                (pid_u, packed[:, 13], packed[:, 14], packed[:, 15]),
+                dimension=0, num_keys=1)
+            radiance = jnp.stack(srt[1:4], axis=1)
+            accumulator = accumulator + radiance
+            if inv_all is not None:
+                aux_n = aux_n[inv_all]
+                aux_d = aux_d[inv_all]
+            return (accumulator, probe, stats_all,
+                    {"normal": aux_n, "depth": aux_d})
+
+        self._sample_fn = sample_fn
+
+        # ---- host-loop building blocks (profiled path + tools) -------------
         @jax.jit
         def init_fn(scene, view, sample_index):
             return make_path_state(scene, view, width, height,
-                                   sample_index, config, pid)
+                                   sample_index, config, self._pid_dev)
 
         @jax.jit
         def stage0_fn(scene, view, pid_slice, sample_index, probe_lane):
-            # ray-gen fused into the depth-0 stage: the whole-frame
-            # PathState never materializes in HBM before the first
-            # intersect (one init dispatch + a state write+read saved)
             state = make_path_state(scene, view, width, height,
                                     sample_index, config, pid_slice)
-            return depth_stage(scene, view, state, width, 0,
-                               sample_index, probe_lane, config,
-                               intersector, tex_flags=tex_flags,
-                               sort_rays=False, height=height)
+            return stage_chunk(scene, view, state, sample_index,
+                               probe_lane, 0)
 
         @functools.partial(jax.jit, static_argnames=("depth",))
         def stage_fn(scene, view, state, sample_index, probe_lane, depth):
-            # closest-hit streams arrive pre-sorted: depth 0 in pixel-tile
-            # order, bounces in compaction (dead, octant, Morton) order
-            return depth_stage(scene, view, state, width, depth,
-                               sample_index, probe_lane, config,
-                               intersector, tex_flags=tex_flags,
-                               sort_rays=False, height=height)
+            return stage_chunk(scene, view, state, sample_index,
+                               probe_lane, depth)
 
         @jax.jit
+        def compact_fn(scene, state):
+            packed, live = compact_packed(scene, _pack_state(state))
+            return _unpack_state(packed), live
+
+        @jax.jit
+        def finalize_fn(state):
+            order = jnp.argsort(state.pid).astype(jnp.int32)
+            return state.radiance[order]
+
+        # legacy aliases used by tools/ (driver_tail, captures)
+        @jax.jit
         def compact_keys_fn(scene, state):
-            tl = scene["treelets"]
-            lo = tl["scene_lo"] if "scene_lo" in tl else \
-                tl["bmin"].min(axis=0)
-            hi = tl["scene_hi"] if "scene_hi" in tl else \
-                tl["bmax"].max(axis=0)
-            keys = ray_sort_keys(state.origin, state.direction, lo, hi)
-            keys = keys + jnp.where(state.alive, jnp.uint32(0),
-                                    jnp.uint32(1) << 28)
+            keys = _compact_keys_of(scene, state)
             order = jnp.argsort(keys).astype(jnp.int32)
             return order, jnp.sum(state.alive)
 
         @functools.partial(jax.jit, static_argnames=("m",))
         def compact_apply_fn(state, order, m):
-            # live lanes sort first; only rows [:m] enter the next
-            # depth's chunks, so the permutation gathers full rows for
-            # them and just the radiance/flags/pid tail columns for the
-            # dead remainder (gather cost is per-op AND per-byte)
             full = _pack_state(state)
             front = full[order[:m]]
             if m < full.shape[0]:
@@ -143,54 +288,9 @@ class WavefrontDriver:
                 tail = jnp.concatenate(
                     [jnp.zeros((tail_cols.shape[0], _TAIL_COL),
                                jnp.float32), tail_cols], axis=1)
-                full = jnp.concatenate([front, tail], axis=0)
-            else:
-                full = front
-            return _unpack_state(full)
+                front = jnp.concatenate([front, tail], axis=0)
+            return _unpack_state(front)
 
-        @jax.jit
-        def compact_sort_fn(scene, state):
-            # sort-carry compaction: ONE stable multi-operand lax.sort
-            # permutes the packed state in-sort instead of argsort + row
-            # gather (row gathers are per-row-descriptor-bound on TPU;
-            # merge sort streams). Stable sort == argsort order, so the
-            # two paths are bitwise-identical. Gated by
-            # config.compact_via_sort pending the on-chip A/B
-            # (tools/compact_ab.py).
-            tl = scene["treelets"]
-            lo = tl["scene_lo"] if "scene_lo" in tl else \
-                tl["bmin"].min(axis=0)
-            hi = tl["scene_hi"] if "scene_hi" in tl else \
-                tl["bmax"].max(axis=0)
-            keys = ray_sort_keys(state.origin, state.direction, lo, hi)
-            keys = keys + jnp.where(state.alive, jnp.uint32(0),
-                                    jnp.uint32(1) << 28)
-            # lane iota as a second key: the sort order is exactly the
-            # stable argsort order, so ties permute identically to the
-            # gather path (guaranteed bitwise-equal frames)
-            lane = jnp.arange(keys.shape[0], dtype=jnp.uint32)
-            full = _pack_state(state)
-            ops = jax.lax.sort(
-                (keys, lane) + tuple(full[:, i]
-                                     for i in range(full.shape[1])),
-                dimension=0, num_keys=2)
-            return (_unpack_state(jnp.stack(ops[2:], axis=1)),
-                    jnp.sum(state.alive))
-
-        @jax.jit
-        def compact_fn(scene, state):
-            order, live = compact_keys_fn(scene, state)
-            return compact_apply_fn(state, order, m=int(state.pid.shape[0])
-                                    ), live
-
-        @jax.jit
-        def finalize_fn(state):
-            order = jnp.argsort(state.pid).astype(jnp.int32)
-            return state.radiance[order]
-
-        self._m_pred: dict[int, int] = {}
-        self._chunks_pred: dict[int, int] = {}
-        self._compact_sort = compact_sort_fn
         self._init = init_fn
         self._stage0 = stage0_fn
         self._stage = stage_fn
@@ -198,22 +298,42 @@ class WavefrontDriver:
         self._compact_keys = compact_keys_fn
         self._compact_apply = compact_apply_fn
         self._finalize = finalize_fn
-        self.depth_times: list[float] = []
+        self._m_pred: dict[int, int] = {}   # kept for tools compatibility
 
     def _slice(self, state: PathState, c: int) -> PathState:
         s, e = c * self.chunk, (c + 1) * self.chunk
         return jax.tree.map(lambda a: a[s:e], state)
 
+    # -- production step: ONE dispatch per sample ------------------------------
+
     def step(self, scene, accumulator, view, sample_index, probe_index):
-        """One sample for the whole frame. Matches the fused step's
-        contract: returns (accumulator, probe, stats, aux)."""
+        """One sample for the whole frame in one jitted dispatch.
+        Returns (accumulator, probe, stats, aux)."""
+        probe_i = int(probe_index)
+        probe_lane = (probe_i if self._inv_np is None
+                      else int(self._inv_np[probe_i]))
+        return self._sample_fn(scene, accumulator, self._pid_dev,
+                               self._inv_dev, view,
+                               jnp.uint32(sample_index),
+                               jnp.int32(probe_lane))
+
+    # -- profiled step: host loop with per-depth syncs (RenderStats) -----------
+
+    def step_profiled(self, scene, accumulator, view, sample_index,
+                      probe_index):
+        """Same sample, host-looped with a device sync per depth so the
+        per-depth wall clock lands in ``depth_times`` (the reference's
+        per-stage RenderStats, context.h:50-72 / CUDART Context.cpp:87-143).
+        Engines run this for the LAST sample of a multi-sample frame.
+        Frames agree with ``step`` to float ulps (same stage/compaction
+        functions in the same order; different jit graphs fuse FMAs
+        differently — tests/test_wavefront_driver.py)."""
         cfg = self.config
         n, chunk = self.n, self.chunk
         probe_i = int(probe_index)
         probe_lane = (probe_i if self._inv_np is None
                       else int(self._inv_np[probe_i]))
-        state = None   # built by the fused ray-gen + depth-0 stage
-        pid_dev = jnp.asarray(self._pid_np)
+        state = None
         live = n
         stats: dict = {}
         probe = None
@@ -221,14 +341,15 @@ class WavefrontDriver:
         self.depth_times = []
         timer = Timer()
         for depth in range(cfg.max_path_length + 1):
+            n_chunks = max(1, -(-live // chunk))
             parts = []
-
-            def run_chunk(c, depth=depth, parts=parts):
+            for c in range(n_chunks):
                 rel = probe_lane - c * chunk
                 in_chunk = depth == 0 and 0 <= rel < chunk
                 if depth == 0:
                     out, st, probe_c, aux_c = self._stage0(
-                        scene, view, pid_dev[c * chunk:(c + 1) * chunk],
+                        scene, view,
+                        self._pid_dev[c * chunk:(c + 1) * chunk],
                         sample_index, jnp.int32(rel if in_chunk else 0))
                 else:
                     sl = self._slice(state, c)
@@ -240,74 +361,30 @@ class WavefrontDriver:
                     key = f"{k}_{depth}"
                     stats[key] = stats.get(key, 0) + v
                 if in_chunk:
-                    nonlocal probe
                     probe = probe_c
                 if depth == 0:
                     aux_parts.append(aux_c)
-
-            if depth == 0 or n <= chunk:
-                n_chunks = max(1, -(-live // chunk))
-                for c in range(n_chunks):
-                    run_chunk(c)
-            else:
-                # dispatch the PREDICTED chunk count first (live counts
-                # are stable across samples), THEN sync the live count
-                # the compaction produced — the readback RTT overlaps
-                # the stage dispatches instead of stalling them. Extra
-                # (over-predicted) chunks only touch dead lanes: every
-                # radiance/state update is alive-gated and the final
-                # image is keyed by pid, so results are bitwise-equal.
-                n_pred = min(self._chunks_pred.get(depth,
-                                                   max(1, -(-n // chunk))),
-                             max(1, -(-n // chunk)))
-                for c in range(n_pred):
-                    run_chunk(c)
-                live = int(live_dev)
-                need = max(1, -(-live // chunk))
-                self._chunks_pred[depth] = need
-                for c in range(n_pred, need):   # under-predicted: top up
-                    run_chunk(c)
-                n_chunks = max(n_pred, need)
-            if state is None:   # depth 0: chunks cover the whole frame
+            if state is None:
                 state = jax.tree.map(
                     lambda *xs: jnp.concatenate(xs), *parts)
             else:
                 tail = jax.tree.map(lambda a: a[n_chunks * chunk:], state)
                 state = jax.tree.map(
                     lambda *xs: jnp.concatenate(xs), *parts, tail)
-            if depth < cfg.max_path_length and cfg.compact_via_sort:
-                state, live_dev = self._compact_sort(scene, state)
-            elif depth < cfg.max_path_length:
-                order, live_dev = self._compact_keys(scene, state)
-                # dispatch the gather IMMEDIATELY with a PREDICTED row
-                # count (live counts are stable across samples) — syncing
-                # on the live readback first leaves the device idle for a
-                # dispatch round trip per depth (measured ~90 ms/sample
-                # on the remote tunnel). If the prediction was too small
-                # (live grew — rare), redo with the exact count.
-                m_pred = self._m_pred.get(depth, n)
-                new_state = self._compact_apply(state, order, m=m_pred)
-                if n > chunk:
-                    # the live count only picks the next depth's chunk
-                    # count — single-chunk frames skip the readback (a
-                    # device→host sync per depth dominates small
-                    # interactive frames)
-                    live = int(live_dev)
-                m = min(max(1, -(-live // chunk)) * chunk, n)
-                self._m_pred[depth] = m
-                if m > m_pred:   # under-predicted: live rows were tailed
-                    new_state = self._compact_apply(state, order, m=m)
-                state = new_state
+            if depth < cfg.max_path_length:
+                state, live_dev = self._compact(scene, state)
+                live = int(live_dev)  # forced sync: this is the profiler
+            else:
+                # tiny readback, not block_until_ready — the axon platform
+                # returns early from block_until_ready (STATUS.md note)
+                np.asarray(state.radiance.ravel()[:1])
             self.depth_times.append(timer.elapsed())
             timer = Timer()
-            # (no early all-dead break: the live count is now synced
-            # AFTER the next depth's predicted chunks dispatch, and a
-            # fully-dead depth costs one alive-gated no-op chunk — rarer
-            # and cheaper than stalling every sample on the readback)
+            if depth < cfg.max_path_length and live == 0:
+                break
         radiance = self._finalize(state)
         accumulator = accumulator + radiance
         aux = jax.tree.map(lambda *xs: jnp.concatenate(xs), *aux_parts)
-        if self._inv_np is not None:
-            inv = jnp.asarray(self._inv_np)
-            aux = {k: v[inv] for k, v in aux.items()}
+        if self._inv_dev is not None:
+            aux = {k: v[self._inv_dev] for k, v in aux.items()}
         return accumulator, probe, stats, aux

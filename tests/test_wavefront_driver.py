@@ -79,61 +79,42 @@ def test_compacted_stats_and_probe():
     assert dist > 0 and inst in (0, 1)
 
 
-def test_compacted_m_underprediction_redo():
-    """The compaction gather is dispatched on a PREDICTED live-row count;
-    when the prediction is too small (live grew), step() must redo the
-    apply with the exact count — seeding a too-small prediction must not
-    change the frame."""
+def test_onejit_step_equals_profiled():
+    """The production step is ONE jitted dispatch (fori-chunked depths
+    with traced trip counts, no host syncs); the profiled step is the
+    host loop with per-depth syncs that fills depth_times. Both compose
+    the same stage/compaction functions in the same order — frames agree
+    to float ulps (different jit graphs fuse FMAs differently; see module
+    docstring), and the profiled step must leave per-depth times."""
     cfg = RenderConfig(max_path_length=2, blue_noise=False,
-                       max_rays_per_pass=1024,
-                       compact_via_sort=False)   # m-prediction is the
-    #                                              argsort-path mechanism
-    ref = create_engine("megakernel", cfg)
-    ref.use_wavefront_driver = True
-    _scene(ref)
-    img_ref = _render(ref, samples=1)
-
+                       max_rays_per_pass=1024)
     eng = create_engine("megakernel", cfg)
     eng.use_wavefront_driver = True
     _scene(eng)
     eng.resize(64, 48)
     eng.update()
-    eng._get_trace_fn(64, 48)
+    step = eng._get_trace_fn(64, 48)
     drv = eng._driver
-    assert drv is not None
-    drv._m_pred = {0: 1024, 1: 1024}   # force under-prediction
-    img = _render(eng, samples=1)
-    assert np.abs(img - img_ref).max() < 1e-5
-    # predictions learned the true live counts (multiples of the chunk)
-    assert drv._m_pred[0] > 1024
-
-
-def test_chunk_prediction_over_and_under():
-    """Next-depth chunk counts are dispatched from a per-depth PREDICTION
-    before the live-count readback (no dispatch bubble). Over-prediction
-    runs extra chunks on dead lanes (alive-gated no-ops); under-prediction
-    tops up after the sync — both must leave the frame unchanged."""
-    cfg = RenderConfig(max_path_length=2, blue_noise=False,
-                       max_rays_per_pass=1024)
-    ref = create_engine("megakernel", cfg)
-    ref.use_wavefront_driver = True
-    _scene(ref)
-    img_ref = _render(ref, samples=1)
-
-    for seed_pred in ({1: 1, 2: 1}, {1: 3, 2: 3}):
-        eng = create_engine("megakernel", cfg)
-        eng.use_wavefront_driver = True
-        _scene(eng)
-        eng.resize(64, 48)
-        eng.update()
-        eng._get_trace_fn(64, 48)
-        drv = eng._driver
-        assert drv is not None
-        drv._chunks_pred = dict(seed_pred)
-        img = _render(eng, samples=1)
-        assert np.array_equal(img, img_ref), seed_pred
-        # predictions re-learned the true chunk needs
-        assert 1 <= drv._chunks_pred[1] <= 3
+    assert drv is not None and step == drv.step
+    import jax.numpy as jnp
+    cam = rfw_tpu.Camera()
+    cam.resize(64, 48)
+    cam.fov = 55
+    cam.look_at([0, 2.5, -5.0], [0, 0.8, 0.0])
+    view = cam.get_view().as_pytree()
+    acc0 = jnp.zeros((64 * 48, 3), jnp.float32)
+    acc_a, probe_a, stats_a, aux_a = drv.step(
+        eng._scene, acc0, view, jnp.uint32(0), jnp.int32(0))
+    acc0 = jnp.zeros((64 * 48, 3), jnp.float32)
+    acc_b, probe_b, stats_b, aux_b = drv.step_profiled(
+        eng._scene, acc0, view, jnp.uint32(0), jnp.int32(0))
+    assert np.abs(np.asarray(acc_a) - np.asarray(acc_b)).max() < 1e-5
+    assert np.allclose(np.asarray(probe_a), np.asarray(probe_b))
+    for k in stats_b:
+        assert int(stats_a[k]) == int(stats_b[k]), k
+    assert np.abs(np.asarray(aux_a["normal"])
+                  - np.asarray(aux_b["normal"])).max() < 1e-5
+    assert len(drv.depth_times) == 3 and all(t >= 0 for t in drv.depth_times)
 
 
 def test_compact_via_sort_bitwise():

@@ -99,8 +99,11 @@ def main() -> None:
     rs.camera.resize(width, height)
     rs.camera.fov = 60.0
 
-    # warmup: compile + first sample
-    rs.render_frame(samples=1)
+    # warmup: compile + first samples. samples=2 so BOTH step variants
+    # compile here (the engine runs the host-loop PROFILED step for the
+    # last sample of a multi-sample frame to fill per-stage stats — with
+    # samples=1 its compiles would land inside the timed run below)
+    rs.render_frame(samples=2)
     print(f"# setup+compile {time.time() - t_setup:.1f}s", file=sys.stderr)
 
     samples = int(os.environ.get("RFW_BENCH_SAMPLES", "4"))

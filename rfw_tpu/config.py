@@ -145,6 +145,17 @@ class RenderConfig:
     #                                   baseline visits on the real d1
     #                                   stream — ops/visit_intersect.py
     #                                   _trace_regroup, tools/regroup_sim.py)
+    visit_subblocks: int = 1          # two-level union restriction: split
+    #                                   each 256-ray block into S row
+    #                                   sub-blocks, each with its OWN
+    #                                   entry-sorted visit list, processed
+    #                                   side-by-side per kernel step (S
+    #                                   disjoint (256/S, K) dense ops ==
+    #                                   one (256, K) op on the VPU; DMA/
+    #                                   step grows to S granules). Steps
+    #                                   per block drop from |union(block)|
+    #                                   to max_s |union(sub_s)| — see
+    #                                   tools/subblock_sim.py. 1 = off.
     use_pallas: bool = True           # use the Pallas/MXU intersector when on TPU
 
 

@@ -75,14 +75,17 @@ def _cid_bits(t_c: int) -> int:
 # Phase 1: per-block entry bounds (Pallas — no HBM temps)
 # ---------------------------------------------------------------------------
 
-def _enum_kernel(t_dim: int,
+def _enum_kernel(t_dim: int, s_sub: int,
                  rays_ref,        # (64, BLOCK) — 8 ray blocks of 8 rows
                  bounds_ref,      # (8, T) lo.xyz, hi.xyz, 0, 0
-                 entry_out):      # (8, T) — row b = entry lbs of block b
-    # Each program computes 8 ray blocks and OWNS its whole (8, T) output
+                 entry_out):      # (8*s_sub, T) — per sub-block entry lbs
+    # Each program computes 8 ray blocks and OWNS its whole output
     # window. (A window shared across 8 programs — each writing one row —
     # is clobbered by Pallas' whole-block write-back of write-only
-    # outputs.)
+    # outputs.) With s_sub > 1 each block emits s_sub rows: entry lower
+    # bounds reduced over each 256/s_sub-ray row sub-block (two-level
+    # union restriction — the visit kernel walks per-sub-block lists).
+    g = BLOCK // s_sub
     for blk in range(8):
         rays = rays_ref[8 * blk:8 * blk + 8, :]
         tm_col = rays[3:4, :].T                 # (BLOCK, 1)
@@ -108,19 +111,22 @@ def _enum_kernel(t_dim: int,
                 ext = jnp.minimum(ext, jnp.maximum(t1, t2))
             crossed = ent < jnp.minimum(ext, tm_col)
             e = jnp.where(crossed, ent, 1e30)
-            entry_out[blk:blk + 1, s:s + w] = jnp.min(
-                e, axis=0, keepdims=True).reshape(1, w)
+            for sb in range(s_sub):
+                entry_out[blk * s_sub + sb:blk * s_sub + sb + 1,
+                          s:s + w] = jnp.min(
+                    e[sb * g:(sb + 1) * g], axis=0,
+                    keepdims=True).reshape(1, w)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def block_entries(rays8, bounds8):
-    """rays8 (NB*8, BLOCK) → (NB, T) per-block entry lower bounds."""
+def block_entries(rays8, bounds8, s_sub: int = 1):
+    """rays8 (NB*8, BLOCK) → (NB*s_sub, T) per-(sub-)block entry lower
+    bounds, sub-block rows interleaved block-major."""
     nb = rays8.shape[0] // 8
     t_dim = bounds8.shape[1]
     pad_nb = (-nb) % 8
     if pad_nb:   # one program computes 8 ray blocks
         rays8 = jnp.pad(rays8, ((0, pad_nb * 8), (0, 0)))
-    kernel = functools.partial(_enum_kernel, t_dim)
+    kernel = functools.partial(_enum_kernel, t_dim, s_sub)
     interpret = jax.default_backend() == "cpu"
     out = pl.pallas_call(
         kernel,
@@ -132,17 +138,17 @@ def block_entries(rays8, bounds8):
             pl.BlockSpec((8, t_dim), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, t_dim), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((8 * s_sub, t_dim), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-        out_shape=jax.ShapeDtypeStruct((nb + pad_nb, t_dim), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(((nb + pad_nb) * s_sub, t_dim),
+                                       jnp.float32),
     )(rays8, bounds8)
-    return out[:nb]
+    return out[:nb * s_sub]
 
 
-@jax.jit
-def block_entries_envelope(rays8, bounds8):
+def block_entries_envelope(rays8, bounds8, s_sub: int = 1):
     """Per-BLOCK interval-envelope entry bounds: (NB, T) like
     ``block_entries`` but from NB×T slab tests instead of N×T — ~BLOCK×
     fewer ops (the enum kernel is ~27 ms of a 44 ms coherent closest
@@ -152,10 +158,12 @@ def block_entries_envelope(rays8, bounds8):
     lists grow. Use for COHERENT streams (primary tiles, converging
     shadow rays) — scattered blocks degrade to near-full scans (the
     round-1 envelope-cull lesson, module doc)."""
-    nb = rays8.shape[0] // 8
-    r = rays8.reshape(nb, 8, BLOCK)
-    o = r[:, 0:3]                                  # (NB, 3, BLOCK)
-    tm = r[:, 3]                                   # (NB, BLOCK)
+    nb = rays8.shape[0] // 8 * s_sub          # envelope rows (sub-blocks)
+    g = BLOCK // s_sub
+    r = rays8.reshape(nb // s_sub, 8, s_sub, g).transpose(
+        0, 2, 1, 3).reshape(nb, 8, g)
+    o = r[:, 0:3]                                  # (NB, 3, g)
+    tm = r[:, 3]                                   # (NB, g)
     d = r[:, 4:7]
     t_hi = tm.max(axis=1)[:, None]                 # (NB, 1)
     o_lo, o_hi = o.min(axis=2), o.max(axis=2)      # (NB, 3)
@@ -284,7 +292,7 @@ def order_candidates(b_entry, win_key, diag, m_c: int):
 # ---------------------------------------------------------------------------
 
 def _visit_kernel(super_g: int, k_size: int, m_c: int, t_epsilon: float,
-                  any_hit: bool,
+                  any_hit: bool, s_sub: int,
                   # SMEM (windowed over 8 grid rows)
                   ids_ref, counts_ref, tnears_ref,
                   # VMEM
@@ -299,9 +307,26 @@ def _visit_kernel(super_g: int, k_size: int, m_c: int, t_epsilon: float,
     first version paid per visit runs ONCE per block at the end, and the
     front-to-back exit reduction is amortized over EXIT_EVERY visits
     (stale per-ray bounds are conservative: exit fires a little later,
-    never wrongly)."""
+    never wrongly).
+
+    ``s_sub`` > 1 = two-level union restriction: the block's rays split
+    into s_sub row sub-blocks, each walking its OWN entry-sorted visit
+    list (ids row ``row*s_sub + s``); one kernel step runs s_sub disjoint
+    (BLOCK/s_sub, K) dense tests — the same VPU work as one (BLOCK, K)
+    visit — and DMAs s_sub granules. Steps = max_s |list_s| instead of
+    |union|. A sub-block whose list is exhausted re-tests its LAST
+    granule (clamped id): the running-min commit is idempotent, so no
+    in-kernel branching is needed (measured dearer than the dense op it
+    gates, tools/pairs_kernel_ab.py)."""
     row = jnp.remainder(pl.program_id(0), 8)
-    n_visit = counts_ref[row, 0]
+    g_rows = BLOCK // s_sub
+
+    def n_of(s):
+        return counts_ref[row * s_sub + s, 0]
+
+    n_step = n_of(0)
+    for s in range(1, s_sub):
+        n_step = jnp.maximum(n_step, n_of(s))
 
     rays = rays_ref[:]
     t_max0 = rays[3:4, :].T                   # (BLOCK, 1)
@@ -312,77 +337,105 @@ def _visit_kernel(super_g: int, k_size: int, m_c: int, t_epsilon: float,
     btk_s[:] = jnp.broadcast_to(t_max0, (BLOCK, k_size))
     bgk_s[:] = jnp.zeros((BLOCK, k_size), jnp.int32)
 
-    def gid(i):
-        return ids_ref[row, jnp.minimum(i, m_c - 1)]
+    def gid(s, i):
+        # clamp twice: into the live prefix of the list (exhausted lists
+        # re-test their last granule — idempotent), and to a real granule
+        # id (an empty list's slot 0 holds the invalid id t_c)
+        j = jnp.clip(jnp.minimum(i, n_of(s) - 1), 0, m_c - 1)
+        return jnp.minimum(ids_ref[row * s_sub + s, j],
+                           wg_hbm.shape[0] - 1)
 
-    def tnear_of(i):
-        return tnears_ref[row, jnp.minimum(i, m_c - 1)]
+    def tnear_of(s, i):
+        return tnears_ref[row * s_sub + s, jnp.minimum(i, m_c - 1)]
 
-    def dma(slot, g):
+    def dma(slot, s, g):
+        if s_sub == 1:
+            return pltpu.make_async_copy(
+                wg_hbm.at[g], wp_s.at[slot], sems.at[slot])
         return pltpu.make_async_copy(
-            wg_hbm.at[g], wp_s.at[slot], sems.at[slot])
+            wg_hbm.at[g], wp_s.at[slot, s], sems.at[slot, s])
 
     for k in range(PIPE - 1):
-        @pl.when(k < n_visit)
+        @pl.when(k < n_step)
         def _(k=k):
-            dma(k, gid(k)).start()
+            for s in range(s_sub):
+                dma(k, s, gid(s, k)).start()
 
     def body(state):
         i, _ = state
         slot = jnp.remainder(i, PIPE)
 
-        @pl.when(i + PIPE - 1 < n_visit)
+        @pl.when(i + PIPE - 1 < n_step)
         def _():
-            dma(jnp.remainder(i + PIPE - 1, PIPE),
-                gid(i + PIPE - 1)).start()
+            for s in range(s_sub):
+                dma(jnp.remainder(i + PIPE - 1, PIPE), s,
+                    gid(s, i + PIPE - 1)).start()
 
-        dma(slot, gid(i)).wait()
-        cur = gid(i)
-        wp = wp_s[slot]                       # (G*16, K)
+        for s in range(s_sub):
+            dma(slot, s, gid(s, i)).wait()
 
-        for j in range(super_g):
-            base = 16 * j
+        for s in range(s_sub):
+            cur = gid(s, i)
+            wp = wp_s[slot] if s_sub == 1 else wp_s[slot, s]  # (G*16, K)
+            r0s, r1s = s * g_rows, (s + 1) * g_rows
+            o4h = o4[:, r0s:r1s]
+            d3h = d3[:, r0s:r1s]
 
-            def xf_o(r0):   # [o, 1] · rows → 3 FMA + 1 add
-                acc = wp[base + r0 + 3:base + r0 + 4, :] \
-                    + o4[0:1, :].T * wp[base + r0:base + r0 + 1, :]
-                for q in range(1, 3):
-                    acc = acc + (o4[q:q + 1, :].T
-                                 * wp[base + r0 + q:base + r0 + q + 1, :])
-                return acc                    # (BLOCK, K)
+            for j in range(super_g):
+                base = 16 * j
 
-            def xf_d(r0):   # [d, 0] · rows → the 4th term is exactly 0
-                acc = d3[0:1, :].T * wp[base + r0:base + r0 + 1, :]
-                for q in range(1, 3):
-                    acc = acc + (d3[q:q + 1, :].T
-                                 * wp[base + r0 + q:base + r0 + q + 1, :])
-                return acc                    # (BLOCK, K)
+                def xf_o(r0):   # [o, 1] · rows → 3 FMA + 1 add
+                    acc = wp[base + r0 + 3:base + r0 + 4, :] \
+                        + o4h[0:1, :].T * wp[base + r0:base + r0 + 1, :]
+                    for q in range(1, 3):
+                        acc = acc + (o4h[q:q + 1, :].T
+                                     * wp[base + r0 + q:
+                                          base + r0 + q + 1, :])
+                    return acc                    # (g_rows, K)
 
-            ou, du = xf_o(0), xf_d(0)
-            ov, dv = xf_o(4), xf_d(4)
-            ow, dw = xf_o(8), xf_d(8)
-            valid = jnp.abs(dw) > 1e-12
-            t = -ow / jnp.where(valid, dw, 1.0)
-            u = ou + t * du
-            v = ov + t * dv
-            hit = (valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                   & (t > t_epsilon))
-            t_hit = jnp.where(hit, t, 1e30)
-            upd = t_hit < btk_s[:]            # strict: earliest visit wins
-            btk_s[:] = jnp.where(upd, t_hit, btk_s[:])
-            bgk_s[:] = jnp.where(upd, cur * super_g + j, bgk_s[:])
+                def xf_d(r0):   # [d, 0] · rows → the 4th term is exactly 0
+                    acc = d3h[0:1, :].T * wp[base + r0:base + r0 + 1, :]
+                    for q in range(1, 3):
+                        acc = acc + (d3h[q:q + 1, :].T
+                                     * wp[base + r0 + q:
+                                          base + r0 + q + 1, :])
+                    return acc                    # (g_rows, K)
+
+                ou, du = xf_o(0), xf_d(0)
+                ov, dv = xf_o(4), xf_d(4)
+                ow, dw = xf_o(8), xf_d(8)
+                valid = jnp.abs(dw) > 1e-12
+                t = -ow / jnp.where(valid, dw, 1.0)
+                u = ou + t * du
+                v = ov + t * dv
+                hit = (valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                       & (t > t_epsilon))
+                t_hit = jnp.where(hit, t, 1e30)
+                bt_h = btk_s[r0s:r1s, :]
+                upd = t_hit < bt_h            # strict: earliest visit wins
+                btk_s[r0s:r1s, :] = jnp.where(upd, t_hit, bt_h)
+                bgk_s[r0s:r1s, :] = jnp.where(upd, cur * super_g + j,
+                                              bgk_s[r0s:r1s, :])
 
         import os
         if os.environ.get("RFW_VISIT_NOEXIT"):   # perf/correctness bisect
             done = jnp.bool_(False)
         else:
             def check():
-                bt = jnp.min(btk_s[:], axis=1, keepdims=True)
-                if any_hit:
-                    return ~jnp.any((bt >= t_max0) & (t_max0 > 0))
-                # front-to-back: once every ray's best precedes the next
-                # granule's entry lower bound, no later granule can win
-                return jnp.max(bt) <= tnear_of(i + 1)
+                done_all = jnp.bool_(True)
+                for s in range(s_sub):
+                    r0s, r1s = s * g_rows, (s + 1) * g_rows
+                    bt = jnp.min(btk_s[r0s:r1s, :], axis=1, keepdims=True)
+                    tm_h = t_max0[r0s:r1s]
+                    if any_hit:
+                        d_s = ~jnp.any((bt >= tm_h) & (tm_h > 0))
+                    else:
+                        # front-to-back: once every ray's best precedes
+                        # the next granule's entry lower bound, no later
+                        # granule can win
+                        d_s = jnp.max(bt) <= tnear_of(s, i + 1)
+                    done_all = done_all & (d_s | (i + 1 >= n_of(s)))
+                return done_all
 
             done = jax.lax.cond(
                 jnp.remainder(i, EXIT_EVERY) == EXIT_EVERY - 1,
@@ -391,15 +444,17 @@ def _visit_kernel(super_g: int, k_size: int, m_c: int, t_epsilon: float,
 
     def cond(state):
         i, done = state
-        return (i < n_visit) & ~done
+        return (i < n_step) & ~done
 
     i_end, _ = jax.lax.while_loop(cond, body,
                                   (jnp.int32(0), jnp.bool_(False)))
 
     for k in range(PIPE - 1):   # drain in-flight DMAs on early exit
-        @pl.when(i_end + k < n_visit)
+        @pl.when(i_end + k < n_step)
         def _(k=k):
-            dma(jnp.remainder(i_end + k, PIPE), gid(i_end + k)).wait()
+            for s in range(s_sub):
+                dma(jnp.remainder(i_end + k, PIPE), s,
+                    gid(s, i_end + k)).wait()
 
     # one reduction pair per BLOCK: best t, its lane, that lane's cell
     btk = btk_s[:]
@@ -424,22 +479,22 @@ def _visit_kernel(super_g: int, k_size: int, m_c: int, t_epsilon: float,
                                              "t_epsilon", "any_hit"))
 def _run_visit_kernel(rays8, ids, counts, tnears, wgran,
                       super_g: int, k_size: int, t_epsilon: float,
-                      any_hit: bool):
-    """rays8 (NB*8, BLOCK); ids/tnears (NB, M); counts (NB,).
+                      any_hit: bool, s_sub: int = 1):
+    """rays8 (NB*8, BLOCK); ids/tnears (NB*s_sub, M); counts (NB*s_sub,).
     Returns per-ray (t, slot) in block-ray order."""
-    nb = ids.shape[0]
+    nb = ids.shape[0] // s_sub
     m_c = ids.shape[1]
     pad_nb = (-nb) % 8
     if pad_nb:
-        ids = jnp.pad(ids, ((0, pad_nb), (0, 0)))
-        counts = jnp.pad(counts, (0, pad_nb))
-        tnears = jnp.pad(tnears, ((0, pad_nb), (0, 0)))
+        ids = jnp.pad(ids, ((0, pad_nb * s_sub), (0, 0)))
+        counts = jnp.pad(counts, (0, pad_nb * s_sub))
+        tnears = jnp.pad(tnears, ((0, pad_nb * s_sub), (0, 0)))
     in_specs = [
-        pl.BlockSpec((8, m_c), lambda b: (b // 8, 0),
+        pl.BlockSpec((8 * s_sub, m_c), lambda b: (b // 8, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((8, 1), lambda b: (b // 8, 0),
+        pl.BlockSpec((8 * s_sub, 1), lambda b: (b // 8, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((8, m_c), lambda b: (b // 8, 0),
+        pl.BlockSpec((8 * s_sub, m_c), lambda b: (b // 8, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((8, BLOCK), lambda b: (b, 0),
                      memory_space=pltpu.VMEM),
@@ -452,10 +507,13 @@ def _run_visit_kernel(rays8, ids, counts, tnears, wgran,
                      memory_space=pltpu.VMEM),
     ]
     kernel = functools.partial(_visit_kernel, super_g, k_size, m_c,
-                               t_epsilon, any_hit)
+                               t_epsilon, any_hit, s_sub)
     import os
     interpret = (jax.default_backend() == "cpu"
                  or bool(os.environ.get("RFW_VISIT_INTERP")))
+    wp_shape = ((PIPE, super_g * 16, k_size) if s_sub == 1
+                else (PIPE, s_sub, super_g * 16, k_size))
+    sem_shape = (PIPE,) if s_sub == 1 else (PIPE, s_sub)
     t, slot = pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -467,8 +525,8 @@ def _run_visit_kernel(rays8, ids, counts, tnears, wgran,
         scratch_shapes=[
             pltpu.VMEM((BLOCK, k_size), jnp.float32),
             pltpu.VMEM((BLOCK, k_size), jnp.int32),
-            pltpu.VMEM((PIPE, super_g * 16, k_size), jnp.float32),
-            pltpu.SemaphoreType.DMA((PIPE,)),
+            pltpu.VMEM(wp_shape, jnp.float32),
+            pltpu.SemaphoreType.DMA(sem_shape),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, 8, BLOCK), jnp.float32),

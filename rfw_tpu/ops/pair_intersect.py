@@ -360,7 +360,7 @@ def _run_pair_kernel(rays8, visits, nvisit, wsup,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((8, PBLOCK), lambda b: (b, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     out_specs = [
         pl.BlockSpec((1, 8, PBLOCK), lambda b: (b, 0, 0),

@@ -319,7 +319,7 @@ def _run_kernel(rays, ids, counts, overflow, tnears, wsup,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, BLOCK), lambda b: (b, 0),  # rows [8b, 8b+8)
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
     ]
     out_specs = [
         pl.BlockSpec((1, BLOCK, 8), lambda b: (b, 0, 0),

@@ -198,6 +198,18 @@ def blue_noise_from_shift(shift, sample_index, dim: int):
     return jnp.mod(a * k + shift, 1.0).astype(jnp.float32)
 
 
+def blue_noise_from_shift_koff(shift, sample_index, k_off, parity: int):
+    """``blue_noise_from_shift`` with a precomputed — possibly TRACED —
+    k offset: bitwise-equal to the static version when ``k_off`` holds
+    ``np.float32((dim // 2) * 0.38196601)`` (f64 product, ONE rounding)
+    and ``parity == dim % 2``. Lets a traced-depth stage body gather the
+    per-depth constant from a static table instead of re-specializing
+    the whole program per depth (render/integrator.py depth_t mode)."""
+    a = jnp.float32(_R2_ALPHA[parity % 2])
+    k = jnp.asarray(sample_index, jnp.float32) + k_off
+    return jnp.mod(a * k + shift, 1.0).astype(jnp.float32)
+
+
 def blue_noise_sample(mask, x, y, sample_index, dim: int):
     """Blue-noise-shifted R2 sample for pixel (x,y), sample and dimension.
 

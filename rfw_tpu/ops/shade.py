@@ -176,7 +176,7 @@ def fetch_merged_stochastic(matlas, desc, eid, uv, lam, seed):
     yi = jnp.where(r_y < y - y0, y0 + 1, y0)
     xi = jnp.mod(xi.astype(jnp.int32), jnp.maximum(width, 1))
     yi = jnp.mod(yi.astype(jnp.int32), jnp.maximum(height, 1))
-    px = matlas[addr + yi * width + xi]                    # (R, 4) u32
+    px = matlas[addr + yi * width + xi]                    # (R, 3) u32
     return (_unpack_rgba8(px[:, 0]), _unpack_rgba8(px[:, 1]),
             _unpack_rgba8(px[:, 2])), seed
 
@@ -188,7 +188,7 @@ def fetch_merged_trilinear(matlas, desc, eid, uv, lam):
     is the dominant shading cost on TPU (gather count, not bytes; measured
     in tools/shade_opt.py).
 
-    matlas: (N, 4) u32 rows (word0 diffuse, word1 normal, word2 rough/metal).
+    matlas: (N, 3) u32 rows (word0 diffuse, word1 normal, word2 rough/metal).
     Returns (diffuse (R,4), normal (R,4), rough (R,4)) f32 in [0,1].
     """
     levels = desc.shape[1]
@@ -216,7 +216,7 @@ def fetch_merged_trilinear(matlas, desc, eid, uv, lam):
                            (x1i, y0i, fx * (1 - fy)),
                            (x0i, y1i, (1 - fx) * fy),
                            (x1i, y1i, fx * fy)):
-            px = matlas[addr + yi * width + xi]        # (R, 4) u32
+            px = matlas[addr + yi * width + xi]        # (R, 3) u32
             w = (lw * cw)[..., None]
             for c in range(3):
                 acc[c] = acc[c] + w * _unpack_rgba8(px[:, c])

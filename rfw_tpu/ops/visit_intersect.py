@@ -118,6 +118,7 @@ def _enum_kernel(t_dim: int, s_sub: int,
                     keepdims=True).reshape(1, w)
 
 
+@functools.partial(jax.jit, static_argnames=("s_sub",))
 def block_entries(rays8, bounds8, s_sub: int = 1):
     """rays8 (NB*8, BLOCK) → (NB*s_sub, T) per-(sub-)block entry lower
     bounds, sub-block rows interleaved block-major."""
@@ -148,6 +149,7 @@ def block_entries(rays8, bounds8, s_sub: int = 1):
     return out[:nb * s_sub]
 
 
+@functools.partial(jax.jit, static_argnames=("s_sub",))
 def block_entries_envelope(rays8, bounds8, s_sub: int = 1):
     """Per-BLOCK interval-envelope entry bounds: (NB, T) like
     ``block_entries`` but from NB×T slab tests instead of N×T — ~BLOCK×
@@ -413,6 +415,12 @@ def _visit_kernel(super_g: int, k_size: int, m_c: int, t_epsilon: float,
                 t_hit = jnp.where(hit, t, 1e30)
                 bt_h = btk_s[r0s:r1s, :]
                 upd = t_hit < bt_h            # strict: earliest visit wins
+                if s_sub > 1:
+                    # an EMPTY sub-block list clamps to granule 0 of the
+                    # whole table — a granule never in this sub-block's
+                    # crossed set. Mask its commits outright instead of
+                    # relying on the containment invariant (ADVICE r2).
+                    upd = upd & (n_of(s) > 0)
                 btk_s[r0s:r1s, :] = jnp.where(upd, t_hit, bt_h)
                 bgk_s[r0s:r1s, :] = jnp.where(upd, cur * super_g + j,
                                               bgk_s[r0s:r1s, :])
@@ -476,7 +484,8 @@ def _visit_kernel(super_g: int, k_size: int, m_c: int, t_epsilon: float,
 
 
 @functools.partial(jax.jit, static_argnames=("super_g", "k_size",
-                                             "t_epsilon", "any_hit"))
+                                             "t_epsilon", "any_hit",
+                                             "s_sub"))
 def _run_visit_kernel(rays8, ids, counts, tnears, wgran,
                       super_g: int, k_size: int, t_epsilon: float,
                       any_hit: bool, s_sub: int = 1):
@@ -639,11 +648,20 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
     """Visit-list passes to exactness. Returns per-ray (t, slot).
     ``coherent``: enumerate with the per-block envelope (NB x T slab
     tests) instead of per-ray (N x T) — conservative-exact, ~BLOCK x
-    cheaper, right for primary tiles / converging shadow rays."""
+    cheaper, right for primary tiles / converging shadow rays.
+
+    ``config.visit_subblocks`` = S > 1 enables the two-level union
+    restriction: every (sub-)block row of the candidate tables holds one
+    of S per-sub-block lists (``block_entries(..., s_sub=S)``); the
+    kernel walks S lists side-by-side per step, so a block's step count
+    drops from |union(block)| to max_s |union(sub_s)|."""
     tl = scene["treelets"]
     wg, bounds8, super_g, k_size = _granularity(tl, config)
     n = origins.shape[0]
     t_c = bounds8.shape[1]
+    s_sub = max(1, int(config.visit_subblocks))
+    assert BLOCK % s_sub == 0, "visit_subblocks must divide BLOCK"
+    g_rays = BLOCK // s_sub   # rays per candidate-table row
     t_max = jnp.asarray(t_max, jnp.float32)
     lo = tl["scene_lo"] if "scene_lo" in tl else tl["bmin"].min(axis=0)
     hi = tl["scene_hi"] if "scene_hi" in tl else tl["bmax"].max(axis=0)
@@ -653,8 +671,9 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
     # geometric, so recull passes just consume successive windows)
     t_hi0 = jnp.where(t_max <= 0, 0.0, t_max)
     rays8_0 = _pack_rays8(origins, directions, t_hi0)
-    b_entry = (block_entries_envelope(rays8_0, bounds8) if coherent
-               else block_entries(rays8_0, bounds8))
+    b_entry = (block_entries_envelope(rays8_0, bounds8, s_sub=s_sub)
+               if coherent else block_entries(rays8_0, bounds8,
+                                              s_sub=s_sub))
     keys_all, counts_all = sort_candidates(b_entry, diag, M_C)
 
     def one_pass(state):
@@ -668,7 +687,7 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
             keys_all, counts_all, it, diag, M_C, t_c)
         t_row, s_row = _run_visit_kernel(
             rays8, ids, counts, tnears, wg, super_g, k_size,
-            float(config.t_epsilon), any_hit)
+            float(config.t_epsilon), any_hit, s_sub=s_sub)
         # commit ONLY actual new hits: finished blocks run later passes
         # with t_hi = 0 and return (t = 0, slot = -1) — without the
         # s_row >= 0 guard that "0 < best_t" would clobber every
@@ -683,8 +702,8 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
         # (front-to-back: no later granule can beat it), or — for
         # occlusion — as soon as anything hit.
         overflow = counts_all > (it + 1) * M_C
-        blk_of = jnp.repeat(overflow, BLOCK)[:n]
-        ray_next = jnp.repeat(next_tnear, BLOCK)[:n]
+        blk_of = jnp.repeat(overflow, g_rays)[:n]
+        ray_next = jnp.repeat(next_tnear, g_rays)[:n]
         if any_hit:
             fin = finished | ~blk_of | (new_slot >= 0)
         else:
@@ -737,17 +756,20 @@ def _trace_regroup(scene, origins, directions, t_max, config: RenderConfig,
     diag = jnp.sqrt(jnp.sum((hi - lo) ** 2))
 
     # --- phase A: first W_A visits of window 0
+    s_sub = max(1, int(config.visit_subblocks))
+    g_rays = BLOCK // s_sub
     t_hi0 = jnp.where(t_max <= 0, 0.0, t_max)
     rays8_0 = _pack_rays8(origins, directions, t_hi0)
-    b_entry = (block_entries_envelope(rays8_0, bounds8) if coherent
-               else block_entries(rays8_0, bounds8))
+    b_entry = (block_entries_envelope(rays8_0, bounds8, s_sub=s_sub)
+               if coherent else block_entries(rays8_0, bounds8,
+                                              s_sub=s_sub))
     keys_all, counts_all = sort_candidates(b_entry, diag, M_C)
     w_a = min(W_A, M_C - 1)   # tnears[:, w_a] must exist in the window
     ids, counts, tnears, _ = window_candidates(
         keys_all, counts_all, jnp.int32(0), diag, M_C, t_c)
     t_row, s_row = _run_visit_kernel(
         rays8_0, ids, jnp.minimum(counts, w_a), tnears, wg,
-        super_g, k_size, float(config.t_epsilon), any_hit)
+        super_g, k_size, float(config.t_epsilon), any_hit, s_sub=s_sub)
     hitA = (s_row >= 0) & (t_row < t_max)
     best_t = jnp.where(hitA, t_row, t_max)
     best_slot = jnp.where(hitA, s_row, -1)
@@ -755,8 +777,8 @@ def _trace_regroup(scene, origins, directions, t_max, config: RenderConfig,
     # finished = walked everything, or best hit precedes the entry lower
     # bound of the first UNVISITED granule (tnears[:, W_A] — BIG_T when
     # the block has ≤ W_A granules); occlusion rays finish on any hit
-    ray_more = jnp.repeat(counts_all > w_a, BLOCK)[:n]
-    ray_next = jnp.repeat(tnears[:, w_a], BLOCK)[:n]
+    ray_more = jnp.repeat(counts_all > w_a, g_rays)[:n]
+    ray_next = jnp.repeat(tnears[:, w_a], g_rays)[:n]
     if any_hit:
         fin = ~ray_more | (best_slot >= 0)
     else:
@@ -776,44 +798,47 @@ def _trace_regroup(scene, origins, directions, t_max, config: RenderConfig,
         [origins, directions, t_hi_b[:, None]], axis=1)
 
     # Phase B runs in STAGED quarter-size batches over the survivor
-    # prefix of order2: batch 0 always (survivors at 1080p d1 measure
-    # 16.6% < 25%, tools/regroup_sim.py), batches 1-3 behind lax.cond
-    # on the live survivor count. Lower-coherence streams (d2: 32%
-    # survivors; small interactive frames: ~57%) fire one or two extra
-    # quarter batches instead of a full-size re-trace, so the worst
-    # case degrades to the single-phase cost, never past it. All
-    # batches share one shape → one compiled _trace(n_b) instance.
+    # prefix of order2: one fori_loop whose TRACED trip count is
+    # ceil(n_surv / n_b) (min 1 — batch 0 always runs; survivors at
+    # 1080p d1 measure 16.6% < 25%, tools/regroup_sim.py). Lower-
+    # coherence streams (d2: 32% survivors; small interactive frames:
+    # ~57%) fire one or two extra quarter batches instead of a
+    # full-size re-trace, so the worst case degrades to the
+    # single-phase cost, never past it. The loop body is ONE compiled
+    # _trace(n_b) instance — round 2 unrolled four copies (batch 0 +
+    # three lax.cond arms), which quadrupled this function's share of
+    # the ~17-minute whole-sample XLA compile.
     n_batches = -(-n // n_b)
-    for k in range(n_batches):
+    lane_b = jnp.arange(n_b, dtype=jnp.int32)
+
+    def batch_body(k, args):
+        best_t, best_slot = args
         base = k * n_b
-        pos = np.arange(base, base + n_b)
-        rows = jnp.asarray(np.minimum(pos, n - 1), jnp.int32)
-        in_range = jnp.asarray(pos < n)
+        pos = base + lane_b
+        rows = jnp.minimum(pos, n - 1)
+        in_range = pos < n
+        p = packed_all[order2[rows]]
+        thi = jnp.where(in_range, p[:, 6], 0.0)
+        t_b, s_b = _trace(scene, p[:, 0:3], p[:, 3:6], thi,
+                          config, any_hit)
+        # merge: ray i's batch row is rank2[i] - base
+        idx = rank2 - base
+        pk = jnp.stack(
+            [t_b, jax.lax.bitcast_convert_type(s_b, jnp.float32)],
+            axis=1)[jnp.clip(idx, 0, n_b - 1)]
+        t_bi = pk[:, 0]
+        s_bi = jax.lax.bitcast_convert_type(pk[:, 1], jnp.int32)
+        better = ((idx >= 0) & (idx < n_b) & (s_bi >= 0)
+                  & (t_bi < best_t))
+        return (jnp.where(better, t_bi, best_t),
+                jnp.where(better, s_bi, best_slot))
 
-        def run_batch(args, rows=rows, in_range=in_range):
-            best_t, best_slot = args
-            p = packed_all[order2[rows]]
-            thi = jnp.where(in_range, p[:, 6], 0.0)
-            t_b, s_b = _trace(scene, p[:, 0:3], p[:, 3:6], thi,
-                              config, any_hit)
-            # merge: ray i's batch row is rank2[i] - base
-            idx = rank2 - base
-            pk = jnp.stack(
-                [t_b, jax.lax.bitcast_convert_type(s_b, jnp.float32)],
-                axis=1)[jnp.clip(idx, 0, n_b - 1)]
-            t_bi = pk[:, 0]
-            s_bi = jax.lax.bitcast_convert_type(pk[:, 1], jnp.int32)
-            better = ((idx >= 0) & (idx < n_b) & (s_bi >= 0)
-                      & (t_bi < best_t))
-            return (jnp.where(better, t_bi, best_t),
-                    jnp.where(better, s_bi, best_slot))
-
-        if k == 0:
-            best_t, best_slot = run_batch((best_t, best_slot))
-        else:
-            best_t, best_slot = jax.lax.cond(
-                n_surv > base, run_batch, lambda args: args,
-                (best_t, best_slot))
+    trip = jnp.minimum(
+        jnp.int32(n_batches),
+        jnp.maximum(jnp.int32(1),
+                    (n_surv.astype(jnp.int32) + (n_b - 1)) // n_b))
+    best_t, best_slot = jax.lax.fori_loop(
+        0, trip, batch_body, (best_t, best_slot))
     return best_t, best_slot
 
 

@@ -87,6 +87,14 @@ class PathTracerEngine(EngineContext):
         self._dirty = True
 
     def set_textures(self, atlas) -> None:
+        if atlas and atlas.get("matlas") is not None:
+            # when the merged material atlas is active, every shading
+            # fetch reads IT (ops/shade.py get_shading_data — the f32
+            # atlas is strictly the matlas-absent fallback), so ship a
+            # 1-texel stub instead of the ~190 MB f32 plane: halves the
+            # scene's HBM footprint and its host→device upload time
+            atlas = dict(atlas)
+            atlas["atlas"] = np.ones((1, 4), np.float32)
         self._atlas = atlas
         self._dirty = True
 
@@ -310,13 +318,20 @@ class PathTracerEngine(EngineContext):
 
         if cfg.n_devices and cfg.n_devices > 1:
             # multi-chip tiles through the product ABI (SURVEY §2.9):
-            # each device traces a contiguous row block under shard_map
+            # each device traces a contiguous row block under shard_map.
+            # Wavefront engines run the FLAGSHIP compacted driver program
+            # per chip (make_driver_engine_step); others the fused stages
             from ..parallel.mesh import make_tile_mesh
-            from ..parallel.tiles import make_engine_step
+            from ..parallel.tiles import (make_driver_engine_step,
+                                          make_engine_step)
             self._driver = None
             mesh = make_tile_mesh(cfg.n_devices)
-            self._trace_fn = make_engine_step(mesh, width, height, cfg,
-                                              intersector, tex_flags)
+            if self.use_wavefront_driver and cfg.compaction:
+                self._trace_fn = make_driver_engine_step(
+                    mesh, width, height, cfg, intersector, tex_flags)
+            else:
+                self._trace_fn = make_engine_step(mesh, width, height, cfg,
+                                                  intersector, tex_flags)
             self._size = (width, height)
             return self._trace_fn
 

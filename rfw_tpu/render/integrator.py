@@ -191,7 +191,8 @@ def make_path_state(scene, view, width: int, height: int, sample_index,
 def depth_stage(scene, view, state: PathState, width: int, depth: int,
                 sample_index, probe_lane, config: RenderConfig,
                 intersector: Intersector, tex_flags=None,
-                sort_rays: bool | None = None, height: int | None = None):
+                sort_rays: bool | None = None, height: int | None = None,
+                depth_t=None):
     """One depth of the wavefront loop: closest hit → shade (sky/emissive)
     → NEE + occlusion → extension BSDF sample.
 
@@ -201,10 +202,26 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
     coherence sort (None = legacy policy: sort iff depth > 0 — the
     compacted driver passes False for pre-sorted streams).
 
+    ``depth_t`` (optional) is a TRACED depth scalar: ONE compiled body
+    then serves every bounce depth 1..max_path_length — the main XLA
+    compile-time lever (one-jit whole-sample programs otherwise inline
+    max_path_length copies of this stage; setup+compile was 1244 s at
+    1080p in round 2). When given, ``depth`` acts only as the static
+    template class (must be >= 1; primary rays keep the static depth-0
+    body) and every depth-dependent value is computed from ``depth_t``:
+    RNG stream seeds, blue-noise dimension constants (via static per-depth
+    tables indexed by depth_t — bitwise-identical to the static bodies),
+    env-NEE / MIS gates (traced masks over a fixed launch shape), and
+    final-depth extension liveness (extension is computed, then masked).
+
     Returns (state, stats, probe, aux): stats {"ray_count", "shadow_count"}
     for this depth; probe (3,) and aux planes are None unless depth == 0.
     """
     n = state.pid.shape[0]
+    if depth_t is not None:
+        assert depth >= 1, "traced-depth mode serves bounce depths only"
+        depth_t = jnp.asarray(depth_t, jnp.int32)
+    d_rng = depth if depth_t is None else depth_t   # RNG stream key
     # Stage-truncation profiling hook (§5 tracing): RFW_STAGE_TRUNC=k
     # cuts this stage after phase k (1 closest, 2 shading data,
     # 3 emissive/sky, 4 NEE math pre-occlusion, 5 NEE+occlusion) so
@@ -255,12 +272,26 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
         return config.envmap_nee_max_depth < 0 or \
             d <= config.envmap_nee_max_depth
 
-    if env_nee_active and depth > 0 and env_depth_ok(depth - 1):
+    def env_depth_ok_t(d):
+        """Traced-depth variant of env_depth_ok (returns a traced bool)."""
+        if config.envmap_nee_max_depth < 0:
+            return jnp.bool_(True)
+        return d <= config.envmap_nee_max_depth
+
+    if (env_nee_active and depth > 0
+            and (depth_t is not None or env_depth_ok(depth - 1))):
         # MIS against envmap NEE at the previous vertex (no-op for
         # specular bounces, which shot no NEE ray). One packed gather
         # serves both the radiance and the pdf.
         sky, e_pdf = sample_skybox_with_pdf(scene, direction)
-        denom_m = jnp.where(spec_bounce, last_pdf, last_pdf + e_pdf)
+        if depth_t is None:
+            denom_m = jnp.where(spec_bounce, last_pdf, last_pdf + e_pdf)
+        else:
+            # traced gate: the previous vertex shot an env NEE ray only
+            # if its depth passed the config cutoff
+            mis_ok = env_depth_ok_t(depth_t - 1)
+            denom_m = jnp.where(spec_bounce | ~mis_ok, last_pdf,
+                                last_pdf + e_pdf)
     else:
         sky = sample_skybox(scene, direction)
         denom_m = last_pdf
@@ -277,7 +308,7 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
     stoch_seed = None
     if config.texture_filter == "stochastic":
         stoch_seed = rng.wang_hash(
-            rng.path_seed(pid, sample_index, depth)
+            rng.path_seed(pid, sample_index, d_rng)
             ^ jnp.uint32(0x7FEB352D))
     sd, n_geom, i_n, t_vec, b_vec, alpha_cut = get_shading_data(
         scene, prim_safe, u, v, direction, cone_width,
@@ -367,11 +398,46 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
     # has the same collision in its no-blue-noise fallback,
     # Kernels.cu:699 vs :385; blue-noise dims hide it there).
     seed = rng.wang_hash(
-        rng.path_seed(pid, sample_index, depth) ^ jnp.uint32(0x9E3779B9))
+        rng.path_seed(pid, sample_index, d_rng) ^ jnp.uint32(0x9E3779B9))
 
     # ---- NEE (Kernels.cu:705-756) ----
     if config.variance_reduction:
-        if use_bn:
+        if use_bn and depth_t is not None:
+            # traced-depth body: per-depth dimension constants come from
+            # static tables indexed by depth_t — bitwise-equal to the
+            # static per-depth bodies (same f64→f32 roundings, same
+            # shift-field elements; only slice-vs-gather differs)
+            dcap = config.max_path_length
+            dims0 = np.array([4 + 2 * d for d in range(dcap + 1)])
+            k_off = jnp.asarray(((dims0 // 2) * 0.38196601)
+                                .astype(np.float32))[depth_t]
+            if bn_mask.ndim == 3:   # stack: one row gather for both dims
+                brow = rng.blue_noise_shift_row(bn_mask, px, py)
+                nd = bn_mask.shape[2]
+                col0 = jnp.asarray((dims0 % nd).astype(np.int32))[depth_t]
+                col1 = jnp.asarray(((dims0 + 1) % nd)
+                                   .astype(np.int32))[depth_t]
+                s0 = jnp.take(brow, col0, axis=1)
+                s1 = jnp.take(brow, col1, axis=1)
+            else:
+                size = bn_mask.shape[0]
+                offs = np.array(
+                    [list(rng._dim_offsets(4 + 2 * d, size))
+                     + list(rng._dim_offsets(5 + 2 * d, size))
+                     for d in range(dcap + 1)], np.int32)
+                o = jnp.asarray(offs)[depth_t]
+                s0 = bn_mask[(py + o[1]) % size, (px + o[0]) % size]
+                s1 = bn_mask[(py + o[3]) % size, (px + o[2]) % size]
+            r0 = rng.blue_noise_from_shift_koff(s0, sample_index, k_off, 0)
+            r1 = rng.blue_noise_from_shift_koff(s1, sample_index, k_off, 1)
+            r0 = jnp.where(sample_index < config.blue_noise_spp_cutoff,
+                           r0, 0.0)
+            seed, (h0, h1) = rng.random_floats(seed, 2)
+            r0 = jnp.where(sample_index < config.blue_noise_spp_cutoff,
+                           r0, h0)
+            r1 = jnp.where(sample_index < config.blue_noise_spp_cutoff,
+                           r1, h1)
+        elif use_bn:
             # distinct dimension pair per depth (Kernels.cu uses
             # 4 + 4*pathLength) — reusing dims 4/5 at every depth
             # correlates the light samples across bounces
@@ -430,7 +496,14 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
 
         # ---- envmap NEE (new capability; reference skybox.h:37-39
         # declares the tables but never fills them) ----
-        if env_nee_active and env_depth_ok(depth):
+        # traced-depth bodies compile the fused 2n launch iff ANY bounce
+        # depth shoots env NEE rays; per-depth gating is then a traced
+        # mask (dead lanes cost the intersector nothing)
+        bounce_env = (env_nee_active and
+                      (env_depth_ok(depth) if depth_t is None else
+                       (config.envmap_nee_max_depth < 0
+                        or config.envmap_nee_max_depth >= 1)))
+        if bounce_env:
             il = config.env_nee_interleave
             if il > 1 and height is not None:
                 # interleaved sampling with PER-TILE evaluation: only
@@ -446,7 +519,7 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
                 tiles_y = (height + tb - 1) // tb
                 tid = jnp.arange(tiles_x * tiles_y, dtype=jnp.uint32)
                 gseed_t = rng.wang_hash(
-                    rng.path_seed(tid, sample_index, depth)
+                    rng.path_seed(tid, sample_index, d_rng)
                     ^ jnp.uint32(0x517CC1B7))
                 _, re_t = rng.random_float(gseed_t)
                 ed_t, ep_t, er_t = sample_envmap(scene, re_t)
@@ -472,12 +545,19 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
                        * jnp.uint32((width + tb - 1) // tb)
                        + (px // tb).astype(jnp.uint32))
                 gseed = rng.wang_hash(
-                    rng.path_seed(gid, sample_index, depth)
+                    rng.path_seed(gid, sample_index, d_rng)
                     ^ jnp.uint32(0x517CC1B7))
                 _, re = rng.random_float(gseed)
                 e_dir, e_pdf, e_rad = sample_envmap(scene, re)
-            else:
+            elif depth_t is None:
                 seed, re = rng.random_float(seed)
+                e_dir, e_pdf, e_rad = sample_envmap(scene, re)
+            else:
+                # traced gate: only advance the lane seed at depths that
+                # actually shoot env NEE (bitwise-matches the static
+                # bodies, where gated depths skip this draw entirely)
+                seed_n, re = rng.random_float(seed)
+                seed = jnp.where(env_depth_ok_t(depth_t), seed_n, seed)
                 e_dir, e_pdf, e_rad = sample_envmap(scene, re)
             e_cos = dot3(e_dir, i_n)
             eb_val, eb_pdf = bsdf.evaluate_bsdf(
@@ -487,6 +567,8 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
                          * (e_cos / jnp.maximum(e_denom, 1e-20))[..., None])
             e_want = (alive & ~spec_mat & ~alpha_cut & (e_cos > 0)
                       & (e_pdf > 0) & (eb_pdf > 0))
+            if depth_t is not None and config.envmap_nee_max_depth >= 0:
+                e_want = e_want & env_depth_ok_t(depth_t)
             e_contrib = clamp_intensity(
                 _scrub(e_contrib, e_want, stats, config), clamp_v)
             # one fused occlusion launch for light + envmap shadow rays
@@ -528,7 +610,7 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
                           last_pdf, spec_bounce, last_n, alive, pid),
                 stats, probe, aux)
 
-    if depth >= config.max_path_length:
+    if depth_t is None and depth >= config.max_path_length:
         # final depth: no extension rays
         state = PathState(origin, direction, throughput, radiance,
                           last_pdf, spec_bounce, last_n,
@@ -564,6 +646,11 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
         ac, hit_pos + direction * config.geometry_epsilon,
         safe_origin(hit_pos, n_geom))
     direction = jnp.where(ac, direction, wi)
+    if depth_t is not None:
+        # traced final depth: the extension above was computed but its
+        # lanes die here — radiance is untouched by extension, so the
+        # frame matches the static no-extension body exactly
+        alive = alive & (depth_t < config.max_path_length)
 
     state = PathState(origin, direction, throughput, radiance, last_pdf,
                       spec_bounce, last_n, alive, pid)

@@ -392,8 +392,11 @@ def refit_deformed(scene: dict, instances: list[InstancedMesh],
     valid = stp >= 0
     padded_verts = np.zeros((stp.shape[0], 3, 3), np.float32)
     padded_verts[valid] = verts[stp[valid]]
-    pad_woop = woop_matrices(
-        padded_verts[:, 0], padded_verts[:, 1], padded_verts[:, 2])
+    # gather from the freshly built per-triangle woop plane (same trick
+    # as build_device_scene — saves the second full woop pass)
+    pad_woop = np.zeros((stp.shape[0], 3, 4), np.float32)
+    pad_woop[:, 2, 3] = 1.0
+    pad_woop[valid] = out["woop"][stp[valid]]
     # fresh cell bounds over the (unchanged) membership
     vlo = np.where(valid[:, None], padded_verts.min(axis=1), 3e37)
     vhi = np.where(valid[:, None], padded_verts.max(axis=1), -3e37)
@@ -542,8 +545,14 @@ def build_device_scene(
         padded_verts = np.concatenate(
             [padded_verts, np.zeros((pad_n * k, 3, 3), np.float32)])
 
-    pad_woop = woop_matrices(
-        padded_verts[:, 0], padded_verts[:, 1], padded_verts[:, 2])
+    # pad_woop by GATHER from the already-computed per-triangle woop
+    # plane (scene["woop"], permuted order; pad_perm indexes it) — the
+    # second full f64 woop_matrices pass here was ~2.4 s of the 305k-tri
+    # build. Pad rows get the degenerate marker directly (w ≡ 1 plane).
+    pv_all = pad_perm >= 0
+    pad_woop = np.zeros((pad_perm.shape[0], 3, 4), np.float32)
+    pad_woop[:, 2, 3] = 1.0
+    pad_woop[pv_all] = scene["woop"][pad_perm[pv_all]]
     # super grouping for the Pallas kernel: SUPER_G consecutive cells form
     # one DMA/cull unit. Consecutive kd cells are siblings, so supers are
     # spatially tight. cbounds packs per-cell AABBs for the in-kernel

@@ -112,6 +112,137 @@ def _compact_gather_packed(scene, packed):
     return packed[order], jnp.sum(state.alive)
 
 
+def _stage_chunk_factory(width, height, cfg, intersector, tex_flags):
+    def stage_chunk(scene, view, state_c, sample_index, probe_rel,
+                    depth: int, depth_t=None):
+        return depth_stage(scene, view, state_c, width, depth,
+                           sample_index, probe_rel, cfg, intersector,
+                           tex_flags=tex_flags, sort_rays=False,
+                           height=height, depth_t=depth_t)
+    return stage_chunk
+
+
+def make_sample_body(width: int, height: int, n: int, chunk: int,
+                     cfg: RenderConfig, intersector: Intersector,
+                     tex_flags):
+    """The whole-sample compacted-wavefront program as a PURE function —
+    ray-gen + every depth + compaction + finalize, no host syncs, traced
+    live counts. The single-chip ``WavefrontDriver`` jits it directly;
+    the multi-chip route (parallel/tiles.make_driver_engine_step) calls
+    it per tile inside ``shard_map``, so BASELINE config 5 runs the SAME
+    flagship program per chip instead of the fused fallback (VERDICT r2
+    next #4). ``n`` is the lane count this body owns (full frame, or one
+    tile's row block); ``pid_all`` carries absolute pixel ids so RNG and
+    finalize order are tiling-invariant.
+
+    Signature: body(scene, accumulator (n,3), pid_all (n,), inv_all
+    ((n,) i32 | None), view, sample_index, probe_lane) →
+    (accumulator', probe (3,), stats dict, aux dict)."""
+    assert n % chunk == 0
+    stage_chunk = _stage_chunk_factory(width, height, cfg, intersector,
+                                       tex_flags)
+    compact_packed = (_compact_sort_packed if cfg.compact_via_sort
+                      else _compact_gather_packed)
+
+    def sample_body(scene, accumulator, pid_all, inv_all, view,
+                    sample_index, probe_lane):
+        nc0 = n // chunk
+        stats_all = {}
+
+        # depth 0: ray-gen fused into the stage; static chunk count.
+        def d0_body(c, carry):
+            packed, probe, stats, aux_n, aux_d = carry
+            off = c * chunk
+            pid_c = jax.lax.dynamic_slice(pid_all, (off,), (chunk,))
+            st_c = make_path_state(scene, view, width, height,
+                                   sample_index, cfg, pid_c)
+            rel = probe_lane - off
+            in_chunk = (rel >= 0) & (rel < chunk)
+            out, st, probe_c, aux_c = stage_chunk(
+                scene, view, st_c, sample_index,
+                jnp.where(in_chunk, rel, 0), 0)
+            packed = jax.lax.dynamic_update_slice(
+                packed, _pack_state(out), (off, 0))
+            probe = jnp.where(in_chunk, probe_c, probe)
+            stats = {k: stats[k] + v for k, v in st.items()}
+            aux_n = jax.lax.dynamic_update_slice(
+                aux_n, aux_c["normal"], (off, 0))
+            aux_d = jax.lax.dynamic_update_slice(
+                aux_d, aux_c["depth"], (off,))
+            return packed, probe, stats, aux_n, aux_d
+
+        stats0 = {"ray_count": jnp.int32(0)}
+        if cfg.variance_reduction:
+            stats0["shadow_count"] = jnp.int32(0)
+        if cfg.debug_checks:
+            stats0["nan_scrubbed"] = jnp.int32(0)
+        carry = (jnp.zeros((n, 18), jnp.float32),
+                 jnp.zeros(3, jnp.float32), stats0,
+                 jnp.zeros((n, 3), jnp.float32),
+                 jnp.zeros(n, jnp.float32))
+        packed, probe, st0, aux_n, aux_d = jax.lax.fori_loop(
+            0, nc0, d0_body, carry)
+        for k, v in st0.items():
+            stats_all[f"{k}_0"] = v
+
+        # depths 1..D: ONE traced-depth body compiled once and
+        # fori-looped over depth (the round-3 compile-time lever —
+        # the unrolled per-depth bodies cost ~17 min of XLA compile
+        # at 1080p in round 2; see integrator.depth_stage depth_t)
+        dmax = cfg.max_path_length
+        stats_arr0 = {k: jnp.zeros(dmax + 1, jnp.int32)
+                      for k in stats0}
+
+        def depth_body(d, carry):
+            packed, stats_arr = carry
+            packed, live = compact_packed(scene, packed)
+
+            def d_body(c, carry2):
+                packed, stats = carry2
+                off = c * chunk
+                rows = jax.lax.dynamic_slice(packed, (off, 0),
+                                             (chunk, 18))
+                out, st, _, _ = stage_chunk(
+                    scene, view, _unpack_state(rows), sample_index,
+                    jnp.int32(0), 1, depth_t=d)
+                packed = jax.lax.dynamic_update_slice(
+                    packed, _pack_state(out), (off, 0))
+                stats = {k: stats[k] + v for k, v in st.items()}
+                return packed, stats
+
+            # TRACED trip count: later depths only run ceil(live/chunk)
+            # chunks; 0 live lanes → 0 iterations (the all-dead break
+            # for free, no host readback anywhere in the sample)
+            nc_d = (live.astype(jnp.int32) + (chunk - 1)) // chunk
+            packed, st_d = jax.lax.fori_loop(
+                0, nc_d, d_body, (packed, stats0))
+            stats_arr = {k: stats_arr[k].at[d].set(st_d[k])
+                         for k in stats_arr}
+            return packed, stats_arr
+
+        packed, stats_arr = jax.lax.fori_loop(
+            1, dmax + 1, depth_body, (packed, stats_arr0))
+        for k in stats_arr:
+            for d in range(1, dmax + 1):
+                stats_all[f"{k}_{d}"] = stats_arr[k][d]
+
+        # finalize: restore pixel order by ONE pid-keyed sort-carry
+        pid_f = packed[:, 17]
+        pid_u = jax.lax.bitcast_convert_type(pid_f, jnp.uint32)
+        srt = jax.lax.sort(
+            (pid_u, packed[:, 13], packed[:, 14], packed[:, 15]),
+            dimension=0, num_keys=1)
+        radiance = jnp.stack(srt[1:4], axis=1)
+        accumulator = accumulator + radiance
+        if inv_all is not None:
+            aux_n = aux_n[inv_all]
+            aux_d = aux_d[inv_all]
+        return (accumulator, probe, stats_all,
+                {"normal": aux_n, "depth": aux_d})
+
+    return sample_body
+
+
 class WavefrontDriver:
     """Builds and caches the jitted whole-sample step (plus the host-loop
     profiled step) for one (width, height, config, intersector) combo."""
@@ -151,98 +282,13 @@ class WavefrontDriver:
         cfg = config
         compact_packed = (_compact_sort_packed if cfg.compact_via_sort
                           else _compact_gather_packed)
+        stage_chunk = _stage_chunk_factory(width, height, cfg, intersector,
+                                           tex_flags)
 
-        def stage_chunk(scene, view, state_c, sample_index, probe_rel,
-                        depth: int):
-            return depth_stage(scene, view, state_c, width, depth,
-                               sample_index, probe_rel, cfg, intersector,
-                               tex_flags=tex_flags, sort_rays=False,
-                               height=height)
-
-        # ---- the whole-sample program -------------------------------------
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def sample_fn(scene, accumulator, pid_all, inv_all, view,
-                      sample_index, probe_lane):
-            nc0 = n // chunk
-            stats_all = {}
-
-            # depth 0: ray-gen fused into the stage; static chunk count.
-            def d0_body(c, carry):
-                packed, probe, stats, aux_n, aux_d = carry
-                off = c * chunk
-                pid_c = jax.lax.dynamic_slice(pid_all, (off,), (chunk,))
-                st_c = make_path_state(scene, view, width, height,
-                                       sample_index, cfg, pid_c)
-                rel = probe_lane - off
-                in_chunk = (rel >= 0) & (rel < chunk)
-                out, st, probe_c, aux_c = stage_chunk(
-                    scene, view, st_c, sample_index,
-                    jnp.where(in_chunk, rel, 0), 0)
-                packed = jax.lax.dynamic_update_slice(
-                    packed, _pack_state(out), (off, 0))
-                probe = jnp.where(in_chunk, probe_c, probe)
-                stats = {k: stats[k] + v for k, v in st.items()}
-                aux_n = jax.lax.dynamic_update_slice(
-                    aux_n, aux_c["normal"], (off, 0))
-                aux_d = jax.lax.dynamic_update_slice(
-                    aux_d, aux_c["depth"], (off,))
-                return packed, probe, stats, aux_n, aux_d
-
-            stats0 = {"ray_count": jnp.int32(0)}
-            if cfg.variance_reduction:
-                stats0["shadow_count"] = jnp.int32(0)
-            if cfg.debug_checks:
-                stats0["nan_scrubbed"] = jnp.int32(0)
-            carry = (jnp.zeros((n, 18), jnp.float32),
-                     jnp.zeros(3, jnp.float32), stats0,
-                     jnp.zeros((n, 3), jnp.float32),
-                     jnp.zeros(n, jnp.float32))
-            packed, probe, st0, aux_n, aux_d = jax.lax.fori_loop(
-                0, nc0, d0_body, carry)
-            for k, v in st0.items():
-                stats_all[f"{k}_0"] = v
-
-            live = None
-            for depth in range(1, cfg.max_path_length + 1):
-                packed, live = compact_packed(scene, packed)
-
-                def d_body(c, carry, depth=depth):
-                    packed, stats = carry
-                    off = c * chunk
-                    rows = jax.lax.dynamic_slice(packed, (off, 0),
-                                                 (chunk, 18))
-                    out, st, _, _ = stage_chunk(
-                        scene, view, _unpack_state(rows), sample_index,
-                        jnp.int32(0), depth)
-                    packed = jax.lax.dynamic_update_slice(
-                        packed, _pack_state(out), (off, 0))
-                    stats = {k: stats[k] + v for k, v in st.items()}
-                    return packed, stats
-
-                # TRACED trip count: later depths only run ceil(live/chunk)
-                # chunks; 0 live lanes → 0 iterations (the all-dead break
-                # for free, no host readback anywhere in the sample)
-                nc_d = (live.astype(jnp.int32) + (chunk - 1)) // chunk
-                packed, st_d = jax.lax.fori_loop(
-                    0, nc_d, d_body, (packed, stats0))
-                for k, v in st_d.items():
-                    stats_all[f"{k}_{depth}"] = v
-
-            # finalize: restore pixel order by ONE pid-keyed sort-carry
-            pid_f = packed[:, 17]
-            pid_u = jax.lax.bitcast_convert_type(pid_f, jnp.uint32)
-            srt = jax.lax.sort(
-                (pid_u, packed[:, 13], packed[:, 14], packed[:, 15]),
-                dimension=0, num_keys=1)
-            radiance = jnp.stack(srt[1:4], axis=1)
-            accumulator = accumulator + radiance
-            if inv_all is not None:
-                aux_n = aux_n[inv_all]
-                aux_d = aux_d[inv_all]
-            return (accumulator, probe, stats_all,
-                    {"normal": aux_n, "depth": aux_d})
-
-        self._sample_fn = sample_fn
+        # ---- the whole-sample program (module-level pure body) -----------
+        self._sample_fn = jax.jit(
+            make_sample_body(width, height, n, chunk, cfg, intersector,
+                             tex_flags), donate_argnums=(1,))
 
         # ---- host-loop building blocks (profiled path + tools) -------------
         @jax.jit
@@ -257,10 +303,14 @@ class WavefrontDriver:
             return stage_chunk(scene, view, state, sample_index,
                                probe_lane, 0)
 
-        @functools.partial(jax.jit, static_argnames=("depth",))
+        @jax.jit
         def stage_fn(scene, view, state, sample_index, probe_lane, depth):
+            # depth is TRACED: the same compiled body serves every bounce
+            # depth (matches the one-jit program's fori-looped body, so
+            # step_profiled stats stay exactly equal to step's)
             return stage_chunk(scene, view, state, sample_index,
-                               probe_lane, depth)
+                               probe_lane, 1,
+                               depth_t=jnp.asarray(depth, jnp.int32))
 
         @jax.jit
         def compact_fn(scene, state):

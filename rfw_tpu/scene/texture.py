@@ -38,13 +38,19 @@ class Texture:
     @staticmethod
     def load(path: str) -> "Texture":
         p = str(path)
+        cached = _mip_cache_load(p)
+        if cached is not None:
+            return cached
         if p.lower().endswith(".hdr"):
             rgb = image.load_hdr(p)
             rgba = np.concatenate(
                 [rgb, np.ones_like(rgb[..., :1])], axis=-1).astype(np.float32)
-            return Texture(mips=[rgba], is_hdr=True)
-        base = image.load_ldr(p, to_linear=True)
-        return Texture.from_array(base, is_hdr=False)
+            tex = Texture(mips=[rgba], is_hdr=True)
+        else:
+            base = image.load_ldr(p, to_linear=True)
+            tex = Texture.from_array(base, is_hdr=False)
+        _mip_cache_store(p, tex)
+        return tex
 
     @staticmethod
     def from_array(base: np.ndarray, is_hdr: bool = False) -> "Texture":
@@ -59,6 +65,69 @@ class Texture:
             for _ in range(MIP_LEVEL_COUNT - 1):
                 mips.append(_downsample2x(mips[-1]))
         return Texture(mips=mips, is_hdr=is_hdr)
+
+
+def _cache_dir() -> str | None:
+    import os
+    if os.environ.get("RFW_NO_TEX_CACHE"):
+        return None
+    d = os.environ.get(
+        "RFW_TEX_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "rfw_tpu", "tex"))
+    try:
+        os.makedirs(d, exist_ok=True)
+        return d
+    except OSError:
+        return None
+
+
+def _mip_key(path: str) -> str | None:
+    """Decoded-texture cache key: absolute path + mtime + size (the
+    skybox .bin cache recipe, reference skybox.cpp:87-139, applied to
+    every texture — PNG decode + sRGB→linear + mip build is ~60% of a
+    textured scene's host load time)."""
+    import hashlib
+    import os
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    raw = f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}|v1"
+    return hashlib.sha1(raw.encode()).hexdigest()
+
+
+def _mip_cache_load(path: str) -> "Texture | None":
+    d = _cache_dir()
+    key = d and _mip_key(path)
+    if not key:
+        return None
+    import os
+    f = os.path.join(d, f"mips_{key}.npz")
+    try:
+        z = np.load(f)
+        n = int(z["n_mips"])
+        return Texture(mips=[z[f"m{i}"] for i in range(n)],
+                       is_hdr=bool(z["is_hdr"]))
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def _mip_cache_store(path: str, tex: "Texture") -> None:
+    d = _cache_dir()
+    key = d and _mip_key(path)
+    if not key:
+        return
+    import os
+    f = os.path.join(d, f"mips_{key}.npz")
+    try:
+        # tmp name must end in .npz — np.savez APPENDS the suffix
+        # otherwise and os.replace would miss the real file
+        tmp = f"{f}.{os.getpid()}.tmp.npz"
+        np.savez(tmp, n_mips=len(tex.mips), is_hdr=tex.is_hdr,
+                 **{f"m{i}": m for i, m in enumerate(tex.mips)})
+        os.replace(tmp, f)
+    except OSError:
+        pass
 
 
 def _downsample2x(img: np.ndarray) -> np.ndarray:
@@ -112,7 +181,7 @@ def build_merged_material_atlas(materials, textures: list[Texture]):
 
     Texel layout: word0 = diffuse RGBA8, word1 = normal-map RGBA8,
     word2 = roughness/metalness RGBA8 (glTF convention: G=rough, B=metal),
-    word3 = 0 (spare). Unbound slots bake neutral texels (white / flat
+    Unbound slots bake neutral texels (white / flat
     normal) but shading still applies its has-texture masks, so unbound
     behavior is bit-identical to the legacy path.
 
@@ -159,7 +228,7 @@ def build_merged_material_atlas(materials, textures: list[Texture]):
                     img = _resample_bilinear_wrap(
                         mips[min(level, len(mips) - 1)], w, h)
                 words.append(_pack_rgba8(img))
-            texels = np.zeros((w * h, 4), np.uint32)
+            texels = np.zeros((w * h, 3), np.uint32)
             texels[:, 0], texels[:, 1], texels[:, 2] = words
             chunks.append(texels)
             drow[level] = (addr, w, h)
@@ -189,6 +258,70 @@ def build_merged_material_atlas(materials, textures: list[Texture]):
         "matlas_desc": np.stack(desc_rows).astype(np.int32),
     }
     return matlas, mtex_id
+
+
+def build_atlases_cached(materials, textures: list[Texture],
+                         merged: bool):
+    """Atlas assembly with a disk cache: returns (atlas_dict, mtex_id).
+
+    ``atlas_dict`` holds {"atlas", "desc"} plus {"matlas", "matlas_desc"}
+    when ``merged`` and the scene is eligible; ``mtex_id`` is the
+    per-material merged-entry table (None when not merged). The pack +
+    resample + quantize pipeline is ~10 s for a Sponza-class texture set
+    and is a pure function of (texture contents, material bindings) — the
+    cache keys on sha1 of every base mip + the binding tuples, so edits
+    invalidate precisely."""
+    import hashlib
+    import os
+
+    d = _cache_dir()
+    key = None
+    if d is not None:
+        h = hashlib.sha1(f"v2|{MIP_LEVEL_COUNT}|{merged}".encode())
+        for t in textures:
+            m0 = np.ascontiguousarray(t.mips[0])
+            h.update(str((m0.shape, str(m0.dtype), t.is_hdr)).encode())
+            h.update(m0.tobytes())
+        if merged:
+            from .materials import TEX_DIFFUSE, TEX_NORMAL, TEX_ROUGHNESS
+            for m in materials or []:
+                mp = m.maps[TEX_DIFFUSE]
+                h.update(str((
+                    mp.texture_id, m.maps[TEX_NORMAL].texture_id,
+                    m.maps[TEX_ROUGHNESS].texture_id,
+                    tuple(np.asarray(mp.uv_scale).tolist()),
+                    tuple(np.asarray(mp.uv_offset).tolist()))).encode())
+        key = h.hexdigest()
+        f = os.path.join(d, f"atlas_{key}.npz")
+        try:
+            z = np.load(f)
+            atlas = {"atlas": z["atlas"], "desc": z["desc"]}
+            if "matlas" in z.files:
+                atlas["matlas"] = z["matlas"]
+                atlas["matlas_desc"] = z["matlas_desc"]
+            mtex_id = z["mtex_id"] if "mtex_id" in z.files else None
+            return atlas, mtex_id
+        except (OSError, KeyError, ValueError):
+            pass
+
+    atlas = build_texture_atlas(textures)
+    mtex_id = None
+    if merged:
+        matlas, mtex_id = build_merged_material_atlas(materials, textures)
+        if matlas is not None:
+            atlas.update(matlas)
+    if key is not None:
+        try:
+            f = os.path.join(d, f"atlas_{key}.npz")
+            tmp = f"{f}.{os.getpid()}.tmp.npz"   # np.savez appends .npz
+            save = dict(atlas)
+            if mtex_id is not None:
+                save["mtex_id"] = mtex_id
+            np.savez(tmp, **save)
+            os.replace(tmp, f)
+        except OSError:
+            pass
+    return atlas, mtex_id
 
 
 def build_texture_atlas(textures: list[Texture]) -> dict[str, np.ndarray]:

@@ -24,7 +24,6 @@ from .scene import (AreaLight, DirectionalLight, HostMaterial, MaterialList,
                     PointLight, Skybox, SpotLight, load_object, make_quad)
 from .scene.lights import pack_lights
 from .scene.object import SceneObject
-from .scene.texture import build_texture_atlas
 from .utils import logger
 
 
@@ -283,14 +282,15 @@ class RenderSystem:
         if changed & (Changed.MATERIALS | Changed.TEXTURES) or \
                 self._materials.is_dirty:
             mats_dev = self._materials.generate_device_materials()
-            atlas = build_texture_atlas(self._materials.textures)
+            from .scene.texture import build_atlases_cached
+            atlas, mtex_id = build_atlases_cached(
+                self._materials.materials, self._materials.textures,
+                self.config.merged_material_atlas)
             if self.config.merged_material_atlas:
-                from .scene.texture import build_merged_material_atlas
-                matlas, mtex_id = build_merged_material_atlas(
-                    self._materials.materials, self._materials.textures)
+                if mtex_id is None:
+                    mtex_id = np.zeros(
+                        max(len(self._materials.materials), 1), np.int32)
                 mats_dev["mtex_id"] = mtex_id
-                if matlas is not None:
-                    atlas.update(matlas)
             ctx.set_materials(mats_dev)
             ctx.set_textures(atlas)
             self._materials.mark_clean()

@@ -126,8 +126,14 @@ class LiveViewer:
         self._png = b""
         self._stats: dict = {}
         self._probe = None
-        self._events: list[dict] = []
         self._lock = threading.Lock()
+        # Serializes event application (handler threads) with the render
+        # loop: a POST /input returns only after its edit has landed in
+        # the system of record, so clients (and tests) never race the
+        # loop's exit — the round-2 failure mode was queued events
+        # dropped when ``run(max_frames=...)`` returned.
+        self._rs_lock = threading.RLock()
+        self._reset_pending = False
         self._stop = threading.Event()
         viewer = self
 
@@ -183,8 +189,7 @@ class LiveViewer:
                     ev = json.loads(self.rfile.read(n) or b"{}")
                 except ValueError:
                     ev = {}
-                with viewer._lock:
-                    viewer._events.append(ev)
+                viewer._handle_event(ev)
                 self._send(200, b"ok", "text/plain")
 
         self._server = ThreadingHTTPServer((host, port), Handler)
@@ -194,11 +199,13 @@ class LiveViewer:
 
     # -- input → camera (window.h:165-240 free-camera analog) ---------------
 
-    def _apply_events(self) -> bool:
-        with self._lock:
-            events, self._events = self._events, []
-        moved = False
-        for ev in events:
+    def _handle_event(self, ev: dict) -> None:
+        """Apply ONE input event synchronously (handler thread). Blocks
+        on ``_rs_lock`` until the render loop is between frames, so the
+        system of record is never mutated mid-frame and a returned POST
+        means the edit is visible."""
+        with self._rs_lock:
+            moved = False
             act = ev.get("action")
             if act == "keys":
                 keys = set(ev.get("keys", []))
@@ -256,7 +263,7 @@ class LiveViewer:
                     moved = True   # reset accumulation
                 except Exception as e:
                     logger.warning("material edit rejected: %s", e)
-        return moved
+            self._reset_pending = self._reset_pending or moved
 
     # -- loop ----------------------------------------------------------------
 
@@ -271,12 +278,16 @@ class LiveViewer:
         from .render import RenderStatus
         try:
             while not self._stop.is_set():
-                if self._apply_events():
-                    spp = 0
-                frame = self.rs.render_tonemapped(
-                    samples=self.samples_per_frame,
-                    status=(RenderStatus.RESET if spp == 0
-                            else RenderStatus.CONVERGE))
+                # hold _rs_lock for the whole frame: input events apply
+                # strictly BETWEEN frames (never torn mid-render)
+                with self._rs_lock:
+                    if self._reset_pending:
+                        self._reset_pending = False
+                        spp = 0
+                    frame = self.rs.render_tonemapped(
+                        samples=self.samples_per_frame,
+                        status=(RenderStatus.RESET if spp == 0
+                                else RenderStatus.CONVERGE))
                 spp += self.samples_per_frame
                 buf = io.BytesIO()
                 image.save_png(buf, frame)

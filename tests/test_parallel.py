@@ -134,3 +134,43 @@ def test_n_devices_visit_regroup_engages():
     img8 = render(RenderConfig(blue_noise=False, max_path_length=1,
                                n_devices=8))
     assert np.abs(img1 - img8).max() < 1e-5
+
+
+def test_n_devices_driver_route(monkeypatch):
+    """n_devices > 1 on a wavefront-driver engine routes through
+    make_driver_engine_step: the flagship compacted whole-sample program
+    (per-depth lane compaction, traced chunk trips) runs PER CHIP inside
+    shard_map (VERDICT r2 next #4) — frame, stats and probe must match
+    the single-device engine."""
+    import rfw_tpu
+    import rfw_tpu.parallel.tiles as tiles_mod
+    from rfw_tpu.render import RenderStatus, create_engine
+
+    calls = []
+    orig = tiles_mod.make_driver_engine_step
+    monkeypatch.setattr(
+        tiles_mod, "make_driver_engine_step",
+        lambda *a, **k: calls.append(1) or orig(*a, **k))
+
+    def render(n_dev):
+        cfg = RenderConfig(blue_noise=False, max_path_length=2,
+                           n_devices=n_dev, max_rays_per_pass=1024)
+        eng = create_engine("megakernel", cfg)
+        eng.use_wavefront_driver = True
+        _build_engine_scene(eng)
+        cam = rfw_tpu.Camera()
+        cam.resize(64, 48)
+        cam.look_at([0, 2.5, -5.0], [0, 0.8, 0.0])
+        eng.resize(64, 48)
+        eng.set_probe_index((20, 10))
+        img = np.asarray(eng.render_frame(cam.get_view().as_pytree(),
+                                          RenderStatus.RESET, samples=2))
+        return img, eng
+
+    img8, e8 = render(8)
+    assert calls, "n_devices path did not route through the driver step"
+    img1, e1 = render(0)
+    assert np.abs(img1 - img8).max() < 1e-5
+    assert e8.stats.primary_count == 64 * 48
+    assert e8.stats.shadow_count > 0
+    assert e1.get_probe_results() == e8.get_probe_results()

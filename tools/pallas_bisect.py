@@ -180,7 +180,7 @@ def main():
         kernel_b, out_shape=out_shape, grid=grid,
         in_specs=[pl.BlockSpec((8, BLOCK), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((2, 16, K), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))])
@@ -196,7 +196,7 @@ def main():
         grid=grid,
         in_specs=[pl.BlockSpec((8, BLOCK), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((2, 16, K), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))])

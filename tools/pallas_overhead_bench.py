@@ -159,7 +159,7 @@ def run_dma(rays, hbm):
         k_dma, grid=(NB,),
         in_specs=[pl.BlockSpec((8, PB), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 8, PB), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NB, 8, PB), jnp.float32),

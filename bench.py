@@ -93,18 +93,25 @@ def main() -> None:
 
     engine = os.environ.get("RFW_BENCH_ENGINE", "wavefront")
     width, height = 1920, 1080
-    config = RenderConfig()
+    # per-stage times are diagnostic-only and cost a SECOND compiled
+    # program set (each pays a terminal-side compile at first run on the
+    # axon transport) — opt in with RFW_BENCH_PROFILE=1
+    config = RenderConfig(
+        profile_stages=bool(os.environ.get("RFW_BENCH_PROFILE")))
     rs = RenderSystem(engine, config)
+    t_scene0 = time.time()
     build_scene(rs)
     rs.camera.resize(width, height)
     rs.camera.fov = 60.0
+    rs.synchronize()
+    t_scene = time.time() - t_scene0
 
-    # warmup: compile + first samples. samples=2 so BOTH step variants
-    # compile here (the engine runs the host-loop PROFILED step for the
-    # last sample of a multi-sample frame to fill per-stage stats — with
-    # samples=1 its compiles would land inside the timed run below)
+    # warmup: compile + first samples (samples=2 so the profiled step —
+    # when enabled — also compiles here rather than in the timed run)
     rs.render_frame(samples=2)
-    print(f"# setup+compile {time.time() - t_setup:.1f}s", file=sys.stderr)
+    setup_s = time.time() - t_setup
+    print(f"# setup+compile {setup_s:.1f}s (scene load+build+upload "
+          f"{t_scene:.1f}s)", file=sys.stderr)
 
     samples = int(os.environ.get("RFW_BENCH_SAMPLES", "4"))
     t0 = time.time()
@@ -132,6 +139,8 @@ def main() -> None:
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+        "setup_compile_s": round(setup_s, 1),
+        "scene_build_s": round(t_scene, 1),
     }))
 
 

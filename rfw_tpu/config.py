@@ -137,14 +137,22 @@ class RenderConfig:
     # minimal dense work) or "super" (SUPER_G cells per visit — fewer,
     # fatter visits). See ops/visit_intersect.py.
     visit_granularity: str = "cell"
-    visit_regroup: bool = True        # two-phase mid-trace ray regroup on
-    #                                   large scattered streams: cap the
-    #                                   per-block union walk at W_A visits,
-    #                                   re-compact survivors into dense
-    #                                   blocks, finish those (58% of
-    #                                   baseline visits on the real d1
-    #                                   stream — ops/visit_intersect.py
-    #                                   _trace_regroup, tools/regroup_sim.py)
+    visit_regroup: bool = False       # two-phase mid-trace ray regroup on
+    #                                   large scattered streams. OFF: the
+    #                                   round-2 "regroup wins" measurement
+    #                                   was taken with a latent NaN-bitcast
+    #                                   merge bug that silently dropped
+    #                                   ~11% of bounce hits (and zeroed
+    #                                   their t) — with the round-3 fix the
+    #                                   phase-A finished test leaves 77%
+    #                                   survivors on the real 1080p d1
+    #                                   stream (not the sim's 16.6%) and
+    #                                   correct regroup measures ~3.2x
+    #                                   SLOWER than the plain multi-pass
+    #                                   walk (1124 vs 352 ms/launch).
+    #                                   Kept for future per-ray finished
+    #                                   bounds; exactness is tested either
+    #                                   way (tests/test_visit.py).
     visit_subblocks: int = 1          # two-level union restriction: split
     #                                   each 256-ray block into S row
     #                                   sub-blocks, each with its OWN
@@ -157,6 +165,15 @@ class RenderConfig:
     #                                   to max_s |union(sub_s)| — see
     #                                   tools/subblock_sim.py. 1 = off.
     use_pallas: bool = True           # use the Pallas/MXU intersector when on TPU
+    profile_stages: bool = False      # fill per-depth RenderStats times by
+    #                                   running the host-loop PROFILED step
+    #                                   for the last sample of each frame.
+    #                                   Costs a SECOND set of compiled
+    #                                   programs (each pays a terminal-side
+    #                                   compile at first run on the axon
+    #                                   transport — tools/compile_probe.py);
+    #                                   whole-frame time and all ray counts
+    #                                   are filled either way.
 
 
 DEFAULT_CONFIG = RenderConfig()

@@ -811,6 +811,17 @@ def _trace_regroup(scene, origins, directions, t_max, config: RenderConfig,
     n_batches = -(-n // n_b)
     lane_b = jnp.arange(n_b, dtype=jnp.int32)
 
+    # slot ids ride the merge gather as exact f32 VALUES, never bitcast:
+    # bitcast_convert_type(-1, f32) is a NaN (0xFFFFFFFF) whose payload
+    # XLA may CANONICALIZE to 0x7FC00000 in any op — bitcast back is then
+    # +2143289344, which defeats the `s_bi >= 0` miss guard and lets dead
+    # batch rows (t = 0) clobber real phase-A hits. THE round-2 latent
+    # bug: on the 1080p bounce stream it silently dropped ~11% of hits
+    # (317309 vs 355695 — /tmp/regroup_bisect, reproduced bit-identically
+    # on the round-2 snapshot). f32 holds ints exactly below 2^24; larger
+    # slot tables take the two-gather fallback.
+    exact_f32 = (wg.shape[0] * super_g * k_size) < (1 << 24)
+
     def batch_body(k, args):
         best_t, best_slot = args
         base = k * n_b
@@ -823,11 +834,14 @@ def _trace_regroup(scene, origins, directions, t_max, config: RenderConfig,
                           config, any_hit)
         # merge: ray i's batch row is rank2[i] - base
         idx = rank2 - base
-        pk = jnp.stack(
-            [t_b, jax.lax.bitcast_convert_type(s_b, jnp.float32)],
-            axis=1)[jnp.clip(idx, 0, n_b - 1)]
-        t_bi = pk[:, 0]
-        s_bi = jax.lax.bitcast_convert_type(pk[:, 1], jnp.int32)
+        idx_c = jnp.clip(idx, 0, n_b - 1)
+        if exact_f32:
+            pk = jnp.stack([t_b, s_b.astype(jnp.float32)], axis=1)[idx_c]
+            t_bi = pk[:, 0]
+            s_bi = pk[:, 1].astype(jnp.int32)
+        else:
+            t_bi = t_b[idx_c]
+            s_bi = s_b[idx_c]
         better = ((idx >= 0) & (idx < n_b) & (s_bi >= 0)
                   & (t_bi < best_t))
         return (jnp.where(better, t_bi, best_t),
@@ -844,14 +858,15 @@ def _trace_regroup(scene, origins, directions, t_max, config: RenderConfig,
 
 def _use_regroup(config: RenderConfig, n: int, coherent: bool,
                  any_hit: bool = False) -> bool:
-    """Regroup pays for itself on large scattered streams; coherent
-    blocks resolve within a few visits and never multi-pass. MEASURED
-    on-chip (tools/driver_tail.py, 1080p pica-4x): regroup on = 2013
-    ms/sample vs 2151 off — keep on. For occlusion it stays OFF:
-    unoccluded shadow rays never resolve, so their survivor fraction
-    exceeds the n/4 phase-B batch and trips the staged full-size
-    batches — RFW_REGROUP_OCCL=1 measured 2209 ms/sample (d0 stage
-    780 → 930 ms)."""
+    """Regroup engages only for large scattered streams when the config
+    opts in. OFF by default since round 3: the round-2 on-chip win was
+    measured with the NaN-bitcast merge bug silently dropping ~11% of
+    bounce hits; with the fix the phase-A finished test leaves 77%
+    survivors on the real d1 stream and regroup runs ~3.2x slower than
+    the plain multi-pass walk (see config.visit_regroup). Occlusion
+    additionally requires RFW_REGROUP_OCCL: unoccluded shadow rays
+    never resolve, so their survivor fraction trips the staged
+    full-size batches."""
     import os
     if any_hit and not os.environ.get("RFW_REGROUP_OCCL"):
         return False

@@ -273,10 +273,18 @@ class PathTracerEngine(EngineContext):
         if self._scene is None or shapes(scene) != shapes(self._scene):
             self._trace_fn = None
         # move the scene to device ONCE — numpy leaves would re-upload the
-        # whole scene (100s of MB with textures) on every jitted call
-        self._scene = jax.tree.map(
-            lambda x: jax.device_put(x) if isinstance(x, np.ndarray) else x,
-            scene)
+        # whole scene (100s of MB with textures) on every jitted call.
+        # ONE batched device_put for every array leaf: per-leaf calls pay
+        # ~93 tunnel round trips on the axon transport (VERDICT r2 #3 —
+        # the 18 s "scene update" was mostly upload, not build)
+        leaves, treedef = jax.tree.flatten(scene)
+        arr_idx = [i for i, x in enumerate(leaves)
+                   if isinstance(x, np.ndarray)]
+        if arr_idx:
+            put = jax.device_put([leaves[i] for i in arr_idx])
+            for i, p in zip(arr_idx, put):
+                leaves[i] = p
+        self._scene = jax.tree.unflatten(treedef, leaves)
         self._dirty = False
         self._sample_count = 0       # scene changed ⇒ restart accumulation
         logger.debug("scene update: %d tris, %.1f ms",
@@ -429,12 +437,18 @@ class PathTracerEngine(EngineContext):
         drv = getattr(self, "_driver", None)
         for s in range(samples):
             step_s = step
-            if drv is not None and samples > 1 and s == samples - 1:
+            if (drv is not None and samples > 1 and s == samples - 1
+                    and self.config.profile_stages):
                 # last sample of a multi-sample frame runs the host-loop
                 # PROFILED step: its per-depth syncs fill the per-stage
                 # RenderStats times (context.h:50-72 parity) at 1/samples
                 # of the sync cost; frames agree to float ulps (same
-                # stage/compaction functions, different jit graphs)
+                # stage/compaction functions, different jit graphs).
+                # OPT-IN (config.profile_stages): the profiled step is a
+                # SECOND full set of jit programs, and on the axon
+                # transport every program pays a terminal-side compile
+                # at first execution (~4 min for the 1080p stages) that
+                # no local cache can absorb — tools/compile_probe.py
                 step_s = drv.step_profiled
             out = step_s(
                 self._scene, self._accumulator,

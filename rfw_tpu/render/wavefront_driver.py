@@ -58,6 +58,10 @@ def _pack_state(state: PathState):
     the argsort-path compaction gathers dead tail rows at 5 columns)."""
     f = jnp.float32
     flags = (state.alive.astype(f) + 2.0 * state.spec_bounce.astype(f))
+    # pid bitcast is safe here: pids < 2^31 are never NaN bit patterns
+    # (XLA may canonicalize NaN payloads in any op — the visit_intersect
+    # regroup-merge bug), and the column only moves through slices /
+    # sort-carries, never arithmetic (which could flush subnormals)
     pid_f = jax.lax.bitcast_convert_type(state.pid, f)
     cols = [state.origin, state.direction, state.throughput,
             state.last_n, state.last_pdf[:, None],

@@ -170,3 +170,63 @@ def test_fbx_rejects_garbage(tmp_path):
     p.write_bytes(b"not an fbx file at all")
     with pytest.raises(ValueError, match="FBX"):
         load_object(str(p), MaterialList())
+
+
+_ASCII_FBX = """; FBX 7.3.0 project file
+FBXHeaderExtension:  {
+\tFBXHeaderVersion: 1003
+\tFBXVersion: 7300
+}
+Objects:  {
+\tGeometry: 100, "Geometry::quad", "Mesh" {
+\t\tVertices: *12 {
+\t\t\ta: 0,0,0,1,0,0,1,0,1,0,0,1
+\t\t}
+\t\tPolygonVertexIndex: *4 {
+\t\t\ta: 0,1,2,-4
+\t\t}
+\t\tLayerElementNormal: 0 {
+\t\t\tVersion: 101
+\t\t\tMappingInformationType: "ByPolygonVertex"
+\t\t\tReferenceInformationType: "Direct"
+\t\t\tNormals: *12 {
+\t\t\t\ta: 0,1,0,0,1,0,0,1,0,
+\t\t\t\t0,1,0
+\t\t\t}
+\t\t}
+\t}
+\tModel: 200, "Model::quad", "Mesh" {
+\t\tVersion: 232
+\t\tProperties70:  {
+\t\t\tP: "Lcl Translation", "Lcl Translation", "", "A",2,0,0
+\t\t}
+\t}
+\tMaterial: 300, "Material::red", "" {
+\t\tProperties70:  {
+\t\t\tP: "DiffuseColor", "Color", "", "A",0.8,0.1,0.1
+\t\t}
+\t}
+}
+Connections:  {
+\tC: "OO",100,200
+\tC: "OO",300,200
+}
+"""
+
+
+def test_fbx_ascii_round_trip(tmp_path):
+    """ASCII FBX (the Assimp-breadth item VERDICT r2 flagged): same
+    scene content as the binary round trip, text encoding."""
+    p = tmp_path / "quad_ascii.fbx"
+    p.write_text(_ASCII_FBX)
+    ml = MaterialList()
+    obj = load_object(str(p), ml)
+    assert len(obj.meshes) == 1
+    tris = obj.meshes[0].triangles()
+    assert tris.count == 2                      # quad fan-triangulated
+    v = tris.vertices.reshape(-1, 3)
+    assert v[:, 0].min() >= 2.0 - 1e-5 and v[:, 0].max() <= 3.0 + 1e-5
+    assert np.allclose(tris.normals.reshape(-1, 3)[:, 1], 1.0, atol=1e-5)
+    mat_id = int(np.asarray(tris.material).ravel()[0])
+    assert np.allclose(ml.materials[mat_id].color,
+                       [0.8, 0.1, 0.1], atol=1e-5)

@@ -222,11 +222,14 @@ def test_visit_envelope_enum_matches_brute(soup_scene):
 
 
 def test_visit_regroup_matches_brute(soup_scene):
-    """The two-phase mid-trace regroup (default on streams >= 8 blocks)
-    must stay exactly brute-force-correct. 4096 scattered rays engage
-    _trace_regroup; the soup scene leaves plenty of phase-A survivors."""
+    """The two-phase mid-trace regroup (opt-in since round 3) must stay
+    exactly brute-force-correct. 4096 scattered rays engage
+    _trace_regroup; the soup scene leaves plenty of phase-A survivors —
+    and its batches contain DEAD rows whose slot=-1 must never clobber a
+    phase-A hit (the round-2 NaN-bitcast merge bug)."""
+    import dataclasses
     scene, cfg = soup_scene
-    assert cfg.visit_regroup
+    cfg = dataclasses.replace(cfg, visit_regroup=True)
     o, d, tm = _rays(4096, seed=17, dead_frac=0.2)
     t_p, prim_p, _, _ = visit_intersect.closest_hit(scene, o, d, cfg,
                                                     t_max=tm)
@@ -246,7 +249,9 @@ def test_visit_regroup_phase_c(soup_scene, monkeypatch):
     still be traced to exactness. W_A=1 leaves nearly every ray
     unresolved after phase A, so n_surv >> n/4 and the lax.cond-gated
     extra quarter batches run."""
+    import dataclasses
     scene, cfg = soup_scene
+    cfg = dataclasses.replace(cfg, visit_regroup=True)
     monkeypatch.setattr(visit_intersect, "W_A", 1)
     o, d, tm = _rays(4096, seed=23, dead_frac=0.1)
     t_p, prim_p, _, _ = visit_intersect.closest_hit(scene, o, d, cfg,
@@ -261,8 +266,10 @@ def test_visit_regroup_phase_c(soup_scene, monkeypatch):
 
 def test_visit_regroup_any_hit(soup_scene, monkeypatch):
     """Occlusion through the regroup path: binary result must match."""
+    import dataclasses
     monkeypatch.setenv("RFW_REGROUP_OCCL", "1")
     scene, cfg = soup_scene
+    cfg = dataclasses.replace(cfg, visit_regroup=True)
     o, d, _ = _rays(4096, seed=29, dead_frac=0.0)
     rng = np.random.default_rng(31)
     dist = np.full(4096, 6.0, np.float32)

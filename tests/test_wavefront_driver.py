@@ -63,7 +63,7 @@ def test_compacted_equals_fused():
 
 def test_compacted_stats_and_probe():
     cfg = RenderConfig(max_path_length=2, blue_noise=False,
-                       max_rays_per_pass=1024)
+                       max_rays_per_pass=1024, profile_stages=True)
     eng = create_engine("megakernel", cfg)
     eng.use_wavefront_driver = True
     _scene(eng)

@@ -300,6 +300,21 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None,
              mats["alpha_cutout"].astype(f32)[:, None]]
     if "mtex_id" in mats:
         cols.append(mats["mtex_id"].astype(f32)[:, None])
+    # additive texture layers (reference getShadingData.h:162-206):
+    # columns appended only when the scene binds them (tex_flags), so
+    # the common single-layer case pays nothing
+    tf0 = tex_flags or {}
+    want_dlay = bool(tf0.get("diffuse_layers")) and "tex5_id" in mats
+    want_nlay = bool(tf0.get("normal_layers")) and "tex7_id" in mats
+    lay_base = sum(c.shape[1] for c in cols)
+    if want_dlay:
+        cols += [mats["tex5_id"].astype(f32)[:, None],
+                 mats["tex6_id"].astype(f32)[:, None],
+                 mats["tex5_uvtransform"], mats["tex6_uvtransform"]]
+    if want_nlay:
+        cols += [mats["tex7_id"].astype(f32)[:, None],
+                 mats["tex8_id"].astype(f32)[:, None],
+                 mats["tex7_uvtransform"], mats["tex8_uvtransform"]]
     mrow = jnp.concatenate(cols, axis=1)[mat_id]          # (R, 27/28)
     sd = {
         "color": mrow[:, 0:3],
@@ -316,12 +331,27 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None,
     m_alpha = mrow[:, npar + 7] > 0.5
     m_mtex = (mrow[:, npar + 8].astype(jnp.int32)
               if "mtex_id" in mats else None)
+    nlay_base = lay_base
+    if want_dlay:
+        m_tex5 = mrow[:, lay_base].astype(jnp.int32)
+        m_tex6 = mrow[:, lay_base + 1].astype(jnp.int32)
+        m_uvt5 = mrow[:, lay_base + 2:lay_base + 6]
+        m_uvt6 = mrow[:, lay_base + 6:lay_base + 10]
+        nlay_base = lay_base + 10
+    if want_nlay:
+        m_tex7 = mrow[:, nlay_base].astype(jnp.int32)
+        m_tex8 = mrow[:, nlay_base + 1].astype(jnp.int32)
+        m_uvt7 = mrow[:, nlay_base + 2:nlay_base + 6]
+        m_uvt8 = mrow[:, nlay_base + 6:nlay_base + 10]
     sd["roughness"] = jnp.maximum(sd["roughness"], _MIN_ROUGHNESS_PARAM)
 
     alpha_cut = jnp.zeros_like(u, dtype=bool)
 
     tf = tex_flags or {"diffuse": True, "normal": True, "rough": True}
-    if scene.get("matlas") is not None and any(tf.values()):
+    # m_mtex guard: without the per-material merged-entry table a None
+    # eid would silently index as jnp.newaxis (shape bug, not a miss)
+    if (scene.get("matlas") is not None and any(tf.values())
+            and m_mtex is not None):
         # merged-atlas fast path: one trilinear fetch for all three maps
         matlas = scene["matlas"]
         desc = scene["matlas_desc"]
@@ -388,6 +418,20 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None,
                                     sd["color"])
             alpha_cut = (has_tex0 & (texel[..., 3] < 0.5)
                          & m_alpha)
+            if want_dlay:
+                # 2nd/3rd diffuse layers ADD to the modulated base
+                # (getShadingData.h:162-176; the reference then
+                # multiplies by the base texel a second time at :214 —
+                # a double-modulation slip not reproduced here)
+                for tid_l, uvt_l, salt in ((m_tex5, m_uvt5, 0x41C64E6D),
+                                           (m_tex6, m_uvt6, 0x6C078965)):
+                    has_l = tid_l >= 0
+                    uvl = uvt_l[..., 0:2] * (uvt_l[..., 2:4] + uv_i)
+                    texl = _fetch(atlas, desc, jnp.maximum(tid_l, 0),
+                                  uvl, lam, salt)
+                    sd["color"] = jnp.where(
+                        (has_tex0 & has_l)[..., None],
+                        sd["color"] + texl[..., :3], sd["color"])
 
         if tf["rough"]:
             # roughness map (slot 3): glTF metallicRoughness (G=rough,
@@ -413,6 +457,20 @@ def get_shading_data(scene, prim, u, v, d, cone_width, tex_flags=None,
             bitangent = bitangent_pk if bitangent_pk is not None \
                 else scene["tri_bitangent"][prim]
             nm_vec = nm[..., :3] * 2.0 - 1.0
+            if want_nlay:
+                # 2nd/3rd normal layers add tangent-space vectors before
+                # the normalize (getShadingData.h:185-203; the reference
+                # samples layer 1's address for layer 2 — a copy-paste
+                # slip not reproduced: each layer reads its own slot)
+                for tid_l, uvt_l, salt in ((m_tex7, m_uvt7, 0x9908B0DF),
+                                           (m_tex8, m_uvt8, 0x3243F6A8)):
+                    has_l = tid_l >= 0
+                    uvl = uvt_l[..., 0:2] * (uvt_l[..., 2:4] + uv_i)
+                    nml = _fetch(atlas, desc, jnp.maximum(tid_l, 0),
+                                 uvl, lam, salt)
+                    nm_vec = jnp.where(
+                        (has_n & has_l)[..., None],
+                        nm_vec + (nml[..., :3] * 2.0 - 1.0), nm_vec)
             mapped = safe_normalize(
                 nm_vec[..., 0:1] * tangent + nm_vec[..., 1:2] * bitangent
                 + nm_vec[..., 2:3] * i_n)

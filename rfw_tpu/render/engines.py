@@ -315,13 +315,19 @@ class PathTracerEngine(EngineContext):
         n_local = n_total // n_chunks
 
         mats = self._materials or {}
+
+        def _any_bound(*keys):
+            return bool(any(np.any(np.asarray(
+                mats.get(k, np.array([-1]))) >= 0) for k in keys))
+
         tex_flags = {
-            "diffuse": bool(np.any(np.asarray(
-                mats.get("tex0_id", np.array([-1]))) >= 0)),
-            "normal": bool(np.any(np.asarray(
-                mats.get("tex1_id", np.array([-1]))) >= 0)),
-            "rough": bool(np.any(np.asarray(
-                mats.get("tex3_id", np.array([-1]))) >= 0)),
+            "diffuse": _any_bound("tex0_id"),
+            "normal": _any_bound("tex1_id"),
+            "rough": _any_bound("tex3_id"),
+            # additive layers (reference 11-slot map surface,
+            # getShadingData.h:162-206) — compiled in only when bound
+            "diffuse_layers": _any_bound("tex5_id", "tex6_id"),
+            "normal_layers": _any_bound("tex7_id", "tex8_id"),
         }
 
         if cfg.n_devices and cfg.n_devices > 1:

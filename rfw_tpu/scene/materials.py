@@ -18,13 +18,23 @@ import numpy as np
 
 from ..utils import logger
 
-# Texture slot indices (reference map[11], material_list.h:18-27 MapProps).
+# Texture slot indices (reference map[11], material_list.h:18-27 MapProps;
+# device sampling getShadingData.h:148-206: diffuse layers 2/3 ADD to the
+# base texel, normal layers 2/3 add tangent-space vectors pre-normalize).
+# Slots 0-4 keep their round-1 indices; 5-10 complete the 11-slot surface.
 TEX_DIFFUSE = 0
 TEX_NORMAL = 1
 TEX_SPECULARITY = 2
 TEX_ROUGHNESS = 3
 TEX_ALPHA = 4
-NUM_TEX_SLOTS = 5
+TEX_DIFFUSE1 = 5       # 2nd diffuse layer (additive, Has2ndDiffuseMap)
+TEX_DIFFUSE2 = 6       # 3rd diffuse layer
+TEX_NORMAL1 = 7        # 2nd normal layer (additive pre-normalize)
+TEX_NORMAL2 = 8        # 3rd normal layer
+TEX_ROUGHNESS1 = 9     # 2nd roughness map (host-side parity; unsampled
+#                        on device — the reference's kernels don't read it)
+TEX_COLORMASK = 10     # color mask (host-side parity, as above)
+NUM_TEX_SLOTS = 11
 
 
 @dataclasses.dataclass

@@ -238,11 +238,21 @@ def build_merged_material_atlas(materials, textures: list[Texture]):
         entries[key] = eid
         return eid
 
+    from .materials import (TEX_DIFFUSE1, TEX_DIFFUSE2, TEX_NORMAL1,
+                            TEX_NORMAL2)
+
     add_entry(-1, -1, -1)   # entry 0: neutral (untextured materials)
     for i, m in enumerate(mats):
         t0 = m.maps[TEX_DIFFUSE].texture_id
         t1 = m.maps[TEX_NORMAL].texture_id
         t3 = m.maps[TEX_ROUGHNESS].texture_id
+        if len(m.maps) > TEX_NORMAL2 and any(
+                m.maps[s].texture_id >= 0
+                for s in (TEX_DIFFUSE1, TEX_DIFFUSE2, TEX_NORMAL1,
+                          TEX_NORMAL2)):
+            # additive texture layers need the flat-atlas path (the
+            # merged texel holds exactly one map per word)
+            return None, np.zeros(max(len(mats), 1), np.int32)
         for t in (t0, t1, t3):
             if t >= 0 and textures[t].is_hdr:
                 return None, np.zeros(max(len(mats), 1), np.int32)
@@ -283,14 +293,14 @@ def build_atlases_cached(materials, textures: list[Texture],
             h.update(str((m0.shape, str(m0.dtype), t.is_hdr)).encode())
             h.update(m0.tobytes())
         if merged:
-            from .materials import TEX_DIFFUSE, TEX_NORMAL, TEX_ROUGHNESS
+            # hash EVERY slot binding — matlas eligibility depends on
+            # layer slots too, so a partial key would alias scenes
             for m in materials or []:
-                mp = m.maps[TEX_DIFFUSE]
-                h.update(str((
-                    mp.texture_id, m.maps[TEX_NORMAL].texture_id,
-                    m.maps[TEX_ROUGHNESS].texture_id,
-                    tuple(np.asarray(mp.uv_scale).tolist()),
-                    tuple(np.asarray(mp.uv_offset).tolist()))).encode())
+                h.update(str([
+                    (mp.texture_id,
+                     tuple(np.asarray(mp.uv_scale).tolist()),
+                     tuple(np.asarray(mp.uv_offset).tolist()))
+                    for mp in m.maps]).encode())
         key = h.hexdigest()
         f = os.path.join(d, f"atlas_{key}.npz")
         try:

@@ -150,9 +150,21 @@ class RenderConfig:
     #                                   correct regroup measures ~3.2x
     #                                   SLOWER than the plain multi-pass
     #                                   walk (1124 vs 352 ms/launch).
-    #                                   Kept for future per-ray finished
-    #                                   bounds; exactness is tested either
-    #                                   way (tests/test_visit.py).
+    #                                   Round 3 ALSO built the exact
+    #                                   per-ray finished bound
+    #                                   (next_entries kernel): survivors
+    #                                   drop 77% -> 22.5%, but the
+    #                                   re-trace of the survivor set
+    #                                   costs 588 ms vs 367 ms for the
+    #                                   whole plain walk — survivors ARE
+    #                                   the long-list rays, and packing
+    #                                   them into fresh blocks rebuilds
+    #                                   equally long unions (plus ~200 ms
+    #                                   of prep). Lever measured dead for
+    #                                   this kernel design
+    #                                   (/tmp noted in STATUS.md r3).
+    #                                   Exactness is tested either way
+    #                                   (tests/test_visit.py).
     visit_subblocks: int = 1          # two-level union restriction: split
     #                                   each 256-ray block into S row
     #                                   sub-blocks, each with its OWN

@@ -149,6 +149,80 @@ def block_entries(rays8, bounds8, s_sub: int = 1):
     return out[:nb * s_sub]
 
 
+def _next_entry_kernel(t_dim: int,
+                       rays_ref,         # (64, BLOCK) — 8 ray blocks
+                       bounds_ref,       # (8, T)
+                       unvis_ref,        # (8, T) 1.0 = unvisited granule
+                       next_out):        # (8, BLOCK) per-ray min entry
+    """Per-RAY min slab entry over each block's UNVISITED crossed
+    granules — the exact 'finished' bound for the mid-trace regroup.
+    The block-min bound (tnears[W_A]) left 77% survivors on the real
+    1080p d1 stream because one ray's early entry pins the whole
+    block; the per-ray bound matches the offline sim's ~17%."""
+    for blk in range(8):
+        rays = rays_ref[8 * blk:8 * blk + 8, :]
+        tm_col = rays[3:4, :].T                 # (BLOCK, 1)
+        o_col = []
+        inv_col = []
+        for ax in range(3):
+            o_col.append(rays[ax:ax + 1, :].T)
+            dax = rays[4 + ax:5 + ax, :].T
+            safe = jnp.where(jnp.abs(dax) < 1e-12,
+                             jnp.where(dax < 0, -1e-12, 1e-12), dax)
+            inv_col.append(1.0 / safe)
+        best = jnp.full((BLOCK, 1), 1e30, jnp.float32)
+        for s in range(0, t_dim, ENUM_TILE):
+            w = min(ENUM_TILE, t_dim - s)
+            ent = jnp.zeros((BLOCK, w), jnp.float32)
+            ext = jnp.full((BLOCK, w), 3e38, jnp.float32)
+            for ax in range(3):
+                b_lo = bounds_ref[ax:ax + 1, s:s + w]
+                b_hi = bounds_ref[3 + ax:4 + ax, s:s + w]
+                t1 = (b_lo - o_col[ax]) * inv_col[ax]
+                t2 = (b_hi - o_col[ax]) * inv_col[ax]
+                ent = jnp.maximum(ent, jnp.minimum(t1, t2))
+                ext = jnp.minimum(ext, jnp.maximum(t1, t2))
+            keep = ((ent < jnp.minimum(ext, tm_col))
+                    & (unvis_ref[blk:blk + 1, s:s + w] > 0.0))
+            e = jnp.where(keep, ent, 1e30)
+            best = jnp.minimum(best, jnp.min(e, axis=1, keepdims=True))
+        next_out[blk:blk + 1, :] = best.reshape(1, BLOCK)
+
+
+@functools.partial(jax.jit)
+def next_entries(rays8, bounds8, unvis):
+    """rays8 (NB*8, BLOCK), unvis (NB, T) → (NB*BLOCK,) per-ray min
+    entry over unvisited crossed granules (1e30 when none)."""
+    nb = rays8.shape[0] // 8
+    t_dim = bounds8.shape[1]
+    pad_nb = (-nb) % 8
+    if pad_nb:
+        rays8 = jnp.pad(rays8, ((0, pad_nb * 8), (0, 0)))
+        unvis = jnp.pad(unvis, ((0, pad_nb), (0, 0)))
+    kernel = functools.partial(_next_entry_kernel, t_dim)
+    interpret = jax.default_backend() == "cpu"
+    out = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=((nb + pad_nb) // 8,),
+        in_specs=[
+            pl.BlockSpec((64, BLOCK), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, t_dim), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, t_dim), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, BLOCK), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        out_shape=jax.ShapeDtypeStruct((nb + pad_nb, BLOCK),
+                                       jnp.float32),
+    )(rays8, bounds8, unvis)
+    return out[:nb].reshape(-1)
+
+
 @functools.partial(jax.jit, static_argnames=("s_sub",))
 def block_entries_envelope(rays8, bounds8, s_sub: int = 1):
     """Per-BLOCK interval-envelope entry bounds: (NB, T) like
@@ -774,15 +848,34 @@ def _trace_regroup(scene, origins, directions, t_max, config: RenderConfig,
     best_t = jnp.where(hitA, t_row, t_max)
     best_slot = jnp.where(hitA, s_row, -1)
 
-    # finished = walked everything, or best hit precedes the entry lower
-    # bound of the first UNVISITED granule (tnears[:, W_A] — BIG_T when
-    # the block has ≤ W_A granules); occlusion rays finish on any hit
-    ray_more = jnp.repeat(counts_all > w_a, g_rays)[:n]
-    ray_next = jnp.repeat(tnears[:, w_a], g_rays)[:n]
-    if any_hit:
-        fin = ~ray_more | (best_slot >= 0)
+    # finished = best hit precedes this ray's PERSONAL min entry over
+    # the block's unvisited crossed granules (exact: an uncrossed
+    # granule can hold no hit — cells bound their member triangles —
+    # and a crossed one cannot beat best_t if its entry is past it).
+    # The round-2 bound used the BLOCK-min entry of granule W_A, which
+    # left 77% survivors on the real d1 stream; the per-ray bound costs
+    # one extra enum-style pass (next_entries) and lands near the
+    # per-ray sim's ~17%. s_sub > 1 keeps the per-row bound (rows ARE
+    # the sub-blocks there, so the same scatter works on row ids).
+    if s_sub == 1:
+        nb_rows = ids.shape[0]
+        rowi = jnp.arange(nb_rows, dtype=jnp.int32)[:, None]
+        vis = jnp.zeros((nb_rows, t_c + 1), jnp.float32)
+        # ids pad value is t_c → lands in the throwaway column
+        vis = vis.at[rowi, jnp.minimum(ids[:, :w_a], t_c)].set(1.0)
+        unvis = 1.0 - vis[:, :t_c]
+        next_pers = next_entries(rays8_0, bounds8, unvis)[:n]
+        if any_hit:
+            fin = (best_slot >= 0) | (next_pers >= t_max)
+        else:
+            fin = best_t <= next_pers
     else:
-        fin = ~ray_more | (best_t <= ray_next)
+        ray_more = jnp.repeat(counts_all > w_a, g_rays)[:n]
+        ray_next = jnp.repeat(tnears[:, w_a], g_rays)[:n]
+        if any_hit:
+            fin = ~ray_more | (best_slot >= 0)
+        else:
+            fin = ~ray_more | (best_t <= ray_next)
     fin = fin | (t_max <= 0)
 
     # --- regroup: survivors first, original order preserved

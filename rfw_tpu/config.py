@@ -76,6 +76,14 @@ class RenderConfig:
     # engages for intersectors that read the treelet tables; 'bvh'/'tlas'
     # fall back to the host refit.
     device_refit: bool = True
+    # device deformation updates REBUILD the visit-cell structure each
+    # call with a Morton sort of the deformed centroids (the LBVH-style
+    # device rebuild, SURVEY §7) instead of keeping the original cell
+    # membership. Morton cells measure within ~5% of the host kd cells'
+    # cull quality (tools/morton_cells_sim.py), and fresh cells every
+    # frame beat refit's unbounded drift. False = classic refit
+    # semantics (static membership, reference top_level_bvh.cpp:17-53).
+    device_rebuild_cells: bool = True
     # consecutive deformation refits before a full rebuild restores BVH /
     # treelet cull quality (refit keeps topology while geometry drifts —
     # the reference refits unconditionally, top_level_bvh.cpp:17-53; a

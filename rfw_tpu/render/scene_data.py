@@ -208,14 +208,23 @@ def make_device_refit(scene: dict, instances: list[InstancedMesh],
     function, so a skinned-mesh frame costs a sub-MB upload + a few ms of
     device math).
 
-    Static at compile time: instance structure, triangle counts, the
-    builder permutation and the cell membership (refit semantics — cull
-    quality degrades gracefully as geometry drifts, reference
-    top_level_bvh.cpp:17-53). Refreshes the flat shading planes, the
-    treelet/visit tables and the tri-pack geometric columns. The wide-BVH
-    node arrays are NOT refit (the flagship intersectors don't read
-    them); engines force a full rebuild when switching to the 'bvh'/
-    'tlas' intersectors.
+    Static at compile time: instance structure, triangle counts and the
+    builder permutation. Cell MEMBERSHIP is either kept static (refit
+    semantics — cull quality degrades as geometry drifts, reference
+    top_level_bvh.cpp:17-53) or REBUILT each call on device
+    (``config.device_rebuild_cells``, default): a Morton sort of the
+    deformed triangle centroids re-cells the scene — the LBVH-style
+    device rebuild SURVEY §7 prescribes for animation. Morton cells
+    measure within ~5% of the host kd-median cells' cull quality on the
+    real d1 stream (140.6 vs 133.5 steps/block, tools/
+    morton_cells_sim.py), and the rebuild is one argsort + gathers, so
+    per-frame deformation keeps FULL cull quality instead of drifting.
+    Exactness is unaffected either way (cells bound their members).
+
+    Refreshes the flat shading planes, the treelet/visit tables and the
+    tri-pack geometric columns. The wide-BVH node arrays are NOT refit
+    (the flagship intersectors don't read them); engines force a full
+    rebuild when switching to the 'bvh'/'tlas' intersectors.
 
     Returns refresh(slot_planes, xforms) → partial scene dict of jnp
     arrays, where slot_planes maps mesh_slot → {vertices, normals,
@@ -230,12 +239,30 @@ def make_device_refit(scene: dict, instances: list[InstancedMesh],
     stp = np.asarray(tl["slot_to_prim"])
     k = int(tl["size"])
     n_cells = stp.shape[0] // k
+    n_tris = int(np.asarray(scene["tri_vertices"]).shape[0])
+    rebuild_cells = bool(getattr(config, "device_rebuild_cells", True))
     from ..ops.pallas_intersect import SUPER_G
     n_super = n_cells // SUPER_G
     perm_j = jnp.asarray(perm.astype(np.int32))
     pad_src = jnp.asarray(np.maximum(stp, 0))
     pad_valid = jnp.asarray((stp >= 0).astype(np.float32))[:, None]
     has_pack = "tri_pack" in scene
+
+    def _morton_order(verts):
+        """(T,) permutation of triangles by 30-bit centroid Morton code."""
+        tmin = verts.min(axis=1)
+        tmax = verts.max(axis=1)
+        cent = 0.5 * (tmin + tmax)
+        lo = cent.min(axis=0)
+        hi = cent.max(axis=0)
+        q = jnp.clip((cent - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
+        qi = jnp.minimum((q * 1024.0).astype(jnp.uint32), 1023)
+        code = jnp.zeros(verts.shape[0], jnp.uint32)
+        for i in range(10):
+            for ax in range(3):
+                code = code | (((qi[:, ax] >> i) & 1)
+                               << (3 * i + (2 - ax)))
+        return jnp.argsort(code).astype(jnp.int32)
 
     @jax.jit
     def refresh(slot_planes, xforms):
@@ -268,18 +295,30 @@ def make_device_refit(scene: dict, instances: list[InstancedMesh],
             "tri_bitangent": cat["bitangent"],
             "tri_area": area,
         }
-        # padded per-cell triangle planes (cell membership unchanged)
-        pv = verts[pad_src] * pad_valid[:, :, None]
+        # padded per-cell triangle planes. Membership: static (refit) or
+        # freshly re-celled by a device Morton sort (rebuild — see
+        # factory docstring)
+        if rebuild_cells:
+            order = _morton_order(verts)
+            slots_new = jnp.concatenate(
+                [order,
+                 jnp.full(stp.shape[0] - n_tris, -1, jnp.int32)])
+            p_src = jnp.maximum(slots_new, 0)
+            p_val = (slots_new >= 0).astype(jnp.float32)[:, None]
+        else:
+            slots_new = None
+            p_src, p_val = pad_src, pad_valid
+        pv = verts[p_src] * p_val[:, :, None]
         pad_woop = woop_matrices_jnp(pv[:, 0], pv[:, 1], pv[:, 2])
         # degenerate all-zero pad rows: make the w-plane unreachable
         deg = jnp.sum(jnp.abs(pv.reshape(pv.shape[0], -1)), axis=1) < 1e-30
         pad_woop = jnp.where(deg[:, None, None],
                              jnp.zeros((3, 4), jnp.float32)
                              .at[2, 3].set(1.0), pad_woop)
-        # fresh cell bounds over unchanged membership (far point when
-        # empty — see build_device_scene)
-        vlo = jnp.where(pad_valid > 0, pv.min(axis=1), 3e37)
-        vhi = jnp.where(pad_valid > 0, pv.max(axis=1), -3e37)
+        # fresh cell bounds (far point when empty — see
+        # build_device_scene)
+        vlo = jnp.where(p_val > 0, pv.min(axis=1), 3e37)
+        vhi = jnp.where(p_val > 0, pv.max(axis=1), -3e37)
         bmin_c = vlo.reshape(n_cells, k, 3).min(axis=1)
         bmax_c = vhi.reshape(n_cells, k, 3).max(axis=1)
         empty = bmax_c[:, 0] < bmin_c[:, 0]
@@ -313,6 +352,8 @@ def make_device_refit(scene: dict, instances: list[InstancedMesh],
             "scene_lo": verts.reshape(-1, 3).min(axis=0),
             "scene_hi": verts.reshape(-1, 3).max(axis=0),
         }
+        if slots_new is not None:
+            out["_treelets_update"]["slot_to_prim"] = slots_new
         out["woop"] = woop_matrices_jnp(verts[:, 0], verts[:, 1],
                                         verts[:, 2])
         if has_pack:

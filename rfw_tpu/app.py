@@ -27,10 +27,14 @@ class App:
                  engine: str = "megakernel",
                  config: RenderConfig | None = None,
                  camera_file: str = "camera.bin",
-                 output_dir: str = "frames"):
+                 output_dir: str = "frames",
+                 fxaa: bool = True):
         self.rs = RenderSystem(engine, config)
         self.camera_file = camera_file
         self.output_dir = output_dir
+        # the reference app FXAAs the tonemapped target before the blit
+        # (app.h:23-61); ops/tonemap.fxaa is the jnp analog
+        self.fxaa = fxaa
         self.rs.camera = Camera.deserialize(camera_file)
         self.rs.camera.resize(width, height)
         self.frame_index = 0
@@ -60,7 +64,8 @@ class App:
         for _ in range(frames):
             dt = timer.elapsed()
             timer.reset()
-            frame = self.rs.render_tonemapped(samples=samples_per_frame)
+            frame = self.rs.render_tonemapped(samples=samples_per_frame,
+                                              fxaa=self.fxaa)
             self.post_render(frame, self.frame_index)
             self.frame_index += 1
             stats = self.rs.get_render_stats()

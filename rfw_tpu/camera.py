@@ -120,16 +120,32 @@ class Camera:
 
     # -- persistence (reference Camera.cpp:42-72) ----------------------------
 
-    def serialize(self, path: str) -> None:
-        blob = serial.serialize(_SERIAL_VERSION, [
+    def serialize_bytes(self) -> bytes:
+        return serial.serialize(_SERIAL_VERSION, [
             ("3f", tuple(float(v) for v in self.position)),
             ("3f", tuple(float(v) for v in self.direction)),
             ("f", self.fov), ("f", self.aperture), ("f", self.focal_distance),
             ("f", self.brightness), ("f", self.contrast), ("f", self.aspect_ratio),
             ("2i", self.pixel_count),
         ])
+
+    def serialize(self, path: str) -> None:
         with open(path, "wb") as f:
-            f.write(blob)
+            f.write(self.serialize_bytes())
+
+    @staticmethod
+    def deserialize_bytes(blob: bytes) -> "Camera":
+        try:
+            vals = serial.deserialize(blob, _SERIAL_VERSION, _SERIAL_FORMATS)
+            cam = Camera()
+            cam.position = np.array(vals[0], np.float32)
+            cam.direction = np.array(vals[1], np.float32)
+            (cam.fov, cam.aperture, cam.focal_distance, cam.brightness,
+             cam.contrast, cam.aspect_ratio) = (float(v) for v in vals[2:8])
+            cam.pixel_count = tuple(int(v) for v in vals[8])
+            return cam
+        except Exception:
+            return Camera()
 
     @staticmethod
     def deserialize(path: str) -> "Camera":
@@ -139,13 +155,6 @@ class Camera:
             return Camera()
         try:
             with open(path, "rb") as f:
-                vals = serial.deserialize(f.read(), _SERIAL_VERSION, _SERIAL_FORMATS)
-            cam = Camera()
-            cam.position = np.array(vals[0], np.float32)
-            cam.direction = np.array(vals[1], np.float32)
-            (cam.fov, cam.aperture, cam.focal_distance, cam.brightness,
-             cam.contrast, cam.aspect_ratio) = (float(v) for v in vals[2:8])
-            cam.pixel_count = tuple(int(v) for v in vals[8])
-            return cam
+                return Camera.deserialize_bytes(f.read())
         except Exception:
             return Camera()

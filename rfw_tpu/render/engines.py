@@ -527,6 +527,25 @@ class PathTracerEngine(EngineContext):
                             aux["depth"].reshape(height, width))
         return np.asarray(frame)
 
+    # -- progressive-render checkpoint (SURVEY §5: the reference's
+    # accumulator+sampleIndex is resumable in-session only,
+    # CUDART/Context.cpp:75-80; persisting them makes long renders
+    # resumable across processes, like camera.bin does for the camera) --
+
+    def get_render_state(self):
+        """(accumulator (N,3) np.float32, sample_count) or None."""
+        if self._accumulator is None:
+            return None
+        return np.asarray(self._accumulator), int(self._sample_count)
+
+    def set_render_state(self, accumulator, sample_count: int) -> None:
+        acc = np.asarray(accumulator, np.float32)
+        w, h = self._size
+        assert acc.shape == (w * h, 3), (
+            f"accumulator {acc.shape} does not match {w}x{h}")
+        self._accumulator = jnp.asarray(acc)
+        self._sample_count = int(sample_count)
+
     def resize(self, width: int, height: int) -> None:
         if (width, height) != self._size:
             self._size = (width, height)

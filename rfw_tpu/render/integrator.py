@@ -695,15 +695,37 @@ def trace_sample(scene, view, width: int, height: int, sample_index,
     probe_lane = (probe_index if inv_lane is None
                   else inv_lane[probe_index])
 
-    for depth in range(config.max_path_length + 1):
-        state, stats_d, probe_d, aux_d = depth_stage(
-            scene, view, state, width, depth, sample_index, probe_lane,
-            config, intersector, tex_flags=tex_flags, height=height)
-        for k, v in stats_d.items():
-            stats[f"{k}_{depth}"] = v
-        if depth == 0:
-            probe = probe_d
-            aux = aux_d
+    # depth 0 (static body: ray-gen policy, probe, aux, coherent flags)
+    state, stats_d0, probe, aux = depth_stage(
+        scene, view, state, width, 0, sample_index, probe_lane,
+        config, intersector, tex_flags=tex_flags, height=height)
+    for k, v in stats_d0.items():
+        stats[f"{k}_0"] = v
+
+    # depths 1..D share ONE traced-depth body under a fori_loop (the
+    # same XLA compile-time lever as the compacted driver — unrolled
+    # static bodies multiplied the fused program's compile time by
+    # max_path_length; see depth_stage depth_t)
+    dmax = config.max_path_length
+    if dmax >= 1:
+        stats_arr0 = {k: jnp.zeros(dmax + 1, jnp.int32) for k in stats_d0}
+
+        def depth_body(dd, carry):
+            st, stats_arr = carry
+            st, st_d, _, _ = depth_stage(
+                scene, view, st, width, 1, sample_index, jnp.int32(0),
+                config, intersector, tex_flags=tex_flags,
+                sort_rays=True, height=height, depth_t=dd)
+            stats_arr = {k: stats_arr[k].at[dd].set(st_d[k])
+                         for k in stats_arr}
+            return st, stats_arr
+
+        import jax
+        state, stats_arr = jax.lax.fori_loop(
+            1, dmax + 1, depth_body, (state, stats_arr0))
+        for k in stats_arr:
+            for dd in range(1, dmax + 1):
+                stats[f"{k}_{dd}"] = stats_arr[k][dd]
 
     radiance = state.radiance
     if inv_lane is not None:   # tiled lanes → row-major pixel order

@@ -389,15 +389,66 @@ class RenderSystem:
 
     def render_tonemapped(self, camera: Camera | None = None,
                           status: RenderStatus | None = None,
-                          samples: int = 1) -> np.ndarray:
-        """render_frame + the ACES pass (system.cpp:694-714)."""
+                          samples: int = 1,
+                          fxaa: bool = False) -> np.ndarray:
+        """render_frame + the ACES pass (system.cpp:694-714).
+        ``fxaa`` additionally runs the app harness's FXAA post blit
+        (reference app.h:23-61) over the tonemapped frame."""
         import jax.numpy as jnp
 
         from .ops import tonemap
         cam = camera or self.camera
         hdr = self.render_frame(cam, status, samples)
-        return np.asarray(tonemap.tonemap(jnp.asarray(hdr), cam.brightness,
-                                          cam.contrast))
+        ldr = tonemap.tonemap(jnp.asarray(hdr), cam.brightness,
+                              cam.contrast)
+        if fxaa:
+            ldr = tonemap.fxaa(ldr)
+        return np.asarray(ldr)
+
+    # -- progressive-render checkpoint ---------------------------------------
+
+    def save_render_state(self, path: str) -> bool:
+        """Persist the progressive accumulator + sample count (+ camera)
+        so a long render can resume across processes — the reference
+        keeps them in-session only (RenderStatus::Converge continues,
+        CUDART/Context.cpp:75-80); camera.bin-style persistence applied
+        to the framebuffer. Returns False when nothing was rendered."""
+        state = self._context.get_render_state()
+        if state is None:
+            return False
+        acc, spp = state
+        w, h = self.camera.pixel_count
+        np.savez(path, accumulator=acc, sample_count=spp,
+                 width=w, height=h,
+                 camera=self.camera.serialize_bytes())
+        return True
+
+    def load_render_state(self, path: str) -> bool:
+        """Restore a saved render state; continue with
+        ``render_frame(status=RenderStatus.CONVERGE)``. Returns False
+        (untouched state) when the file is absent or mismatched."""
+        try:
+            z = np.load(path, allow_pickle=False)
+            w, h = int(z["width"]), int(z["height"])
+            acc = np.asarray(z["accumulator"], np.float32)
+            spp = int(z["sample_count"])
+        except (OSError, KeyError, ValueError):
+            return False
+        if acc.shape != (w * h, 3):
+            return False
+        if "camera" in z.files:
+            self.camera = Camera.deserialize_bytes(bytes(z["camera"]))
+        self.camera.resize(w, h)
+        self._context.resize(w, h)
+        # flush any pending scene upload FIRST — the engine's update()
+        # restarts accumulation ("scene changed ⇒ restart"), which would
+        # clobber the restored sample count on the next render
+        self.synchronize()
+        if hasattr(self._context, "update"):
+            self._context.update()
+        self._context.set_render_state(acc, spp)
+        self._should_reset = False
+        return True
 
     # -- probe (system.cpp:876-893) ------------------------------------------
 

@@ -60,3 +60,54 @@ def test_serialize_roundtrip(tmp_path):
 def test_deserialize_missing_falls_back(tmp_path):
     cam = Camera.deserialize(str(tmp_path / "nope.bin"))
     assert cam.fov == 40.0  # defaults (reference Camera.cpp:54-61)
+
+
+def test_render_state_checkpoint(tmp_path):
+    """Progressive accumulator persists across RenderSystem instances:
+    8 continuous samples == 4 samples + save + load + 4 CONVERGE samples
+    (deterministic sampler ⇒ identical accumulators)."""
+    import numpy as np
+
+    from rfw_tpu.config import RenderConfig
+    from rfw_tpu.render import RenderStatus
+    from rfw_tpu.system import RenderSystem
+
+    def build():
+        rs = RenderSystem("megakernel",
+                          RenderConfig(blue_noise=False, max_path_length=1))
+        m = rs.add_material([0.6, 0.6, 0.6])
+        rs.add_instance(rs.add_quad([0, 1, 0], [0, 0, 0], 8, 8, m))
+        rs.add_point_light([0, 3.0, 0], [20.0] * 3)
+        rs.camera.resize(32, 24)
+        rs.camera.look_at([0, 2.0, -3.0], [0, 0, 0])
+        return rs
+
+    rs_a = build()
+    ref = rs_a.render_frame(samples=8)
+
+    rs_b = build()
+    rs_b.render_frame(samples=4)
+    p = str(tmp_path / "render_state.npz")
+    assert rs_b.save_render_state(p)
+
+    rs_c = build()
+    assert rs_c.load_render_state(p)
+    out = rs_c.render_frame(status=RenderStatus.CONVERGE, samples=4)
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-5
+
+
+def test_fxaa_smooths_edges():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rfw_tpu.ops.tonemap import fxaa
+
+    y, x = np.indices((32, 32))
+    img = np.repeat(((x > y)).astype(np.float32)[..., None], 3, axis=-1)
+    out = np.asarray(fxaa(jnp.asarray(img)))   # diagonal staircase
+    assert out.shape == img.shape
+    assert np.isfinite(out).all()
+    # pixels on the staircase blend toward gray; far flats stay put
+    diag = np.array([out[i, i + 1, 0] for i in range(4, 28)])
+    assert ((diag > 0.02) & (diag < 0.98)).any(), diag
+    assert abs(out[20, 4, 0]) < 1e-6 and abs(out[4, 20, 0] - 1.0) < 1e-6

@@ -71,10 +71,6 @@ def fxaa(ldr, span_max: float = 8.0, reduce_mul: float = 1.0 / 8.0,
     """
     img = jnp.asarray(ldr, jnp.float32)
     h, w = img.shape[0], img.shape[1]
-
-    def shift(dy, dx):
-        return jnp.roll(img, (-dy, -dx), axis=(0, 1))
-
     luma = jnp.einsum("...c,c->...", img, jnp.asarray(_LUMA))
 
     def sl(dy, dx):

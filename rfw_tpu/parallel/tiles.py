@@ -189,7 +189,9 @@ def make_driver_engine_step(mesh, width: int, height: int,
         out_specs=(P(), P(), P(), P()),
         check_rep=False,
     )
-    jfn = jax.jit(fn)
+    # donate the accumulator like the single-chip driver — without it
+    # every sample keeps input+output framebuffers alive per device
+    jfn = jax.jit(fn, donate_argnums=(1,))
 
     def step(scene, accumulator, view, sample_index, probe_index):
         return jfn(scene, accumulator, view,

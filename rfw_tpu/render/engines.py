@@ -87,14 +87,6 @@ class PathTracerEngine(EngineContext):
         self._dirty = True
 
     def set_textures(self, atlas) -> None:
-        if atlas and atlas.get("matlas") is not None:
-            # when the merged material atlas is active, every shading
-            # fetch reads IT (ops/shade.py get_shading_data — the f32
-            # atlas is strictly the matlas-absent fallback), so ship a
-            # 1-texel stub instead of the ~190 MB f32 plane: halves the
-            # scene's HBM footprint and its host→device upload time
-            atlas = dict(atlas)
-            atlas["atlas"] = np.ones((1, 4), np.float32)
         self._atlas = atlas
         self._dirty = True
 
@@ -253,6 +245,18 @@ class PathTracerEngine(EngineContext):
                 self._device_refit = None   # new structure → recompile
             self._geo_key = geo_key
             self._anim_key = anim_key
+        # merged-atlas consistency: the matlas path needs the per-material
+        # mtex_id table; with it, every shading fetch reads the matlas and
+        # the ~190 MB f32 atlas can ship as a 1-texel stub (halves upload
+        # + HBM). WITHOUT it (direct-engine users who never set mtex_id),
+        # drop the matlas so shading takes the real flat atlas — a stub +
+        # real descriptors would silently fetch garbage.
+        if scene.get("matlas") is not None:
+            if self._materials and "mtex_id" in self._materials:
+                scene["atlas"] = np.ones((1, 4), np.float32)
+            else:
+                scene.pop("matlas", None)
+                scene.pop("matlas_desc", None)
         self._perm_host = scene.pop("_perm_host",
                                     getattr(self, "_perm_host", None))
         self._bvh_host = scene.pop("_bvh_host",
@@ -298,22 +302,6 @@ class PathTracerEngine(EngineContext):
     use_wavefront_driver = False   # per-depth compaction driver (flagship)
 
     def _get_trace_fn(self, width: int, height: int):
-        if self._trace_fn is not None and self._size == (width, height):
-            return self._trace_fn
-        cfg = self._integrator_config()
-        intersector = FACTORIES[self._intersector_name](cfg)
-        n_total = width * height
-        n_chunks = max(1, -(-n_total // cfg.max_rays_per_pass))
-        # equal chunks → one compiled shape; prefer chunks of whole image
-        # rows so the integrator's 16x16-tile lane ordering stays available
-        while height % n_chunks and n_chunks < height:
-            n_chunks += 1
-        if height % n_chunks:
-            n_chunks = max(1, -(-n_total // cfg.max_rays_per_pass))
-            while n_total % n_chunks:
-                n_chunks += 1
-        n_local = n_total // n_chunks
-
         mats = self._materials or {}
 
         def _any_bound(*keys):
@@ -329,6 +317,27 @@ class PathTracerEngine(EngineContext):
             "diffuse_layers": _any_bound("tex5_id", "tex6_id"),
             "normal_layers": _any_bound("tex7_id", "tex8_id"),
         }
+        # tex_flags are baked into the compiled stages: a value-only
+        # material edit that binds/unbinds a slot class (same array
+        # shapes, so update() keeps the cached fn) must still re-jit
+        flags_key = tuple(sorted(tex_flags.items()))
+        if (self._trace_fn is not None and self._size == (width, height)
+                and getattr(self, "_tex_flags_key", None) == flags_key):
+            return self._trace_fn
+        self._tex_flags_key = flags_key
+        cfg = self._integrator_config()
+        intersector = FACTORIES[self._intersector_name](cfg)
+        n_total = width * height
+        n_chunks = max(1, -(-n_total // cfg.max_rays_per_pass))
+        # equal chunks → one compiled shape; prefer chunks of whole image
+        # rows so the integrator's 16x16-tile lane ordering stays available
+        while height % n_chunks and n_chunks < height:
+            n_chunks += 1
+        if height % n_chunks:
+            n_chunks = max(1, -(-n_total // cfg.max_rays_per_pass))
+            while n_total % n_chunks:
+                n_chunks += 1
+        n_local = n_total // n_chunks
 
         if cfg.n_devices and cfg.n_devices > 1:
             # multi-chip tiles through the product ABI (SURVEY §2.9):

@@ -430,8 +430,6 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
                 s1 = bn_mask[(py + o[3]) % size, (px + o[2]) % size]
             r0 = rng.blue_noise_from_shift_koff(s0, sample_index, k_off, 0)
             r1 = rng.blue_noise_from_shift_koff(s1, sample_index, k_off, 1)
-            r0 = jnp.where(sample_index < config.blue_noise_spp_cutoff,
-                           r0, 0.0)
             seed, (h0, h1) = rng.random_floats(seed, 2)
             r0 = jnp.where(sample_index < config.blue_noise_spp_cutoff,
                            r0, h0)
@@ -454,8 +452,6 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
                                            d0_)
                 r1 = rng.blue_noise_sample(bn_mask, px, py, sample_index,
                                            d1_)
-            r0 = jnp.where(sample_index < config.blue_noise_spp_cutoff,
-                           r0, 0.0)
             seed, (h0, h1) = rng.random_floats(seed, 2)
             r0 = jnp.where(sample_index < config.blue_noise_spp_cutoff,
                            r0, h0)

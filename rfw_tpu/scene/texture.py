@@ -289,9 +289,21 @@ def build_atlases_cached(materials, textures: list[Texture],
     if d is not None:
         h = hashlib.sha1(f"v2|{MIP_LEVEL_COUNT}|{merged}".encode())
         for t in textures:
-            m0 = np.ascontiguousarray(t.mips[0])
-            h.update(str((m0.shape, str(m0.dtype), t.is_hdr)).encode())
-            h.update(m0.tobytes())
+            dig = getattr(t, "_digest", None)
+            if dig is None:
+                # memoize per Texture: synchronize() re-keys on every
+                # materials-dirty edit, and hashing hundreds of MB of
+                # texels per edit would dominate interactive latency
+                m0 = np.ascontiguousarray(t.mips[0])
+                hd = hashlib.sha1(
+                    str((m0.shape, str(m0.dtype), t.is_hdr)).encode())
+                hd.update(m0.tobytes())
+                dig = hd.digest()
+                try:
+                    t._digest = dig
+                except AttributeError:
+                    pass
+            h.update(dig)
         if merged:
             # hash EVERY slot binding — matlas eligibility depends on
             # layer slots too, so a partial key would alias scenes

@@ -11,6 +11,7 @@ surface (system.cpp:499-620).
 
 from __future__ import annotations
 
+import os
 import enum
 from typing import Sequence
 
@@ -417,7 +418,13 @@ class RenderSystem:
         if state is None:
             return False
         acc, spp = state
-        w, h = self.camera.pixel_count
+        # the ENGINE owns the accumulator shape — the camera may have
+        # been resized since the last render
+        w, h = getattr(self._context, "_size", self.camera.pixel_count)
+        if acc.shape[0] != w * h:
+            return False
+        if not path.endswith(".npz"):
+            path += ".npz"      # np.savez appends it silently otherwise
         np.savez(path, accumulator=acc, sample_count=spp,
                  width=w, height=h,
                  camera=self.camera.serialize_bytes())
@@ -427,13 +434,15 @@ class RenderSystem:
         """Restore a saved render state; continue with
         ``render_frame(status=RenderStatus.CONVERGE)``. Returns False
         (untouched state) when the file is absent or mismatched."""
+        if not path.endswith(".npz") and not os.path.exists(path):
+            path += ".npz"      # match save_render_state's normalization
         try:
             z = np.load(path, allow_pickle=False)
             w, h = int(z["width"]), int(z["height"])
             acc = np.asarray(z["accumulator"], np.float32)
             spp = int(z["sample_count"])
-        except (OSError, KeyError, ValueError):
-            return False
+        except Exception:       # corrupt/truncated zip raises BadZipFile;
+            return False        # the contract is False on ANY bad file
         if acc.shape != (w * h, 3):
             return False
         if "camera" in z.files:

@@ -1,10 +1,10 @@
 """BSDF library (reference bsdf/ directory: disney active, lambert and
 microfacet as alternatives — bsdf/bsdf.h:19-22)."""
 
-from . import common, disney, lambert, microfacet
+from . import common, disney, lambert, microfacet, microsurface
 
 _REGISTRY = {"disney": disney, "lambert": lambert,
-             "microfacet": microfacet}
+             "microfacet": microfacet, "microsurface": microsurface}
 
 
 def get(name: str):

@@ -119,3 +119,80 @@ def test_disney_transmission_refracts():
         r3, r4)
     frac_below = float(jnp.mean((jnp.sum(wi * n, axis=-1) < 0)))
     assert frac_below > 0.5  # mostly transmitted through the surface
+
+
+def test_microsurface_energy_and_reciprocity():
+    """Multiple-scattering microsurface (Heitz 2016): the sampling walk
+    conserves energy at color=1 (white furnace — sampled paths carry
+    weight color^order == 1 whenever the walk escapes), and the
+    stochastic eval is finite, reciprocal-ish and zero below the
+    horizon."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rfw_tpu.ops.bsdf import get
+
+    ms = get("microsurface")
+    n = 4096
+    rng = np.random.default_rng(11)
+    i_n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (n, 3))
+    t = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), (n, 3))
+    b = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), (n, 3))
+    sd = {"color": jnp.ones((n, 3)),
+          "roughness": jnp.full(n, 0.9),
+          "metallic": jnp.ones(n), "specular": jnp.full(n, 0.5)}
+    wo_l = np.stack([np.full(n, 0.45), np.zeros(n),
+                     np.full(n, np.sqrt(1 - 0.45 ** 2))], -1)
+    wo = jnp.asarray(wo_l, jnp.float32)
+    r3 = jnp.asarray(rng.random(n), jnp.float32)
+    r4 = jnp.asarray(rng.random(n), jnp.float32)
+
+    val, wi, pdf, _ = ms.sample_bsdf(sd, i_n, i_n, t, b, wo,
+                                     jnp.ones(n), jnp.zeros(n, bool),
+                                     r3, r4)
+    val, wi, pdf = map(np.asarray, (val, wi, pdf))
+    ok = pdf > 1e-6
+    assert ok.mean() > 0.98          # almost every walk escapes upward
+    # integrator weight = val*cos/pdf == color^order == 1 exactly
+    cos_i = np.maximum(wi[:, 2], 1e-4)
+    w = val[:, 0] * cos_i / np.maximum(pdf, 1e-9)
+    assert np.allclose(w[ok], 1.0, atol=1e-3), (w[ok].min(), w[ok].max())
+    assert (wi[ok][:, 2] > 0).all()  # reflection stays above the surface
+
+    # stochastic eval: finite, nonnegative, zero below horizon
+    wi_q = jnp.asarray(np.stack(
+        [np.full(n, -0.3), np.full(n, 0.2),
+         np.full(n, np.sqrt(1 - 0.09 - 0.04))], -1), jnp.float32)
+    f, p = ms.evaluate_bsdf(sd, i_n, t, b, wo, wi_q)
+    f, p = np.asarray(f), np.asarray(p)
+    assert np.isfinite(f).all() and (f >= 0).all() and (p >= 0).all()
+    wi_down = jnp.asarray(np.stack(
+        [np.zeros(n), np.zeros(n), -np.ones(n)], -1), jnp.float32)
+    f2, p2 = ms.evaluate_bsdf(sd, i_n, t, b, wo, wi_down)
+    assert float(jnp.abs(f2).max()) == 0.0 and float(p2.max()) == 0.0
+
+
+def test_microsurface_furnace_render():
+    """Rough metal plate under a uniform sky: multiple scattering keeps
+    the mean reflected radiance near the sky radiance (energy
+    conservation) — a single-scattering model loses >20% at this
+    roughness."""
+    import numpy as np
+    from rfw_tpu.config import RenderConfig
+    from rfw_tpu.system import RenderSystem
+    from rfw_tpu.scene import Skybox
+
+    cfg = RenderConfig(bsdf="microsurface", blue_noise=False,
+                       max_path_length=3, envmap_nee=False,
+                       variance_reduction=False)
+    rs = RenderSystem("megakernel", cfg)
+    m = rs.add_material([1.0, 1.0, 1.0], roughness=0.95, metallic=1.0)
+    rs.add_instance(rs.add_quad([0, 1, 0], [0, 0, 0], 50, 50, m))
+    sky = Skybox(pixels=np.full((16, 32, 3), 0.5, np.float32))
+    rs.set_skybox(sky)
+    rs.camera.resize(48, 48)
+    rs.camera.look_at([0, 4.0, -4.0], [0, 0, 0.5])
+    img = np.asarray(rs.render_frame(samples=48))
+    center = img[20:28, 20:28].mean()
+    # perfect white furnace would be exactly 0.5; allow MC noise + the
+    # walk-cap loss + horizon clamp
+    assert 0.40 < center < 0.56, center

@@ -567,6 +567,12 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
                 e_want = e_want & env_depth_ok_t(depth_t)
             e_contrib = clamp_intensity(
                 _scrub(e_contrib, e_want, stats, config), clamp_v)
+            if "shadow_count" in stats:
+                # env shadow rays ride the fused occlusion launch below —
+                # count them (reference RenderStats counts every shadow
+                # ray actually traced, context.h:50-72)
+                stats["shadow_count"] = stats["shadow_count"] \
+                    + jnp.sum(e_want)
             # one fused occlusion launch for light + envmap shadow rays
             # (halves per-call overhead). ALWAYS sorted: envmap
             # directions are random per lane, and unsorted mixed-octant
@@ -580,12 +586,20 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
             # microbench (the session-2 lesson, STATUS.md). RFW_D0_OCCL_ENV
             # re-enables the envelope for future A/Bs.
             _occ_env = bool(os.environ.get("RFW_D0_OCCL_ENV"))
+            # RFW_D0_OCCL_NOSORT: skip the global 2n sort at depth 0 —
+            # with env_nee_interleave=256 each 256-lane block IS one
+            # 16x16 tile sharing ONE env direction (and light rays
+            # converge on the lights), so blocks arrive coherent; the
+            # "measured 11.4 s/sample with sort=False" note above
+            # predates interleaving (env dirs were random PER LANE)
+            _nosort0 = bool(os.environ.get("RFW_D0_OCCL_NOSORT"))
             occ2 = intersector.occluded(
                 scene,
                 jnp.concatenate([s_origin, s_origin]),
                 jnp.concatenate([l_dir, e_dir]),
                 jnp.concatenate([s_dist, jnp.where(e_want, 1e30, 0.0)]),
-                sort=True, coherent=depth == 0 and _occ_env)
+                sort=not (depth == 0 and _nosort0),
+                coherent=depth == 0 and _occ_env)
             occ, e_occ = occ2[:n], occ2[n:]
             radiance = radiance + jnp.where(
                 (want_shadow & ~occ)[..., None], nee, 0.0)

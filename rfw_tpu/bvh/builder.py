@@ -110,12 +110,24 @@ def _sah_split(cmin, cmax, centroids, tri_min, tri_max, idx):
 
 
 def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray,
-              leaf_size: int = 4, use_native: bool = True) -> BVH:
-    """Top-down binned-SAH build over triangle AABBs.
+              leaf_size: int = 4, use_native: bool = True,
+              method: str = "sah") -> BVH:
+    """Build over triangle AABBs.
 
     tri_min/tri_max: (T, 3) per-triangle bounds. ``leaf_size`` is the target
-    max primitives per leaf (SAH may terminate earlier).
+    max primitives per leaf (SAH may terminate earlier). ``method``:
+    "sah" (top-down binned SAH, the default — reference rtbvh
+    BvhType::BinnedSAH) or "loc" (bottom-up locally-ordered clustering,
+    PLOC — rtbvh BvhType::LocallyOrderedClustering, both consumed at
+    bvh_tree.cpp:74-101). LOC builds faster on large meshes at slightly
+    lower tree quality; it is native-only and falls back to SAH when the
+    library is unavailable.
     """
+    if method == "loc" and use_native:
+        from ..native import native_build_bvh_loc
+        out = native_build_bvh_loc(tri_min, tri_max, leaf_size)
+        if out is not None:
+            return BVH(*out)
     if use_native:
         from ..native import native_build_bvh
         out = native_build_bvh(tri_min, tri_max, leaf_size)

@@ -25,6 +25,15 @@ def _load():
         return _LIB
     _TRIED = True
     path = os.path.join(os.path.dirname(__file__), "librfw_bvh.so")
+    src = os.path.join(os.path.dirname(__file__), "bvh_builder.cpp")
+    if (os.path.exists(path) and os.path.exists(src)
+            and os.path.getmtime(path) < os.path.getmtime(src)):
+        # stale build artifact (source changed since compile): rebuild so
+        # newly added C symbols resolve
+        try:
+            os.remove(path)
+        except OSError:
+            pass
     if not os.path.exists(path):
         # best-effort first-use compile (the .so is a build artifact, not
         # checked in; g++ is a baseline dependency of this image)
@@ -48,6 +57,20 @@ def _load():
             ctypes.POINTER(ctypes.c_float),   # tri_max (T*3)
             ctypes.c_int,                     # T
             ctypes.c_int,                     # leaf_size
+            ctypes.POINTER(ctypes.c_float),   # out bmin (2T*3)
+            ctypes.POINTER(ctypes.c_float),   # out bmax
+            ctypes.POINTER(ctypes.c_int),     # out child
+            ctypes.POINTER(ctypes.c_int),     # out count
+            ctypes.POINTER(ctypes.c_int),     # out depth
+            ctypes.POINTER(ctypes.c_int),     # out prim_order (T)
+        ]
+        lib.rfw_build_bvh_loc.restype = ctypes.c_int
+        lib.rfw_build_bvh_loc.argtypes = [
+            ctypes.POINTER(ctypes.c_float),   # tri_min (T*3)
+            ctypes.POINTER(ctypes.c_float),   # tri_max (T*3)
+            ctypes.c_int,                     # T
+            ctypes.c_int,                     # leaf_size
+            ctypes.c_int,                     # search_radius
             ctypes.POINTER(ctypes.c_float),   # out bmin (2T*3)
             ctypes.POINTER(ctypes.c_float),   # out bmax
             ctypes.POINTER(ctypes.c_int),     # out child
@@ -80,7 +103,7 @@ def _load():
             ctypes.POINTER(ctypes.c_int),
         ]
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
         _LIB = None
     return _LIB
 
@@ -110,6 +133,39 @@ def native_build_bvh(tri_min: np.ndarray, tri_max: np.ndarray,
     n = lib.rfw_build_bvh(
         tri_min.ctypes.data_as(fp), tri_max.ctypes.data_as(fp),
         t, int(leaf_size),
+        bmin.ctypes.data_as(fp), bmax.ctypes.data_as(fp),
+        child.ctypes.data_as(ip), count.ctypes.data_as(ip),
+        depth.ctypes.data_as(ip), order.ctypes.data_as(ip))
+    if n <= 0:
+        return None
+    return (bmin[:n].copy(), bmax[:n].copy(), child[:n].copy(),
+            count[:n].copy(), order, depth[:n].copy())
+
+
+def native_build_bvh_loc(tri_min: np.ndarray, tri_max: np.ndarray,
+                         leaf_size: int, search_radius: int = 16):
+    """C++ locally-ordered-clustering build (PLOC) — the reference rtbvh
+    crate's second build mode (BvhType::LocallyOrderedClustering,
+    consumed at bvh_tree.cpp:74-101). Same output layout as
+    ``native_build_bvh``; None if the library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rfw_build_bvh_loc"):
+        return None
+    t = int(tri_min.shape[0])
+    tri_min = np.ascontiguousarray(tri_min, np.float32)
+    tri_max = np.ascontiguousarray(tri_max, np.float32)
+    cap = max(2 * t, 16)
+    bmin = np.empty((cap, 3), np.float32)
+    bmax = np.empty((cap, 3), np.float32)
+    child = np.empty(cap, np.int32)
+    count = np.empty(cap, np.int32)
+    depth = np.empty(cap, np.int32)
+    order = np.empty(max(t, 1), np.int32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    n = lib.rfw_build_bvh_loc(
+        tri_min.ctypes.data_as(fp), tri_max.ctypes.data_as(fp),
+        t, int(leaf_size), int(search_radius),
         bmin.ctypes.data_as(fp), bmax.ctypes.data_as(fp),
         child.ctypes.data_as(ip), count.ctypes.data_as(ip),
         depth.ctypes.data_as(ip), order.ctypes.data_as(ip))

@@ -250,6 +250,183 @@ int rfw_build_bvh(const float *tri_min, const float *tri_max, int n_tris,
   return ctx.n_nodes;
 }
 
+// Locally-ordered-clustering build (PLOC, Meister & Bittner 2018) — the
+// reference's rtbvh crate exposes this as its second build mode next to
+// BinnedSAH (create_bvh(BvhType::LocallyOrderedClustering), consumed at
+// /root/reference/RFW/system/bvh/bvh_tree.cpp:74-101). Bottom-up
+// agglomerative: Morton-sort primitive centroids, then repeatedly merge
+// mutually-nearest clusters (min merged surface area) within a window of
+// ``search_radius`` along the sorted order. Output uses the exact layout
+// of rfw_build_bvh (children consecutive, parents before children), with
+// subtrees of <= leaf_size primitives collapsed into leaves at emission.
+// Returns node count, or -1 on error. Same output capacities as
+// rfw_build_bvh (2*T nodes, T prim order).
+int rfw_build_bvh_loc(const float *tri_min, const float *tri_max, int n_tris,
+                      int leaf_size, int search_radius, float *out_bmin,
+                      float *out_bmax, int *out_child, int *out_count,
+                      int *out_depth, int *out_order) {
+  if (n_tris <= 0) return -1;
+  if (leaf_size <= 0) leaf_size = 4;
+  if (search_radius <= 0) search_radius = 16;
+
+  // --- Morton order of centroids ---
+  AABB scene;
+  std::vector<V3> centroid(n_tris);
+  for (int t = 0; t < n_tris; ++t) {
+    centroid[t] = V3(0.5f * (tri_min[3 * t] + tri_max[3 * t]),
+                     0.5f * (tri_min[3 * t + 1] + tri_max[3 * t + 1]),
+                     0.5f * (tri_min[3 * t + 2] + tri_max[3 * t + 2]));
+    scene.grow(centroid[t], centroid[t]);
+  }
+  auto expand10 = [](uint32_t v) {
+    v &= 0x3ff;
+    v = (v | (v << 16)) & 0x030000FF;
+    v = (v | (v << 8)) & 0x0300F00F;
+    v = (v | (v << 4)) & 0x030C30C3;
+    v = (v | (v << 2)) & 0x09249249;
+    return v;
+  };
+  std::vector<std::pair<uint32_t, int>> morton(n_tris);
+  for (int t = 0; t < n_tris; ++t) {
+    uint32_t code = 0;
+    for (int k = 0; k < 3; ++k) {
+      const float ext = scene.hi[k] - scene.lo[k];
+      float u = ext > 1e-20f ? (centroid[t][k] - scene.lo[k]) / ext : 0.5f;
+      u = std::min(std::max(u, 0.f), 1.f);
+      code |= expand10((uint32_t)(u * 1023.f)) << (2 - k);
+    }
+    morton[t] = {code, t};
+  }
+  std::sort(morton.begin(), morton.end());
+
+  // --- temp node pool (bottom-up) ---
+  struct PNode {
+    AABB box;
+    int left = -1, right = -1;  // pool indices; -1 = leaf
+    int prim = -1;              // original triangle id when leaf
+    int n_prims = 1;
+  };
+  std::vector<PNode> pool;
+  pool.reserve((size_t)2 * n_tris);
+  std::vector<int> cluster(n_tris);  // live cluster -> pool index
+  for (int i = 0; i < n_tris; ++i) {
+    PNode p;
+    const int t = morton[i].second;
+    p.box.grow(V3(tri_min[3 * t], tri_min[3 * t + 1], tri_min[3 * t + 2]),
+               V3(tri_max[3 * t], tri_max[3 * t + 1], tri_max[3 * t + 2]));
+    p.prim = t;
+    pool.push_back(p);
+    cluster[i] = i;
+  }
+
+  std::vector<int> nearest(n_tris);
+  std::vector<int> next;
+  next.reserve(n_tris);
+  int n_live = n_tris;
+  while (n_live > 1) {
+    const int r = search_radius;
+    // nearest neighbor within the window (min merged area)
+    for (int i = 0; i < n_live; ++i) {
+      float best = 1e30f;
+      int bj = i > 0 ? i - 1 : 1;
+      const int j0 = std::max(0, i - r), j1 = std::min(n_live - 1, i + r);
+      for (int j = j0; j <= j1; ++j) {
+        if (j == i) continue;
+        AABB m = pool[cluster[i]].box;
+        m.grow(pool[cluster[j]].box);
+        const float a = m.area();
+        if (a < best) {
+          best = a;
+          bj = j;
+        }
+      }
+      nearest[i] = bj;
+    }
+    // merge mutually-nearest pairs
+    next.clear();
+    for (int i = 0; i < n_live; ++i) {
+      const int j = nearest[i];
+      if (nearest[j] == i) {
+        if (i < j) {
+          PNode p;
+          p.left = cluster[i];
+          p.right = cluster[j];
+          p.box = pool[cluster[i]].box;
+          p.box.grow(pool[cluster[j]].box);
+          p.prim = -1;
+          p.n_prims = pool[cluster[i]].n_prims + pool[cluster[j]].n_prims;
+          pool.push_back(p);
+          next.push_back((int)pool.size() - 1);
+        }
+        // i > j: dropped (merged by its partner)
+      } else {
+        next.push_back(cluster[i]);
+      }
+    }
+    if ((int)next.size() == n_live) {
+      // no mutual pair (can happen only with degenerate equal areas):
+      // force-merge the first adjacent pair to guarantee progress
+      PNode p;
+      p.left = next[0];
+      p.right = next[1];
+      p.box = pool[next[0]].box;
+      p.box.grow(pool[next[1]].box);
+      p.prim = -1;
+      p.n_prims = pool[next[0]].n_prims + pool[next[1]].n_prims;
+      pool.push_back(p);
+      next[0] = (int)pool.size() - 1;
+      next.erase(next.begin() + 1);
+    }
+    cluster.assign(next.begin(), next.end());
+    n_live = (int)cluster.size();
+  }
+
+  // --- emit in the rfw_build_bvh layout (pre-order, children
+  // consecutive, small subtrees collapsed into leaves) ---
+  const int root = cluster[0];
+  int n_nodes = 1, n_placed = 0;
+  std::vector<std::pair<int, std::pair<int, int>>> stack;  // (pool, (out, depth))
+  stack.push_back({root, {0, 0}});
+  std::vector<int> collect;
+  while (!stack.empty()) {
+    auto [p, od] = stack.back();
+    stack.pop_back();
+    const int out = od.first, depth = od.second;
+    const PNode &node = pool[p];
+    for (int k = 0; k < 3; ++k) {
+      out_bmin[3 * out + k] = node.box.lo[k];
+      out_bmax[3 * out + k] = node.box.hi[k];
+    }
+    out_depth[out] = depth;
+    if (node.n_prims <= leaf_size) {
+      // collapse the whole subtree into one leaf
+      collect.clear();
+      std::vector<int> sub{p};
+      while (!sub.empty()) {
+        const int q = sub.back();
+        sub.pop_back();
+        if (pool[q].prim >= 0) {
+          collect.push_back(pool[q].prim);
+        } else {
+          sub.push_back(pool[q].left);
+          sub.push_back(pool[q].right);
+        }
+      }
+      out_child[out] = n_placed;
+      out_count[out] = (int)collect.size();
+      for (int t : collect) out_order[n_placed++] = t;
+      continue;
+    }
+    const int left = n_nodes;
+    n_nodes += 2;
+    out_child[out] = left;
+    out_count[out] = 0;
+    stack.push_back({node.right, {left + 1, depth + 1}});
+    stack.push_back({node.left, {left, depth + 1}});
+  }
+  return n_nodes;
+}
+
 // Bottom-up refit (the reference's refit path, bvh_tree.cpp:104-114 /
 // rtbvh refit): recompute node bounds from updated triangle bounds without
 // changing topology. Children always have higher indices than parents in

@@ -60,8 +60,14 @@ W_A = 48           # phase-A window before the mid-trace regroup
 #                    union walk)
 PIPE = 8           # in-flight DMAs: per-visit compute is below the ~4 us
 #                    HBM latency; a deep pipeline keeps the DMA engine busy
-MAX_PASSES = 16    # recull passes bound (overflow blocks continue from an
-#                    exact watermark under the tightened horizon)
+# recull passes run to the exact per-launch bound ceil(T_padded / M_C)
+# (all windows of the one-shot candidate table): a CONSTANT cap (16 in
+# round 2) silently treated rays in blocks whose visit list outruns
+# cap*M_C granules as misses — T already exceeds 16*128 = 2048 cells at
+# pica-4x scale (305k tris / 128 = ~2400), and conservative envelope
+# lists hit the cap in practice (tools/d0_stage_ab.py env rows drifted).
+# The while_loop still exits as soon as every ray is finished, so the
+# exact bound costs nothing on the common 1-2 pass path.
 ENUM_TILE = 1024   # granules per VMEM tile in the enumeration kernel
 EXIT_EVERY = 4     # visits between front-to-back exit reductions
 _BIGKEY = np.float32(1 << 25)   # np: no backend init at import
@@ -784,9 +790,14 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
             fin = finished | ~blk_of | (new_t <= ray_next)
         return it + 1, new_t, new_slot, fin
 
+    # exact pass bound: every window of the one-shot candidate table
+    # (see the module constant note — a fixed cap silently missed hits
+    # in blocks whose list outruns cap*M_C granules)
+    n_windows = keys_all.shape[1] // M_C
+
     def cond(state):
         it, _, _, finished = state
-        return (it < MAX_PASSES) & ~jnp.all(finished)
+        return (it < n_windows) & ~jnp.all(finished)
 
     state = (jnp.int32(0), jnp.broadcast_to(t_max, (n,)),
              jnp.full(n, -1, jnp.int32), t_max <= 0)

@@ -574,31 +574,30 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
                 stats["shadow_count"] = stats["shadow_count"] \
                     + jnp.sum(e_want)
             # one fused occlusion launch for light + envmap shadow rays
-            # (halves per-call overhead). ALWAYS sorted: envmap
-            # directions are random per lane, and unsorted mixed-octant
-            # blocks degenerate the envelope cull to full scans
-            # (measured 11.4 s/sample at 1080p with sort=False).
-            # PER-RAY enumeration even at depth 0: the per-block envelope
-            # won the ISOLATED launch A/B (32.6 vs 61.9 ms, occl_d0_ab)
-            # but costs +390 ms/sample in the real pipeline under either
-            # key scheme (driver_tail: d0 780 -> 1177 dir-major,
-            # 1208 origin-major) — route by pipeline measurement, not
-            # microbench (the session-2 lesson, STATUS.md). RFW_D0_OCCL_ENV
-            # re-enables the envelope for future A/Bs.
+            # (halves per-call overhead). Depth 0 routing, measured in the
+            # PRODUCTION stage (tools/d0_stage_ab.py, d0 x4 at 1080p):
+            #   unsorted + per-ray enum   706.7 ms  <- default (bitwise ==
+            #   sorted + per-ray enum     749.5 ms     the sorted launch:
+            #   sorted + envelope        1155.1 ms     under interleave=256
+            #   unsorted + envelope      2443.7 ms     each block is one
+            # 16x16 tile sharing ONE env direction, and light rays
+            # converge — blocks arrive coherent, so the global 2n sort is
+            # pure overhead. (An older "11.4 s/sample with sort=False"
+            # note predates interleaving: env dirs were random PER LANE
+            # then.) Envelope enumeration loses at d0 occlusion AND its
+            # conservative near-full visit lists can exhaust
+            # MAX_PASSES x M_C on scattered blocks (the env rows above
+            # show real radiance drift) — per-ray enum stays.
+            # Bounce depths (scattered origins) keep the sorted launch.
+            # RFW_D0_OCCL_SORT / RFW_D0_OCCL_ENV re-enable for A/Bs.
             _occ_env = bool(os.environ.get("RFW_D0_OCCL_ENV"))
-            # RFW_D0_OCCL_NOSORT: skip the global 2n sort at depth 0 —
-            # with env_nee_interleave=256 each 256-lane block IS one
-            # 16x16 tile sharing ONE env direction (and light rays
-            # converge on the lights), so blocks arrive coherent; the
-            # "measured 11.4 s/sample with sort=False" note above
-            # predates interleaving (env dirs were random PER LANE)
-            _nosort0 = bool(os.environ.get("RFW_D0_OCCL_NOSORT"))
+            _sort0 = bool(os.environ.get("RFW_D0_OCCL_SORT"))
             occ2 = intersector.occluded(
                 scene,
                 jnp.concatenate([s_origin, s_origin]),
                 jnp.concatenate([l_dir, e_dir]),
                 jnp.concatenate([s_dist, jnp.where(e_want, 1e30, 0.0)]),
-                sort=not (depth == 0 and _nosort0),
+                sort=depth > 0 or _sort0,
                 coherent=depth == 0 and _occ_env)
             occ, e_occ = occ2[:n], occ2[n:]
             radiance = radiance + jnp.where(
@@ -608,9 +607,14 @@ def depth_stage(scene, view, state: PathState, width: int, depth: int,
         else:
             # depth-0 shadow rays start at pixel-ordered (coherent) hit
             # points — skip the sort there (and use the envelope enum;
-            # tools/env_d0_ab.py); bounce origins are scattered
+            # tools/env_d0_ab.py); bounce origins are compaction-sorted
+            # (coherent by origin) with directions converging on lights,
+            # so the launch's own re-sort may be overhead there too:
+            # RFW_DB_OCCL_NOSORT=1 skips it for A/Bs (driver_tail CAN
+            # measure this one — the bounce body owns this branch)
+            _nosort_b = bool(os.environ.get("RFW_DB_OCCL_NOSORT"))
             occ = intersector.occluded(scene, s_origin, l_dir, s_dist,
-                                       sort=depth > 0,
+                                       sort=depth > 0 and not _nosort_b,
                                        coherent=depth == 0)
             radiance = radiance + jnp.where(
                 (want_shadow & ~occ)[..., None], nee, 0.0)

@@ -51,3 +51,57 @@ def test_native_refit():
     # refit bounds contain the new triangles
     assert (bvh.bmin[0] <= tmin2.min(0) + 1e-4).all()
     assert (bvh.bmax[0] >= tmax2.max(0) - 1e-4).all()
+
+
+@needs_native
+def test_native_loc_build():
+    """LOC (PLOC) build mode: valid tree, full prim coverage, traversal
+    parity with brute force (reference rtbvh
+    BvhType::LocallyOrderedClustering, bvh_tree.cpp:74-101)."""
+    import jax.numpy as jnp
+
+    from rfw_tpu.bvh import collapse_wide
+    from rfw_tpu.native import native_build_bvh_loc
+    from rfw_tpu.bvh.builder import BVH
+    from rfw_tpu.ops import traverse
+
+    verts = random_tris(2500, seed=11)
+    tmin, tmax = triangle_bounds(verts)
+    out = native_build_bvh_loc(tmin, tmax, leaf_size=4)
+    assert out is not None
+    bvh = BVH(*out)
+    bvh.validate()
+    assert sorted(bvh.prim_order.tolist()) == list(range(len(verts)))
+    # leaves respect the collapse bound
+    leaf = bvh.count > 0
+    assert bvh.count[leaf].max() <= 4
+
+    wide = collapse_wide(bvh, width=4)
+    perm = verts[bvh.prim_order]
+    v0 = jnp.asarray(perm[:, 0])
+    e1 = jnp.asarray(perm[:, 1] - perm[:, 0])
+    e2 = jnp.asarray(perm[:, 2] - perm[:, 0])
+    rng = np.random.default_rng(12)
+    o = rng.uniform(-6, 6, (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    wb = {"bmin": jnp.asarray(wide.bmin), "bmax": jnp.asarray(wide.bmax),
+          "child": jnp.asarray(wide.child), "count": jnp.asarray(wide.count)}
+    t_b, prim_b, _, _ = traverse.traverse_wide(
+        jnp.asarray(o), jnp.asarray(d), wb, (v0, e1, e2), leaf_size=4)
+    t_ref, prim_ref, _, _ = traverse.brute_force_closest(
+        jnp.asarray(o), jnp.asarray(d), (v0, e1, e2))
+    hit_b = np.asarray(prim_b) >= 0
+    hit_ref = np.asarray(prim_ref) >= 0
+    assert (hit_b == hit_ref).all()
+    assert np.allclose(np.asarray(t_b)[hit_b], np.asarray(t_ref)[hit_ref],
+                       rtol=1e-5, atol=1e-5)
+
+
+@needs_native
+def test_build_bvh_loc_method_knob():
+    verts = random_tris(400, seed=13)
+    tmin, tmax = triangle_bounds(verts)
+    bvh = build_bvh(tmin, tmax, leaf_size=4, method="loc")
+    bvh.validate()
+    assert sorted(bvh.prim_order.tolist()) == list(range(len(verts)))

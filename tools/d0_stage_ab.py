@@ -2,11 +2,15 @@
 NEE + fused light/env occlusion) at 1080p across the d0 occlusion
 routing variants, in one process:
 
-  base            sorted 2n fused launch, per-ray enum (the default)
-  nosort          RFW_D0_OCCL_NOSORT=1 — skip the 2n sort (blocks are
-                  already tile-coherent under env_nee_interleave=256)
-  env             RFW_D0_OCCL_ENV=1 — per-block envelope enumeration
-  nosort+env      both
+  base(nosort)    unsorted 2n fused launch, per-ray enum (the default:
+                  blocks are tile-coherent under env_nee_interleave=256)
+  sort            RFW_D0_OCCL_SORT=1 — the pre-session-2 sorted launch
+  sort+env        + RFW_D0_OCCL_ENV=1 per-block envelope enumeration
+  env             envelope on the unsorted stream
+
+Measured 2026-08-19 (1080p pica-4x): 706.7 / 749.5 / 1155.1 / 2443.7 ms,
+base bitwise == sort; env rows drift (MAX_PASSES exhaustion on the
+conservative envelope lists — see STATUS.md).
 
 The flags are read at TRACE time inside depth_stage, so each variant
 builds a fresh jit. driver_tail cannot measure these: it drives every
@@ -52,15 +56,15 @@ tex_flags = drv._tex_flags
 isect = drv._intersector
 
 VARIANTS = [
-    ("base", {}),
-    ("nosort", {"RFW_D0_OCCL_NOSORT": "1"}),
+    ("base(nosort)", {}),
+    ("sort", {"RFW_D0_OCCL_SORT": "1"}),
+    ("sort+env", {"RFW_D0_OCCL_SORT": "1", "RFW_D0_OCCL_ENV": "1"}),
     ("env", {"RFW_D0_OCCL_ENV": "1"}),
-    ("nosort+env", {"RFW_D0_OCCL_NOSORT": "1", "RFW_D0_OCCL_ENV": "1"}),
 ]
 
 ref = None
 for name, env in VARIANTS:
-    for k in ("RFW_D0_OCCL_NOSORT", "RFW_D0_OCCL_ENV"):
+    for k in ("RFW_D0_OCCL_SORT", "RFW_D0_OCCL_ENV"):
         os.environ.pop(k, None)
     os.environ.update(env)
 

@@ -95,7 +95,7 @@ best_t = t_best
 best_slot = jnp.full(o.shape[0], -1, jnp.int32)
 finished = tmax <= 0
 wm = jnp.zeros(nb, jnp.float32)
-for it in range(vi.MAX_PASSES):
+for it in range(16):   # diagnostic pass cap (was vi.MAX_PASSES)
     t_hi = jnp.minimum(tmax, best_t)
     t_hi = jnp.where(finished, 0.0, t_hi)
     r8 = vi._pack_rays8(o, d, t_hi)

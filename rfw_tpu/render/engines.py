@@ -348,6 +348,7 @@ class PathTracerEngine(EngineContext):
             from ..parallel.tiles import (make_driver_engine_step,
                                           make_engine_step)
             self._driver = None
+            self._multi_step = None
             mesh = make_tile_mesh(cfg.n_devices)
             if self.use_wavefront_driver and cfg.compaction:
                 self._trace_fn = make_driver_engine_step(
@@ -369,6 +370,7 @@ class PathTracerEngine(EngineContext):
             self._driver = WavefrontDriver(width, height, cfg, intersector,
                                            tex_flags, n_local)
             self._trace_fn = self._driver.step
+            self._multi_step = None
             self._size = (width, height)
             return self._trace_fn
         self._driver = None
@@ -401,6 +403,38 @@ class PathTracerEngine(EngineContext):
                 lambda *xs: jnp.concatenate(xs), *aux_parts)
             return accumulator, probe, stats_sum, aux_all
 
+        if n_chunks == 1:
+            # single-chunk frames (the interactive case, BASELINE configs
+            # 1-4): batch a whole multi-sample CONVERGE request into ONE
+            # jitted fori_loop — one dispatch + one tunnel RTT for N
+            # samples instead of N (the per-dispatch overhead dominates
+            # small frames; at 1080p the 2 s/sample driver dwarfs it).
+            # Bitwise == the per-sample loop: same trace_sample body per
+            # sample_index, same accumulation order; stats/probe/aux are
+            # the LAST sample's, exactly like the host loop's
+            # `out = step_s(...)` overwrite semantics.
+            @functools.partial(jax.jit, static_argnames=("n_samples",),
+                               donate_argnums=(1,))
+            def multi_step(scene, accumulator, view, sample_index0,
+                           probe_index, n_samples):
+                def one(si, acc):
+                    radiance, probe_c, stats, aux = chunk_step(
+                        scene, view, si, probe_index, jnp.uint32(0),
+                        n_local)
+                    return acc + radiance, probe_c, stats, aux
+
+                acc, probe, stats, aux = one(sample_index0, accumulator)
+
+                def body(k, carry):
+                    acc, _, _, _ = carry
+                    return one(sample_index0 + k.astype(jnp.uint32), acc)
+
+                return jax.lax.fori_loop(1, n_samples, body,
+                                         (acc, probe, stats, aux))
+
+            self._multi_step = multi_step
+        else:
+            self._multi_step = None
         self._trace_fn = step
         self._size = (width, height)
         return step
@@ -450,6 +484,16 @@ class PathTracerEngine(EngineContext):
         stats = None
         aux = None
         drv = getattr(self, "_driver", None)
+        mstep = getattr(self, "_multi_step", None)
+        if mstep is not None and samples > 1:
+            # single-chunk fused path: all samples in ONE dispatch
+            out = mstep(self._scene, self._accumulator, view,
+                        jnp.uint32(self._sample_count),
+                        jnp.int32(probe_index), n_samples=samples)
+            self._accumulator, probe, stats, aux = out
+            self._sample_count += samples
+            self._pending = (probe, stats, aux, timer, samples)
+            return
         for s in range(samples):
             step_s = step
             if (drv is not None and samples > 1 and s == samples - 1

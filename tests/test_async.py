@@ -60,3 +60,17 @@ def test_async_abi_default_path():
     rs.render_frame_async(status=RenderStatus.RESET, samples=1)
     a = rs.finish_frame()
     assert np.isfinite(np.asarray(a)).all()
+
+
+def test_sample_batching_bitwise():
+    """The single-chunk multi-sample fori_loop batch (one dispatch for N
+    samples) must equal N separate single-sample dispatches bitwise —
+    same trace_sample body per sample_index, same accumulation order."""
+    rs = _scene()
+    batched = rs.render_frame(status=RenderStatus.RESET, samples=3)
+
+    rs2 = _scene()
+    rs2.render_frame(status=RenderStatus.RESET, samples=1)
+    rs2.render_frame(status=RenderStatus.CONVERGE, samples=1)
+    looped = rs2.render_frame(status=RenderStatus.CONVERGE, samples=1)
+    assert np.array_equal(np.asarray(batched), np.asarray(looped))

@@ -161,31 +161,61 @@ def spatial_treelets(tri_min: np.ndarray, tri_max: np.ndarray,
     front-to-back candidate lists.
     """
     t = tri_min.shape[0]
-    c = 0.5 * (tri_min + tri_max)
-    cells: list[np.ndarray] = []
-    stack = [np.arange(t, dtype=np.int64)]
-    while stack:
-        idx = stack.pop()
-        if len(idx) <= size:
-            cells.append(idx)
-            continue
-        cc = c[idx]
-        ax = int(np.argmax(cc.max(0) - cc.min(0)))
-        order = np.argsort(cc[:, ax], kind="stable")
-        n_cells = -(-len(idx) // size)
-        half = (n_cells // 2) * size      # size-aligned split point
-        stack.append(idx[order[half:]])
-        stack.append(idx[order[:half]])
+    native = None
+    if t > 4 * size:   # native pays off past a few cells
+        from ..native import native_spatial_treelets
+        native = native_spatial_treelets(tri_min, tri_max, size)
+    if native is not None:
+        # C++ cutter (nth_element medians — ~20x the python loop at
+        # Sponza scale; cell membership can differ from the stable-sort
+        # path only on exact centroid ties, and member order inside a
+        # cell is unspecified either way: cells are unordered sets with
+        # tight bounds, downstream exactness never depends on them)
+        count, order, bmin, bmax = native
+        n = count.shape[0]
+        pad_map = np.full(n * size, -1, np.int32)
+        ends = np.cumsum(count)
+        starts = ends - count
+        slots = (np.arange(n, dtype=np.int64)[:, None] * size
+                 + np.arange(size, dtype=np.int64)[None, :])
+        valid = np.arange(size, dtype=np.int64)[None, :] < count[:, None]
+        src = starts[:, None] + np.arange(size, dtype=np.int64)[None, :]
+        pad_map[slots[valid]] = order[src[valid]]
+    else:
+        c = 0.5 * (tri_min + tri_max)
+        cells: list[np.ndarray] = []
+        stack = [np.arange(t, dtype=np.int64)]
+        while stack:
+            idx = stack.pop()
+            if len(idx) <= size:
+                cells.append(idx)
+                continue
+            cc = c[idx]
+            ax = int(np.argmax(cc.max(0) - cc.min(0)))
+            order = np.argsort(cc[:, ax], kind="stable")
+            n_cells = -(-len(idx) // size)
+            half = (n_cells // 2) * size      # size-aligned split point
+            stack.append(idx[order[half:]])
+            stack.append(idx[order[:half]])
 
-    n = len(cells)
-    count = np.array([len(ci) for ci in cells], np.int32)
-    bmin = np.stack([tri_min[ci].min(0) for ci in cells]).astype(np.float32)
-    bmax = np.stack([tri_max[ci].max(0) for ci in cells]).astype(np.float32)
-    pad_map = np.full(n * size, -1, np.int32)
-    for k, ci in enumerate(cells):
-        pad_map[k * size:k * size + len(ci)] = ci
+        n = len(cells)
+        count = np.array([len(ci) for ci in cells], np.int32)
+        bmin = np.stack([tri_min[ci].min(0)
+                         for ci in cells]).astype(np.float32)
+        bmax = np.stack([tri_max[ci].max(0)
+                         for ci in cells]).astype(np.float32)
+        pad_map = np.full(n * size, -1, np.int32)
+        for k, ci in enumerate(cells):
+            pad_map[k * size:k * size + len(ci)] = ci
 
-    top_bin = build_bvh(bmin, bmax, leaf_size=1, use_native=False)
+    # the leaf→treelet-id remap below requires EXACTLY one cell per top
+    # leaf; the native builder's degenerate-centroid path may emit 2-prim
+    # leaves at leaf_size=1 (coincident cell centroids), so fall back to
+    # the numpy builder (which median-splits degenerates down to 1) when
+    # that happens
+    top_bin = build_bvh(bmin, bmax, leaf_size=1)
+    if int(top_bin.count.max(initial=0)) > 1:
+        top_bin = build_bvh(bmin, bmax, leaf_size=1, use_native=False)
     top = collapse_wide(top_bin, width=top_width)
     leaf_mask = top.count > 0
     top.child = np.where(

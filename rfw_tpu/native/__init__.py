@@ -78,6 +78,17 @@ def _load():
             ctypes.POINTER(ctypes.c_int),     # out depth
             ctypes.POINTER(ctypes.c_int),     # out prim_order (T)
         ]
+        lib.rfw_spatial_treelets.restype = ctypes.c_int
+        lib.rfw_spatial_treelets.argtypes = [
+            ctypes.POINTER(ctypes.c_float),   # tri_min (T*3)
+            ctypes.POINTER(ctypes.c_float),   # tri_max (T*3)
+            ctypes.c_int,                     # T
+            ctypes.c_int,                     # size
+            ctypes.POINTER(ctypes.c_int),     # out count (C,)
+            ctypes.POINTER(ctypes.c_int),     # out order (T,)
+            ctypes.POINTER(ctypes.c_float),   # out bmin (C, 3)
+            ctypes.POINTER(ctypes.c_float),   # out bmax (C, 3)
+        ]
         lib.rfw_collapse_wide.restype = ctypes.c_int
         lib.rfw_collapse_wide.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
@@ -140,6 +151,34 @@ def native_build_bvh(tri_min: np.ndarray, tri_max: np.ndarray,
         return None
     return (bmin[:n].copy(), bmax[:n].copy(), child[:n].copy(),
             count[:n].copy(), order, depth[:n].copy())
+
+
+def native_spatial_treelets(tri_min: np.ndarray, tri_max: np.ndarray,
+                            size: int):
+    """C++ centroid-median kd cut into disjoint <=size cells (the
+    flagship intersector's cell builder — see bvh/wide.spatial_treelets).
+    Returns (count (C,), order (T,), bmin (C,3), bmax (C,3)) or None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rfw_spatial_treelets"):
+        return None
+    t = int(tri_min.shape[0])
+    tri_min = np.ascontiguousarray(tri_min, np.float32)
+    tri_max = np.ascontiguousarray(tri_max, np.float32)
+    cap = max(-(-t // max(size, 1)) * 2 + 8, 16)
+    count = np.empty(cap, np.int32)
+    order = np.empty(max(t, 1), np.int32)
+    bmin = np.empty((cap, 3), np.float32)
+    bmax = np.empty((cap, 3), np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    n = lib.rfw_spatial_treelets(
+        tri_min.ctypes.data_as(fp), tri_max.ctypes.data_as(fp),
+        t, int(size),
+        count.ctypes.data_as(ip), order.ctypes.data_as(ip),
+        bmin.ctypes.data_as(fp), bmax.ctypes.data_as(fp))
+    if n <= 0:
+        return None
+    return (count[:n].copy(), order, bmin[:n].copy(), bmax[:n].copy())
 
 
 def native_build_bvh_loc(tri_min: np.ndarray, tri_max: np.ndarray,

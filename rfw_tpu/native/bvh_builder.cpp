@@ -250,6 +250,87 @@ int rfw_build_bvh(const float *tri_min, const float *tri_max, int n_tris,
   return ctx.n_nodes;
 }
 
+// Spatially-disjoint treelet cut (the flagship intersector's cell builder;
+// mirrors bvh/wide.py spatial_treelets): recursive centroid-median kd
+// splits, size-aligned so every cell but one per subtree is exactly full.
+// Uses nth_element instead of full sorts. Outputs, for C cells:
+//   out_count (C,), out_order (T, concatenated cell members),
+//   out_bmin/out_bmax (C, 3) tight member bounds.
+// Returns C, or -1 on error. Capacities: out_count >= ceil(T/size)*2,
+// out_order T.
+int rfw_spatial_treelets(const float *tri_min, const float *tri_max,
+                         int n_tris, int size, int *out_count,
+                         int *out_order, float *out_bmin, float *out_bmax) {
+  if (n_tris <= 0 || size <= 0) return -1;
+  std::vector<V3> c(n_tris);
+  for (int t = 0; t < n_tris; ++t)
+    c[t] = V3(0.5f * (tri_min[3 * t] + tri_max[3 * t]),
+              0.5f * (tri_min[3 * t + 1] + tri_max[3 * t + 1]),
+              0.5f * (tri_min[3 * t + 2] + tri_max[3 * t + 2]));
+  std::vector<int> idx(n_tris);
+  for (int t = 0; t < n_tris; ++t) idx[t] = t;
+
+  struct Seg {
+    int begin, end;
+  };
+  std::vector<Seg> stack{{0, n_tris}};
+  std::vector<Seg> cells;
+  cells.reserve((size_t)(n_tris / size + 8));
+  while (!stack.empty()) {
+    Seg s = stack.back();
+    stack.pop_back();
+    const int len = s.end - s.begin;
+    if (len <= size) {
+      cells.push_back(s);
+      continue;
+    }
+    V3 lo(1e30f, 1e30f, 1e30f), hi(-1e30f, -1e30f, -1e30f);
+    for (int i = s.begin; i < s.end; ++i) {
+      lo = vmin(lo, c[idx[i]]);
+      hi = vmax(hi, c[idx[i]]);
+    }
+    int ax = 0;
+    float ext = hi.x - lo.x;
+    if (hi.y - lo.y > ext) { ax = 1; ext = hi.y - lo.y; }
+    if (hi.z - lo.z > ext) ax = 2;
+    const int n_cells = (len + size - 1) / size;
+    const int half = (n_cells / 2) * size;
+    // size-aligned median: the python version uses a STABLE argsort and
+    // takes the first `half` — replicate with a stable partial ordering
+    // (nth_element + stable tie-break on the original index keeps the
+    // partition deterministic; member ORDER inside a cell differs from
+    // the stable-sort version, which downstream never relies on: cells
+    // are unordered member sets with tight bounds)
+    std::nth_element(idx.begin() + s.begin, idx.begin() + s.begin + half,
+                     idx.begin() + s.end, [&](int a, int b) {
+                       const float ca = c[a][ax], cb = c[b][ax];
+                       if (ca != cb) return ca < cb;
+                       return a < b;
+                     });
+    stack.push_back({s.begin + half, s.end});
+    stack.push_back({s.begin, s.begin + half});
+  }
+
+  const int n = (int)cells.size();
+  int placed = 0;
+  for (int k = 0; k < n; ++k) {
+    const Seg s = cells[k];
+    out_count[k] = s.end - s.begin;
+    AABB b;
+    for (int i = s.begin; i < s.end; ++i) {
+      const int t = idx[i];
+      out_order[placed++] = t;
+      b.grow(V3(tri_min[3 * t], tri_min[3 * t + 1], tri_min[3 * t + 2]),
+             V3(tri_max[3 * t], tri_max[3 * t + 1], tri_max[3 * t + 2]));
+    }
+    for (int q = 0; q < 3; ++q) {
+      out_bmin[3 * k + q] = b.lo[q];
+      out_bmax[3 * k + q] = b.hi[q];
+    }
+  }
+  return n;
+}
+
 // Locally-ordered-clustering build (PLOC, Meister & Bittner 2018) — the
 // reference's rtbvh crate exposes this as its second build mode next to
 // BinnedSAH (create_bvh(BvhType::LocallyOrderedClustering), consumed at

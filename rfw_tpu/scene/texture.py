@@ -314,6 +314,30 @@ def build_atlases_cached(materials, textures: list[Texture],
                      tuple(np.asarray(mp.uv_offset).tolist()))
                     for mp in m.maps]).encode())
         key = h.hexdigest()
+        # per-member .npy files so the big planes load MEMORY-MAPPED: the
+        # merged-atlas engine path replaces "atlas" with a 1-texel stub
+        # before upload, so eagerly reading its ~190 MB from the cache
+        # (~0.7-1.9 s, the largest single cost of a warm scene build) was
+        # pure waste; mmap defers each member's IO to first touch
+        # (device_put pages it in exactly once for members that DO ship)
+        mdir = os.path.join(d, f"atlas_{key}")
+        try:
+            atlas = {
+                "atlas": np.load(os.path.join(mdir, "atlas.npy"),
+                                 mmap_mode="r"),
+                "desc": np.load(os.path.join(mdir, "desc.npy")),
+            }
+            mp = os.path.join(mdir, "matlas.npy")
+            if os.path.exists(mp):
+                atlas["matlas"] = np.load(mp, mmap_mode="r")
+                atlas["matlas_desc"] = np.load(
+                    os.path.join(mdir, "matlas_desc.npy"))
+            ip = os.path.join(mdir, "mtex_id.npy")
+            mtex_id = np.load(ip) if os.path.exists(ip) else None
+            return atlas, mtex_id
+        except (OSError, KeyError, ValueError):
+            pass
+        # legacy single-npz cache (pre-mmap format)
         f = os.path.join(d, f"atlas_{key}.npz")
         try:
             z = np.load(f)
@@ -334,13 +358,15 @@ def build_atlases_cached(materials, textures: list[Texture],
             atlas.update(matlas)
     if key is not None:
         try:
-            f = os.path.join(d, f"atlas_{key}.npz")
-            tmp = f"{f}.{os.getpid()}.tmp.npz"   # np.savez appends .npz
             save = dict(atlas)
             if mtex_id is not None:
                 save["mtex_id"] = mtex_id
-            np.savez(tmp, **save)
-            os.replace(tmp, f)
+            mdir = os.path.join(d, f"atlas_{key}")
+            tdir = f"{mdir}.{os.getpid()}.tmp"
+            os.makedirs(tdir, exist_ok=True)
+            for name, arr in save.items():
+                np.save(os.path.join(tdir, f"{name}.npy"), arr)
+            os.replace(tdir, mdir)   # atomic publish (same filesystem)
         except OSError:
             pass
     return atlas, mtex_id

@@ -494,6 +494,18 @@ class PathTracerEngine(EngineContext):
             self._sample_count += samples
             self._pending = (probe, stats, aux, timer, samples)
             return
+        if (drv is not None and samples > 1
+                and not self.config.profile_stages):
+            # multi-chunk driver path: whole CONVERGE request in ONE
+            # dispatch (traced sample count — one compiled program for
+            # every count); with profile_stages the host loop below
+            # keeps the per-depth-synced last sample instead
+            out = drv.step_multi(self._scene, self._accumulator, view,
+                                 self._sample_count, probe_index, samples)
+            self._accumulator, probe, stats, aux = out
+            self._sample_count += samples
+            self._pending = (probe, stats, aux, timer, samples)
+            return
         for s in range(samples):
             step_s = step
             if (drv is not None and samples > 1 and s == samples - 1

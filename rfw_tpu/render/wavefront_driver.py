@@ -290,9 +290,37 @@ class WavefrontDriver:
                                            tex_flags)
 
         # ---- the whole-sample program (module-level pure body) -----------
-        self._sample_fn = jax.jit(
-            make_sample_body(width, height, n, chunk, cfg, intersector,
-                             tex_flags), donate_argnums=(1,))
+        sample_body = make_sample_body(width, height, n, chunk, cfg,
+                                       intersector, tex_flags)
+        self._sample_fn = jax.jit(sample_body, donate_argnums=(1,))
+
+        # ---- multi-sample batch: ONE dispatch for a whole CONVERGE
+        # request (the multi-chunk analog of engines.py's single-chunk
+        # multi_step). n_samples is TRACED, so every sample count shares
+        # one compiled program (a static count would recompile the ~6 min
+        # terminal-side program per count — bench warms with samples=2
+        # and times samples=4). The init carry comes from eval_shape so
+        # the sample body is traced exactly once (inside the loop);
+        # probe/stats/aux keep the host loop's last-sample-wins
+        # overwrite semantics.
+        def multi_body(scene, accumulator, pid_all, inv_all, view,
+                       sample_index0, probe_lane, n_samples):
+            shapes = jax.eval_shape(sample_body, scene, accumulator,
+                                    pid_all, inv_all, view, sample_index0,
+                                    probe_lane)
+            init = (accumulator,) + tuple(
+                jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), t)
+                for t in shapes[1:])
+
+            def body(k, carry):
+                return sample_body(scene, carry[0], pid_all, inv_all,
+                                   view,
+                                   sample_index0 + k.astype(jnp.uint32),
+                                   probe_lane)
+
+            return jax.lax.fori_loop(0, n_samples, body, init)
+
+        self._multi_fn = jax.jit(multi_body, donate_argnums=(1,))
 
         # ---- host-loop building blocks (profiled path + tools) -------------
         @jax.jit
@@ -370,6 +398,20 @@ class WavefrontDriver:
                                self._inv_dev, view,
                                jnp.uint32(sample_index),
                                jnp.int32(probe_lane))
+
+    def step_multi(self, scene, accumulator, view, sample_index,
+                   probe_index, n_samples):
+        """``n_samples`` samples in ONE jitted dispatch (traced sample
+        count — all counts share one compiled program). Equal to looping
+        ``step`` to float ulps; stats/probe/aux are the last sample's."""
+        probe_i = int(probe_index)
+        probe_lane = (probe_i if self._inv_np is None
+                      else int(self._inv_np[probe_i]))
+        return self._multi_fn(scene, accumulator, self._pid_dev,
+                              self._inv_dev, view,
+                              jnp.uint32(sample_index),
+                              jnp.int32(probe_lane),
+                              jnp.int32(n_samples))
 
     # -- profiled step: host loop with per-depth syncs (RenderStats) -----------
 

@@ -117,6 +117,43 @@ def test_onejit_step_equals_profiled():
     assert len(drv.depth_times) == 3 and all(t >= 0 for t in drv.depth_times)
 
 
+def test_multi_sample_batch_bitwise():
+    """The multi-chunk multi-sample batch (one dispatch, traced sample
+    count, fori over the SAME sample body) must equal N single-sample
+    ``step`` dispatches bitwise — same body, same accumulation order;
+    stats keep the last sample's values."""
+    import jax.numpy as jnp
+    cfg = RenderConfig(max_path_length=2, blue_noise=False,
+                       max_rays_per_pass=1024)
+    eng = create_engine("megakernel", cfg)
+    eng.use_wavefront_driver = True
+    _scene(eng)
+    eng.resize(64, 48)
+    eng.update()
+    eng._get_trace_fn(64, 48)
+    drv = eng._driver
+    cam = rfw_tpu.Camera()
+    cam.resize(64, 48)
+    cam.fov = 55
+    cam.look_at([0, 2.5, -5.0], [0, 0.8, 0.0])
+    view = cam.get_view().as_pytree()
+
+    acc = jnp.zeros((64 * 48, 3), jnp.float32)
+    acc_m, probe_m, stats_m, aux_m = drv.step_multi(
+        eng._scene, acc, view, 0, 0, 3)
+
+    acc = jnp.zeros((64 * 48, 3), jnp.float32)
+    for s in range(3):
+        acc, probe_l, stats_l, aux_l = drv.step(
+            eng._scene, acc, view, jnp.uint32(s), jnp.int32(0))
+    assert np.array_equal(np.asarray(acc_m), np.asarray(acc))
+    assert np.array_equal(np.asarray(probe_m), np.asarray(probe_l))
+    for k in stats_l:
+        assert int(stats_m[k]) == int(stats_l[k]), k
+    assert np.array_equal(np.asarray(aux_m["normal"]),
+                          np.asarray(aux_l["normal"]))
+
+
 def test_compact_via_sort_bitwise():
     """Sort-carry compaction (one stable multi-operand lax.sort) must
     be bitwise-identical to argsort + row gather: stable sort realizes

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..config import RenderConfig
 from .mesh import TILE_AXIS, make_tile_mesh
@@ -61,7 +61,7 @@ def make_tiled_renderer(mesh, width: int, height: int,
         tile_fn, mesh=mesh,
         in_specs=(P(), P(TILE_AXIS), P(), P()),
         out_specs=(out_acc_spec, P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -110,7 +110,7 @@ def make_engine_step(mesh, width: int, height: int, config: RenderConfig,
         tile_fn, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     jfn = jax.jit(fn)
 
@@ -187,7 +187,7 @@ def make_driver_engine_step(mesh, width: int, height: int,
         tile_fn, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     # donate the accumulator like the single-chip driver — without it
     # every sample keeps input+output framebuffers alive per device
@@ -223,6 +223,6 @@ def render_tiled(scene, view, width: int, height: int,
     gather_fn = jax.jit(shard_map(
         lambda a: jax.lax.all_gather(a, TILE_AXIS, axis=0, tiled=True),
         mesh=mesh, in_specs=P(TILE_AXIS), out_specs=P(),
-        check_rep=False))
+        check_vma=False))
     frame = gather_fn(acc) / jnp.float32(max(samples, 1))
     return frame.reshape(height, width, 3), stats

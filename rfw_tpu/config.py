@@ -145,45 +145,8 @@ class RenderConfig:
     # minimal dense work) or "super" (SUPER_G cells per visit — fewer,
     # fatter visits). See ops/visit_intersect.py.
     visit_granularity: str = "cell"
-    visit_regroup: bool = False       # two-phase mid-trace ray regroup on
-    #                                   large scattered streams. OFF: the
-    #                                   round-2 "regroup wins" measurement
-    #                                   was taken with a latent NaN-bitcast
-    #                                   merge bug that silently dropped
-    #                                   ~11% of bounce hits (and zeroed
-    #                                   their t) — with the round-3 fix the
-    #                                   phase-A finished test leaves 77%
-    #                                   survivors on the real 1080p d1
-    #                                   stream (not the sim's 16.6%) and
-    #                                   correct regroup measures ~3.2x
-    #                                   SLOWER than the plain multi-pass
-    #                                   walk (1124 vs 352 ms/launch).
-    #                                   Round 3 ALSO built the exact
-    #                                   per-ray finished bound
-    #                                   (next_entries kernel): survivors
-    #                                   drop 77% -> 22.5%, but the
-    #                                   re-trace of the survivor set
-    #                                   costs 588 ms vs 367 ms for the
-    #                                   whole plain walk — survivors ARE
-    #                                   the long-list rays, and packing
-    #                                   them into fresh blocks rebuilds
-    #                                   equally long unions (plus ~200 ms
-    #                                   of prep). Lever measured dead for
-    #                                   this kernel design
-    #                                   (/tmp noted in STATUS.md r3).
-    #                                   Exactness is tested either way
-    #                                   (tests/test_visit.py).
-    visit_subblocks: int = 1          # two-level union restriction: split
-    #                                   each 256-ray block into S row
-    #                                   sub-blocks, each with its OWN
-    #                                   entry-sorted visit list, processed
-    #                                   side-by-side per kernel step (S
-    #                                   disjoint (256/S, K) dense ops ==
-    #                                   one (256, K) op on the VPU; DMA/
-    #                                   step grows to S granules). Steps
-    #                                   per block drop from |union(block)|
-    #                                   to max_s |union(sub_s)| — see
-    #                                   tools/subblock_sim.py. 1 = off.
+    # (removed round 4: visit_regroup and visit_subblocks — both measured
+    # dead on chip; STATUS.md r3 keeps the numbers and the bug post-mortem)
     use_pallas: bool = True           # use the Pallas/MXU intersector when on TPU
     profile_stages: bool = False      # fill per-depth RenderStats times by
     #                                   running the host-loop PROFILED step

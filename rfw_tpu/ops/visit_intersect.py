@@ -34,6 +34,15 @@ CUDAIntersect.h): traversal *order* lives in the block-level candidate
 tables; the lockstep VPU only ever runs dense (256, K) Woop tests
 (exact-f32 broadcast FMA — MXU matmul at default precision flips
 closest-hit winners, see ops/pallas_intersect.py module doc).
+
+Measured-dead variants were REMOVED in round 4 (STATUS.md keeps the
+numbers): the two-phase mid-trace regroup v1/v2 (_trace_regroup +
+next_entries — 1124/588 ms vs 352/367 ms for the plain walk; the v1
+on-chip 'win' was the NaN-bitcast merge bug) and the two-level union
+restriction s_sub (on-chip 0.956-1.41x, tools history). Block
+formation is also at its floor: every parent-cell grouping key loses
+to the production octant|morton(dir)|morton(origin) compaction key
+(round-4 sortkey_cell_sim result in STATUS.md).
 """
 
 from __future__ import annotations
@@ -47,17 +56,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
-from .intersect import BIG_T, intersect_tri, safe_inv_dir
+from .intersect import BIG_T, intersect_tri
 
 BLOCK = 256        # rays per block
 M_C = 128          # visit-list cap (granules per block per pass)
-W_A = 48           # phase-A window before the mid-trace regroup
-#                    (_trace_regroup): sim'd optimum on the real d1 bounce
-#                    stream — tools/regroup_sim.py: W=48 leaves 16.6%
-#                    survivors and cuts total executed visits to 58.3% of
-#                    the single-phase straggler bound (one sky/straggler
-#                    ray otherwise forces its whole block through the
-#                    union walk)
 PIPE = 8           # in-flight DMAs: per-visit compute is below the ~4 us
 #                    HBM latency; a deep pipeline keeps the DMA engine busy
 # recull passes run to the exact per-launch bound ceil(T_padded / M_C)
@@ -81,17 +83,14 @@ def _cid_bits(t_c: int) -> int:
 # Phase 1: per-block entry bounds (Pallas — no HBM temps)
 # ---------------------------------------------------------------------------
 
-def _enum_kernel(t_dim: int, s_sub: int,
+def _enum_kernel(t_dim: int,
                  rays_ref,        # (64, BLOCK) — 8 ray blocks of 8 rows
                  bounds_ref,      # (8, T) lo.xyz, hi.xyz, 0, 0
-                 entry_out):      # (8*s_sub, T) — per sub-block entry lbs
+                 entry_out):      # (8, T) — per-block entry lower bounds
     # Each program computes 8 ray blocks and OWNS its whole output
     # window. (A window shared across 8 programs — each writing one row —
     # is clobbered by Pallas' whole-block write-back of write-only
-    # outputs.) With s_sub > 1 each block emits s_sub rows: entry lower
-    # bounds reduced over each 256/s_sub-ray row sub-block (two-level
-    # union restriction — the visit kernel walks per-sub-block lists).
-    g = BLOCK // s_sub
+    # outputs.)
     for blk in range(8):
         rays = rays_ref[8 * blk:8 * blk + 8, :]
         tm_col = rays[3:4, :].T                 # (BLOCK, 1)
@@ -117,23 +116,19 @@ def _enum_kernel(t_dim: int, s_sub: int,
                 ext = jnp.minimum(ext, jnp.maximum(t1, t2))
             crossed = ent < jnp.minimum(ext, tm_col)
             e = jnp.where(crossed, ent, 1e30)
-            for sb in range(s_sub):
-                entry_out[blk * s_sub + sb:blk * s_sub + sb + 1,
-                          s:s + w] = jnp.min(
-                    e[sb * g:(sb + 1) * g], axis=0,
-                    keepdims=True).reshape(1, w)
+            entry_out[blk:blk + 1, s:s + w] = jnp.min(
+                e, axis=0, keepdims=True).reshape(1, w)
 
 
-@functools.partial(jax.jit, static_argnames=("s_sub",))
-def block_entries(rays8, bounds8, s_sub: int = 1):
-    """rays8 (NB*8, BLOCK) → (NB*s_sub, T) per-(sub-)block entry lower
-    bounds, sub-block rows interleaved block-major."""
+@jax.jit
+def block_entries(rays8, bounds8):
+    """rays8 (NB*8, BLOCK) → (NB, T) per-block entry lower bounds."""
     nb = rays8.shape[0] // 8
     t_dim = bounds8.shape[1]
     pad_nb = (-nb) % 8
     if pad_nb:   # one program computes 8 ray blocks
         rays8 = jnp.pad(rays8, ((0, pad_nb * 8), (0, 0)))
-    kernel = functools.partial(_enum_kernel, t_dim, s_sub)
+    kernel = functools.partial(_enum_kernel, t_dim)
     interpret = jax.default_backend() == "cpu"
     out = pl.pallas_call(
         kernel,
@@ -145,92 +140,18 @@ def block_entries(rays8, bounds8, s_sub: int = 1):
             pl.BlockSpec((8, t_dim), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8 * s_sub, t_dim), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((8, t_dim), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-        out_shape=jax.ShapeDtypeStruct(((nb + pad_nb) * s_sub, t_dim),
+        out_shape=jax.ShapeDtypeStruct((nb + pad_nb, t_dim),
                                        jnp.float32),
     )(rays8, bounds8)
-    return out[:nb * s_sub]
+    return out[:nb]
 
 
-def _next_entry_kernel(t_dim: int,
-                       rays_ref,         # (64, BLOCK) — 8 ray blocks
-                       bounds_ref,       # (8, T)
-                       unvis_ref,        # (8, T) 1.0 = unvisited granule
-                       next_out):        # (8, BLOCK) per-ray min entry
-    """Per-RAY min slab entry over each block's UNVISITED crossed
-    granules — the exact 'finished' bound for the mid-trace regroup.
-    The block-min bound (tnears[W_A]) left 77% survivors on the real
-    1080p d1 stream because one ray's early entry pins the whole
-    block; the per-ray bound matches the offline sim's ~17%."""
-    for blk in range(8):
-        rays = rays_ref[8 * blk:8 * blk + 8, :]
-        tm_col = rays[3:4, :].T                 # (BLOCK, 1)
-        o_col = []
-        inv_col = []
-        for ax in range(3):
-            o_col.append(rays[ax:ax + 1, :].T)
-            dax = rays[4 + ax:5 + ax, :].T
-            safe = jnp.where(jnp.abs(dax) < 1e-12,
-                             jnp.where(dax < 0, -1e-12, 1e-12), dax)
-            inv_col.append(1.0 / safe)
-        best = jnp.full((BLOCK, 1), 1e30, jnp.float32)
-        for s in range(0, t_dim, ENUM_TILE):
-            w = min(ENUM_TILE, t_dim - s)
-            ent = jnp.zeros((BLOCK, w), jnp.float32)
-            ext = jnp.full((BLOCK, w), 3e38, jnp.float32)
-            for ax in range(3):
-                b_lo = bounds_ref[ax:ax + 1, s:s + w]
-                b_hi = bounds_ref[3 + ax:4 + ax, s:s + w]
-                t1 = (b_lo - o_col[ax]) * inv_col[ax]
-                t2 = (b_hi - o_col[ax]) * inv_col[ax]
-                ent = jnp.maximum(ent, jnp.minimum(t1, t2))
-                ext = jnp.minimum(ext, jnp.maximum(t1, t2))
-            keep = ((ent < jnp.minimum(ext, tm_col))
-                    & (unvis_ref[blk:blk + 1, s:s + w] > 0.0))
-            e = jnp.where(keep, ent, 1e30)
-            best = jnp.minimum(best, jnp.min(e, axis=1, keepdims=True))
-        next_out[blk:blk + 1, :] = best.reshape(1, BLOCK)
-
-
-@functools.partial(jax.jit)
-def next_entries(rays8, bounds8, unvis):
-    """rays8 (NB*8, BLOCK), unvis (NB, T) → (NB*BLOCK,) per-ray min
-    entry over unvisited crossed granules (1e30 when none)."""
-    nb = rays8.shape[0] // 8
-    t_dim = bounds8.shape[1]
-    pad_nb = (-nb) % 8
-    if pad_nb:
-        rays8 = jnp.pad(rays8, ((0, pad_nb * 8), (0, 0)))
-        unvis = jnp.pad(unvis, ((0, pad_nb), (0, 0)))
-    kernel = functools.partial(_next_entry_kernel, t_dim)
-    interpret = jax.default_backend() == "cpu"
-    out = pl.pallas_call(
-        kernel,
-        interpret=interpret,
-        grid=((nb + pad_nb) // 8,),
-        in_specs=[
-            pl.BlockSpec((64, BLOCK), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, t_dim), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, t_dim), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, BLOCK), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        out_shape=jax.ShapeDtypeStruct((nb + pad_nb, BLOCK),
-                                       jnp.float32),
-    )(rays8, bounds8, unvis)
-    return out[:nb].reshape(-1)
-
-
-@functools.partial(jax.jit, static_argnames=("s_sub",))
-def block_entries_envelope(rays8, bounds8, s_sub: int = 1):
+@jax.jit
+def block_entries_envelope(rays8, bounds8):
     """Per-BLOCK interval-envelope entry bounds: (NB, T) like
     ``block_entries`` but from NB×T slab tests instead of N×T — ~BLOCK×
     fewer ops (the enum kernel is ~27 ms of a 44 ms coherent closest
@@ -240,10 +161,8 @@ def block_entries_envelope(rays8, bounds8, s_sub: int = 1):
     lists grow. Use for COHERENT streams (primary tiles, converging
     shadow rays) — scattered blocks degrade to near-full scans (the
     round-1 envelope-cull lesson, module doc)."""
-    nb = rays8.shape[0] // 8 * s_sub          # envelope rows (sub-blocks)
-    g = BLOCK // s_sub
-    r = rays8.reshape(nb // s_sub, 8, s_sub, g).transpose(
-        0, 2, 1, 3).reshape(nb, 8, g)
+    nb = rays8.shape[0] // 8
+    r = rays8.reshape(nb, 8, BLOCK)
     o = r[:, 0:3]                                  # (NB, 3, g)
     tm = r[:, 3]                                   # (NB, g)
     d = r[:, 4:7]
@@ -374,7 +293,7 @@ def order_candidates(b_entry, win_key, diag, m_c: int):
 # ---------------------------------------------------------------------------
 
 def _visit_kernel(super_g: int, k_size: int, m_c: int, t_epsilon: float,
-                  any_hit: bool, s_sub: int,
+                  any_hit: bool,
                   # SMEM (windowed over 8 grid rows)
                   ids_ref, counts_ref, tnears_ref,
                   # VMEM
@@ -389,26 +308,9 @@ def _visit_kernel(super_g: int, k_size: int, m_c: int, t_epsilon: float,
     first version paid per visit runs ONCE per block at the end, and the
     front-to-back exit reduction is amortized over EXIT_EVERY visits
     (stale per-ray bounds are conservative: exit fires a little later,
-    never wrongly).
-
-    ``s_sub`` > 1 = two-level union restriction: the block's rays split
-    into s_sub row sub-blocks, each walking its OWN entry-sorted visit
-    list (ids row ``row*s_sub + s``); one kernel step runs s_sub disjoint
-    (BLOCK/s_sub, K) dense tests — the same VPU work as one (BLOCK, K)
-    visit — and DMAs s_sub granules. Steps = max_s |list_s| instead of
-    |union|. A sub-block whose list is exhausted re-tests its LAST
-    granule (clamped id): the running-min commit is idempotent, so no
-    in-kernel branching is needed (measured dearer than the dense op it
-    gates, tools/pairs_kernel_ab.py)."""
+    never wrongly)."""
     row = jnp.remainder(pl.program_id(0), 8)
-    g_rows = BLOCK // s_sub
-
-    def n_of(s):
-        return counts_ref[row * s_sub + s, 0]
-
-    n_step = n_of(0)
-    for s in range(1, s_sub):
-        n_step = jnp.maximum(n_step, n_of(s))
+    n_step = counts_ref[row, 0]
 
     rays = rays_ref[:]
     t_max0 = rays[3:4, :].T                   # (BLOCK, 1)
@@ -419,29 +321,24 @@ def _visit_kernel(super_g: int, k_size: int, m_c: int, t_epsilon: float,
     btk_s[:] = jnp.broadcast_to(t_max0, (BLOCK, k_size))
     bgk_s[:] = jnp.zeros((BLOCK, k_size), jnp.int32)
 
-    def gid(s, i):
+    def gid(i):
         # clamp twice: into the live prefix of the list (exhausted lists
         # re-test their last granule — idempotent), and to a real granule
         # id (an empty list's slot 0 holds the invalid id t_c)
-        j = jnp.clip(jnp.minimum(i, n_of(s) - 1), 0, m_c - 1)
-        return jnp.minimum(ids_ref[row * s_sub + s, j],
-                           wg_hbm.shape[0] - 1)
+        j = jnp.clip(jnp.minimum(i, n_step - 1), 0, m_c - 1)
+        return jnp.minimum(ids_ref[row, j], wg_hbm.shape[0] - 1)
 
-    def tnear_of(s, i):
-        return tnears_ref[row * s_sub + s, jnp.minimum(i, m_c - 1)]
+    def tnear_of(i):
+        return tnears_ref[row, jnp.minimum(i, m_c - 1)]
 
-    def dma(slot, s, g):
-        if s_sub == 1:
-            return pltpu.make_async_copy(
-                wg_hbm.at[g], wp_s.at[slot], sems.at[slot])
+    def dma(slot, g):
         return pltpu.make_async_copy(
-            wg_hbm.at[g], wp_s.at[slot, s], sems.at[slot, s])
+            wg_hbm.at[g], wp_s.at[slot], sems.at[slot])
 
     for k in range(PIPE - 1):
         @pl.when(k < n_step)
         def _(k=k):
-            for s in range(s_sub):
-                dma(k, s, gid(s, k)).start()
+            dma(k, gid(k)).start()
 
     def body(state):
         i, _ = state
@@ -449,81 +346,62 @@ def _visit_kernel(super_g: int, k_size: int, m_c: int, t_epsilon: float,
 
         @pl.when(i + PIPE - 1 < n_step)
         def _():
-            for s in range(s_sub):
-                dma(jnp.remainder(i + PIPE - 1, PIPE), s,
-                    gid(s, i + PIPE - 1)).start()
+            dma(jnp.remainder(i + PIPE - 1, PIPE), gid(i + PIPE - 1)).start()
 
-        for s in range(s_sub):
-            dma(slot, s, gid(s, i)).wait()
+        dma(slot, gid(i)).wait()
 
-        for s in range(s_sub):
-            cur = gid(s, i)
-            wp = wp_s[slot] if s_sub == 1 else wp_s[slot, s]  # (G*16, K)
-            r0s, r1s = s * g_rows, (s + 1) * g_rows
-            o4h = o4[:, r0s:r1s]
-            d3h = d3[:, r0s:r1s]
+        cur = gid(i)
+        wp = wp_s[slot]                       # (G*16, K)
 
-            for j in range(super_g):
-                base = 16 * j
+        for j in range(super_g):
+            base = 16 * j
 
-                def xf_o(r0):   # [o, 1] · rows → 3 FMA + 1 add
-                    acc = wp[base + r0 + 3:base + r0 + 4, :] \
-                        + o4h[0:1, :].T * wp[base + r0:base + r0 + 1, :]
-                    for q in range(1, 3):
-                        acc = acc + (o4h[q:q + 1, :].T
-                                     * wp[base + r0 + q:
-                                          base + r0 + q + 1, :])
-                    return acc                    # (g_rows, K)
+            def xf_o(r0):   # [o, 1] · rows → 3 FMA + 1 add
+                acc = wp[base + r0 + 3:base + r0 + 4, :] \
+                    + o4[0:1, :].T * wp[base + r0:base + r0 + 1, :]
+                for q in range(1, 3):
+                    acc = acc + (o4[q:q + 1, :].T
+                                 * wp[base + r0 + q:
+                                      base + r0 + q + 1, :])
+                return acc                    # (BLOCK, K)
 
-                def xf_d(r0):   # [d, 0] · rows → the 4th term is exactly 0
-                    acc = d3h[0:1, :].T * wp[base + r0:base + r0 + 1, :]
-                    for q in range(1, 3):
-                        acc = acc + (d3h[q:q + 1, :].T
-                                     * wp[base + r0 + q:
-                                          base + r0 + q + 1, :])
-                    return acc                    # (g_rows, K)
+            def xf_d(r0):   # [d, 0] · rows → the 4th term is exactly 0
+                acc = d3[0:1, :].T * wp[base + r0:base + r0 + 1, :]
+                for q in range(1, 3):
+                    acc = acc + (d3[q:q + 1, :].T
+                                 * wp[base + r0 + q:
+                                      base + r0 + q + 1, :])
+                return acc                    # (BLOCK, K)
 
-                ou, du = xf_o(0), xf_d(0)
-                ov, dv = xf_o(4), xf_d(4)
-                ow, dw = xf_o(8), xf_d(8)
-                valid = jnp.abs(dw) > 1e-12
-                t = -ow / jnp.where(valid, dw, 1.0)
-                u = ou + t * du
-                v = ov + t * dv
-                hit = (valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                       & (t > t_epsilon))
-                t_hit = jnp.where(hit, t, 1e30)
-                bt_h = btk_s[r0s:r1s, :]
-                upd = t_hit < bt_h            # strict: earliest visit wins
-                if s_sub > 1:
-                    # an EMPTY sub-block list clamps to granule 0 of the
-                    # whole table — a granule never in this sub-block's
-                    # crossed set. Mask its commits outright instead of
-                    # relying on the containment invariant (ADVICE r2).
-                    upd = upd & (n_of(s) > 0)
-                btk_s[r0s:r1s, :] = jnp.where(upd, t_hit, bt_h)
-                bgk_s[r0s:r1s, :] = jnp.where(upd, cur * super_g + j,
-                                              bgk_s[r0s:r1s, :])
+            ou, du = xf_o(0), xf_d(0)
+            ov, dv = xf_o(4), xf_d(4)
+            ow, dw = xf_o(8), xf_d(8)
+            valid = jnp.abs(dw) > 1e-12
+            t = -ow / jnp.where(valid, dw, 1.0)
+            u = ou + t * du
+            v = ov + t * dv
+            hit = (valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                   & (t > t_epsilon))
+            t_hit = jnp.where(hit, t, 1e30)
+            bt_h = btk_s[:]
+            upd = t_hit < bt_h            # strict: earliest visit wins
+            btk_s[:] = jnp.where(upd, t_hit, bt_h)
+            bgk_s[:] = jnp.where(upd, cur * super_g + j, bgk_s[:])
 
         import os
         if os.environ.get("RFW_VISIT_NOEXIT"):   # perf/correctness bisect
             done = jnp.bool_(False)
         else:
             def check():
-                done_all = jnp.bool_(True)
-                for s in range(s_sub):
-                    r0s, r1s = s * g_rows, (s + 1) * g_rows
-                    bt = jnp.min(btk_s[r0s:r1s, :], axis=1, keepdims=True)
-                    tm_h = t_max0[r0s:r1s]
-                    if any_hit:
-                        d_s = ~jnp.any((bt >= tm_h) & (tm_h > 0))
-                    else:
-                        # front-to-back: once every ray's best precedes
-                        # the next granule's entry lower bound, no later
-                        # granule can win
-                        d_s = jnp.max(bt) <= tnear_of(s, i + 1)
-                    done_all = done_all & (d_s | (i + 1 >= n_of(s)))
-                return done_all
+                bt = jnp.min(btk_s[:], axis=1, keepdims=True)
+                if any_hit:
+                    d_s = ~jnp.any((bt >= t_max0) & (t_max0 > 0))
+                else:
+                    # front-to-back: once every ray's best precedes
+                    # the next granule's entry lower bound, no later
+                    # granule can win
+                    d_s = jnp.max(bt) <= tnear_of(i + 1)
+                return d_s | (i + 1 >= n_step)
 
             done = jax.lax.cond(
                 jnp.remainder(i, EXIT_EVERY) == EXIT_EVERY - 1,
@@ -540,9 +418,7 @@ def _visit_kernel(super_g: int, k_size: int, m_c: int, t_epsilon: float,
     for k in range(PIPE - 1):   # drain in-flight DMAs on early exit
         @pl.when(i_end + k < n_step)
         def _(k=k):
-            for s in range(s_sub):
-                dma(jnp.remainder(i_end + k, PIPE), s,
-                    gid(s, i_end + k)).wait()
+            dma(jnp.remainder(i_end + k, PIPE), gid(i_end + k)).wait()
 
     # one reduction pair per BLOCK: best t, its lane, that lane's cell
     btk = btk_s[:]
@@ -564,26 +440,25 @@ def _visit_kernel(super_g: int, k_size: int, m_c: int, t_epsilon: float,
 
 
 @functools.partial(jax.jit, static_argnames=("super_g", "k_size",
-                                             "t_epsilon", "any_hit",
-                                             "s_sub"))
+                                             "t_epsilon", "any_hit"))
 def _run_visit_kernel(rays8, ids, counts, tnears, wgran,
                       super_g: int, k_size: int, t_epsilon: float,
-                      any_hit: bool, s_sub: int = 1):
-    """rays8 (NB*8, BLOCK); ids/tnears (NB*s_sub, M); counts (NB*s_sub,).
+                      any_hit: bool):
+    """rays8 (NB*8, BLOCK); ids/tnears (NB, M); counts (NB,).
     Returns per-ray (t, slot) in block-ray order."""
-    nb = ids.shape[0] // s_sub
+    nb = ids.shape[0]
     m_c = ids.shape[1]
     pad_nb = (-nb) % 8
     if pad_nb:
-        ids = jnp.pad(ids, ((0, pad_nb * s_sub), (0, 0)))
-        counts = jnp.pad(counts, (0, pad_nb * s_sub))
-        tnears = jnp.pad(tnears, ((0, pad_nb * s_sub), (0, 0)))
+        ids = jnp.pad(ids, ((0, pad_nb), (0, 0)))
+        counts = jnp.pad(counts, (0, pad_nb))
+        tnears = jnp.pad(tnears, ((0, pad_nb), (0, 0)))
     in_specs = [
-        pl.BlockSpec((8 * s_sub, m_c), lambda b: (b // 8, 0),
+        pl.BlockSpec((8, m_c), lambda b: (b // 8, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((8 * s_sub, 1), lambda b: (b // 8, 0),
+        pl.BlockSpec((8, 1), lambda b: (b // 8, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((8 * s_sub, m_c), lambda b: (b // 8, 0),
+        pl.BlockSpec((8, m_c), lambda b: (b // 8, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((8, BLOCK), lambda b: (b, 0),
                      memory_space=pltpu.VMEM),
@@ -596,13 +471,12 @@ def _run_visit_kernel(rays8, ids, counts, tnears, wgran,
                      memory_space=pltpu.VMEM),
     ]
     kernel = functools.partial(_visit_kernel, super_g, k_size, m_c,
-                               t_epsilon, any_hit, s_sub)
+                               t_epsilon, any_hit)
     import os
     interpret = (jax.default_backend() == "cpu"
                  or bool(os.environ.get("RFW_VISIT_INTERP")))
-    wp_shape = ((PIPE, super_g * 16, k_size) if s_sub == 1
-                else (PIPE, s_sub, super_g * 16, k_size))
-    sem_shape = (PIPE,) if s_sub == 1 else (PIPE, s_sub)
+    wp_shape = (PIPE, super_g * 16, k_size)
+    sem_shape = (PIPE,)
     t, slot = pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -649,15 +523,6 @@ def _pad_rays(origins, directions, t_max):
             [directions, jnp.ones((pad, 3), directions.dtype)])
         t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
     return origins, directions, t_max, r
-
-
-def _gather_rays(origins, directions, t_max, order):
-    """Permute (o, d, t) with ONE (n, 7) row gather — three narrow
-    gathers pay three per-op costs (TPU gather cost model,
-    render/scene_data.build_tri_pack doc)."""
-    packed = jnp.concatenate(
-        [origins, directions, t_max[:, None]], axis=1)[order]
-    return packed[:, 0:3], packed[:, 3:6], packed[:, 6]
 
 
 def _sorted(tl, origins, directions, t_max):
@@ -728,20 +593,11 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
     """Visit-list passes to exactness. Returns per-ray (t, slot).
     ``coherent``: enumerate with the per-block envelope (NB x T slab
     tests) instead of per-ray (N x T) — conservative-exact, ~BLOCK x
-    cheaper, right for primary tiles / converging shadow rays.
-
-    ``config.visit_subblocks`` = S > 1 enables the two-level union
-    restriction: every (sub-)block row of the candidate tables holds one
-    of S per-sub-block lists (``block_entries(..., s_sub=S)``); the
-    kernel walks S lists side-by-side per step, so a block's step count
-    drops from |union(block)| to max_s |union(sub_s)|."""
+    cheaper, right for primary tiles / converging shadow rays."""
     tl = scene["treelets"]
     wg, bounds8, super_g, k_size = _granularity(tl, config)
     n = origins.shape[0]
     t_c = bounds8.shape[1]
-    s_sub = max(1, int(config.visit_subblocks))
-    assert BLOCK % s_sub == 0, "visit_subblocks must divide BLOCK"
-    g_rays = BLOCK // s_sub   # rays per candidate-table row
     t_max = jnp.asarray(t_max, jnp.float32)
     lo = tl["scene_lo"] if "scene_lo" in tl else tl["bmin"].min(axis=0)
     hi = tl["scene_hi"] if "scene_hi" in tl else tl["bmax"].max(axis=0)
@@ -751,9 +607,8 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
     # geometric, so recull passes just consume successive windows)
     t_hi0 = jnp.where(t_max <= 0, 0.0, t_max)
     rays8_0 = _pack_rays8(origins, directions, t_hi0)
-    b_entry = (block_entries_envelope(rays8_0, bounds8, s_sub=s_sub)
-               if coherent else block_entries(rays8_0, bounds8,
-                                              s_sub=s_sub))
+    b_entry = (block_entries_envelope(rays8_0, bounds8)
+               if coherent else block_entries(rays8_0, bounds8))
     keys_all, counts_all = sort_candidates(b_entry, diag, M_C)
 
     def one_pass(state):
@@ -767,7 +622,7 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
             keys_all, counts_all, it, diag, M_C, t_c)
         t_row, s_row = _run_visit_kernel(
             rays8, ids, counts, tnears, wg, super_g, k_size,
-            float(config.t_epsilon), any_hit, s_sub=s_sub)
+            float(config.t_epsilon), any_hit)
         # commit ONLY actual new hits: finished blocks run later passes
         # with t_hi = 0 and return (t = 0, slot = -1) — without the
         # s_row >= 0 guard that "0 < best_t" would clobber every
@@ -782,8 +637,8 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
         # (front-to-back: no later granule can beat it), or — for
         # occlusion — as soon as anything hit.
         overflow = counts_all > (it + 1) * M_C
-        blk_of = jnp.repeat(overflow, g_rays)[:n]
-        ray_next = jnp.repeat(next_tnear, g_rays)[:n]
+        blk_of = jnp.repeat(overflow, BLOCK)[:n]
+        ray_next = jnp.repeat(next_tnear, BLOCK)[:n]
         if any_hit:
             fin = finished | ~blk_of | (new_slot >= 0)
         else:
@@ -805,178 +660,6 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
     return t, slot
 
 
-def _trace_regroup(scene, origins, directions, t_max, config: RenderConfig,
-                   any_hit: bool, coherent: bool = False):
-    """Two-phase visit tracing with a mid-trace ray regroup.
-
-    The visit kernel's per-block cost is the straggler bound: a block
-    walks its entry-sorted union until EVERY ray's best hit precedes the
-    next granule's entry, so one sky/straggler ray drags 255 resolved
-    rays through the whole union (~106 visits/block vs per-ray
-    crossings-to-hit mean 8, STATUS.md). Phase A walks only the first
-    ``W_A`` visits per block; rays still unresolved compact — survivors
-    first, original (compaction-key) order preserved — into fresh dense
-    256-ray blocks and phase B walks those to exactness. On the real d1
-    bounce stream this cuts total executed visits to 58.3% of the
-    single-phase baseline (tools/regroup_sim.py).
-
-    The regroup costs one argsort of a bool (survivor partition; the
-    inverse permutation comes from two cumsums, not a second argsort),
-    one (n_b, 7) ray row gather, a quarter-size re-enumeration, and one
-    (n, 2) merge row gather — all well under the saved kernel time at
-    518k-lane chunks. Exactness: phase A's per-ray finished test is the
-    same front-to-back bound the recull loop uses (best_t ≤ entry lower
-    bound of the first UNVISITED granule, quantization-floored so it
-    errs toward "not finished"); survivors re-trace from scratch under
-    their tightened horizon in staged quarter-size batches (extra
-    batches fire by lax.cond only when the survivor count overflows —
-    see the staging comment below)."""
-    tl = scene["treelets"]
-    wg, bounds8, super_g, k_size = _granularity(tl, config)
-    n = origins.shape[0]
-    t_c = bounds8.shape[1]
-    t_max = jnp.asarray(t_max, jnp.float32)
-    lo = tl["scene_lo"] if "scene_lo" in tl else tl["bmin"].min(axis=0)
-    hi = tl["scene_hi"] if "scene_hi" in tl else tl["bmax"].max(axis=0)
-    diag = jnp.sqrt(jnp.sum((hi - lo) ** 2))
-
-    # --- phase A: first W_A visits of window 0
-    s_sub = max(1, int(config.visit_subblocks))
-    g_rays = BLOCK // s_sub
-    t_hi0 = jnp.where(t_max <= 0, 0.0, t_max)
-    rays8_0 = _pack_rays8(origins, directions, t_hi0)
-    b_entry = (block_entries_envelope(rays8_0, bounds8, s_sub=s_sub)
-               if coherent else block_entries(rays8_0, bounds8,
-                                              s_sub=s_sub))
-    keys_all, counts_all = sort_candidates(b_entry, diag, M_C)
-    w_a = min(W_A, M_C - 1)   # tnears[:, w_a] must exist in the window
-    ids, counts, tnears, _ = window_candidates(
-        keys_all, counts_all, jnp.int32(0), diag, M_C, t_c)
-    t_row, s_row = _run_visit_kernel(
-        rays8_0, ids, jnp.minimum(counts, w_a), tnears, wg,
-        super_g, k_size, float(config.t_epsilon), any_hit, s_sub=s_sub)
-    hitA = (s_row >= 0) & (t_row < t_max)
-    best_t = jnp.where(hitA, t_row, t_max)
-    best_slot = jnp.where(hitA, s_row, -1)
-
-    # finished = best hit precedes this ray's PERSONAL min entry over
-    # the block's unvisited crossed granules (exact: an uncrossed
-    # granule can hold no hit — cells bound their member triangles —
-    # and a crossed one cannot beat best_t if its entry is past it).
-    # The round-2 bound used the BLOCK-min entry of granule W_A, which
-    # left 77% survivors on the real d1 stream; the per-ray bound costs
-    # one extra enum-style pass (next_entries) and lands near the
-    # per-ray sim's ~17%. s_sub > 1 keeps the per-row bound (rows ARE
-    # the sub-blocks there, so the same scatter works on row ids).
-    if s_sub == 1:
-        nb_rows = ids.shape[0]
-        rowi = jnp.arange(nb_rows, dtype=jnp.int32)[:, None]
-        vis = jnp.zeros((nb_rows, t_c + 1), jnp.float32)
-        # ids pad value is t_c → lands in the throwaway column
-        vis = vis.at[rowi, jnp.minimum(ids[:, :w_a], t_c)].set(1.0)
-        unvis = 1.0 - vis[:, :t_c]
-        next_pers = next_entries(rays8_0, bounds8, unvis)[:n]
-        if any_hit:
-            fin = (best_slot >= 0) | (next_pers >= t_max)
-        else:
-            fin = best_t <= next_pers
-    else:
-        ray_more = jnp.repeat(counts_all > w_a, g_rays)[:n]
-        ray_next = jnp.repeat(tnears[:, w_a], g_rays)[:n]
-        if any_hit:
-            fin = ~ray_more | (best_slot >= 0)
-        else:
-            fin = ~ray_more | (best_t <= ray_next)
-    fin = fin | (t_max <= 0)
-
-    # --- regroup: survivors first, original order preserved
-    n_surv = jnp.sum(~fin)
-    order2 = jnp.argsort(fin.astype(jnp.int32)).astype(jnp.int32)
-    #                                   ^ stable: survivors (0) sort first
-    cf = jnp.cumsum(fin.astype(jnp.int32))
-    rank2 = jnp.where(fin, n_surv + cf - 1,
-                      jnp.cumsum((~fin).astype(jnp.int32)) - 1)
-    n_b = max(BLOCK, -(-(n // 4) // BLOCK) * BLOCK)
-    t_hi_b = jnp.where(fin, 0.0, jnp.minimum(best_t, t_max))
-    packed_all = jnp.concatenate(
-        [origins, directions, t_hi_b[:, None]], axis=1)
-
-    # Phase B runs in STAGED quarter-size batches over the survivor
-    # prefix of order2: one fori_loop whose TRACED trip count is
-    # ceil(n_surv / n_b) (min 1 — batch 0 always runs; survivors at
-    # 1080p d1 measure 16.6% < 25%, tools/regroup_sim.py). Lower-
-    # coherence streams (d2: 32% survivors; small interactive frames:
-    # ~57%) fire one or two extra quarter batches instead of a
-    # full-size re-trace, so the worst case degrades to the
-    # single-phase cost, never past it. The loop body is ONE compiled
-    # _trace(n_b) instance — round 2 unrolled four copies (batch 0 +
-    # three lax.cond arms), which quadrupled this function's share of
-    # the ~17-minute whole-sample XLA compile.
-    n_batches = -(-n // n_b)
-    lane_b = jnp.arange(n_b, dtype=jnp.int32)
-
-    # slot ids ride the merge gather as exact f32 VALUES, never bitcast:
-    # bitcast_convert_type(-1, f32) is a NaN (0xFFFFFFFF) whose payload
-    # XLA may CANONICALIZE to 0x7FC00000 in any op — bitcast back is then
-    # +2143289344, which defeats the `s_bi >= 0` miss guard and lets dead
-    # batch rows (t = 0) clobber real phase-A hits. THE round-2 latent
-    # bug: on the 1080p bounce stream it silently dropped ~11% of hits
-    # (317309 vs 355695 — /tmp/regroup_bisect, reproduced bit-identically
-    # on the round-2 snapshot). f32 holds ints exactly below 2^24; larger
-    # slot tables take the two-gather fallback.
-    exact_f32 = (wg.shape[0] * super_g * k_size) < (1 << 24)
-
-    def batch_body(k, args):
-        best_t, best_slot = args
-        base = k * n_b
-        pos = base + lane_b
-        rows = jnp.minimum(pos, n - 1)
-        in_range = pos < n
-        p = packed_all[order2[rows]]
-        thi = jnp.where(in_range, p[:, 6], 0.0)
-        t_b, s_b = _trace(scene, p[:, 0:3], p[:, 3:6], thi,
-                          config, any_hit)
-        # merge: ray i's batch row is rank2[i] - base
-        idx = rank2 - base
-        idx_c = jnp.clip(idx, 0, n_b - 1)
-        if exact_f32:
-            pk = jnp.stack([t_b, s_b.astype(jnp.float32)], axis=1)[idx_c]
-            t_bi = pk[:, 0]
-            s_bi = pk[:, 1].astype(jnp.int32)
-        else:
-            t_bi = t_b[idx_c]
-            s_bi = s_b[idx_c]
-        better = ((idx >= 0) & (idx < n_b) & (s_bi >= 0)
-                  & (t_bi < best_t))
-        return (jnp.where(better, t_bi, best_t),
-                jnp.where(better, s_bi, best_slot))
-
-    trip = jnp.minimum(
-        jnp.int32(n_batches),
-        jnp.maximum(jnp.int32(1),
-                    (n_surv.astype(jnp.int32) + (n_b - 1)) // n_b))
-    best_t, best_slot = jax.lax.fori_loop(
-        0, trip, batch_body, (best_t, best_slot))
-    return best_t, best_slot
-
-
-def _use_regroup(config: RenderConfig, n: int, coherent: bool,
-                 any_hit: bool = False) -> bool:
-    """Regroup engages only for large scattered streams when the config
-    opts in. OFF by default since round 3: the round-2 on-chip win was
-    measured with the NaN-bitcast merge bug silently dropping ~11% of
-    bounce hits; with the fix the phase-A finished test leaves 77%
-    survivors on the real d1 stream and regroup runs ~3.2x slower than
-    the plain multi-pass walk (see config.visit_regroup). Occlusion
-    additionally requires RFW_REGROUP_OCCL: unoccluded shadow rays
-    never resolve, so their survivor fraction trips the staged
-    full-size batches."""
-    import os
-    if any_hit and not os.environ.get("RFW_REGROUP_OCCL"):
-        return False
-    return bool(config.visit_regroup) and not coherent and n >= 8 * BLOCK
-
-
 def closest_hit(scene, origins, directions, config: RenderConfig,
                 t_max=None, sort: bool = True, coherent: bool = False):
     """Intersector ABI: (t, prim, u, v); lanes with t_max == 0 are dead.
@@ -996,10 +679,8 @@ def closest_hit(scene, origins, directions, config: RenderConfig,
         origins, directions, t_max, lane = _sort_carry_in(
             tl, origins, directions, t_max)
     o, d, tm, r = _pad_rays(origins, directions, t_max)
-    trace = (_trace_regroup if _use_regroup(config, o.shape[0], coherent)
-             else _trace)
-    t, slot = trace(scene, o, d, tm, config, any_hit=False,
-                    coherent=coherent)
+    t, slot = _trace(scene, o, d, tm, config, any_hit=False,
+                     coherent=coherent)
     t, slot = t[:r], slot[:r]
     found = slot >= 0
     prim = jnp.where(found, tl["slot_to_prim"][jnp.maximum(slot, 0)], -1)
@@ -1033,11 +714,8 @@ def any_hit(scene, origins, directions, dist, config: RenderConfig,
         origins, directions, dist, lane = _sort_carry_in(
             tl, origins, directions, dist)
     o, d, tm, r = _pad_rays(origins, directions, dist)
-    trace = (_trace_regroup
-             if _use_regroup(config, o.shape[0], coherent, any_hit=True)
-             else _trace)
-    t, slot = trace(scene, o, d, tm, config, any_hit=True,
-                    coherent=coherent)
+    t, slot = _trace(scene, o, d, tm, config, any_hit=True,
+                     coherent=coherent)
     slot = slot[:r]
     hit = slot >= 0
     occluded = jnp.where(

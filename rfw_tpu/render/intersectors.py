@@ -143,20 +143,16 @@ def make_visit_intersector(config: RenderConfig) -> Intersector:
 
 
 def make_hybrid_intersector(config: RenderConfig) -> Intersector:
-    """Best-of-both TPU intersector, routed by MEASUREMENT on the bench
-    workload (tools/bounce_ab.py, 518k-ray middle chunk of 1080p pica-4x,
-    enumerate-once pair driver):
-
-    * scattered closest (bounce rays, sort=True): pair expansion wins —
-      469 ms vs the super-cell kernel's 1105 ms (exact agreement).
-    * occlusion: super-cell. On a synthetic fully-scattered 1M-ray stream
-      pairs wins (937 vs 1081 ms), but the REAL pipeline's occlusion rays
-      are coherent — light rays converge on lights and env rays share one
-      direction per 16x16 tile (env_nee_interleave) — and routing them to
-      pairs measured 0.41 vs 0.50 Mrays/s end-to-end (bench.py).
-    * coherent primaries (sort=False): super-cell envelope cull (69 ms —
-      pairs pays its enumeration sort regardless of coherence).
-    """
+    """HISTORICAL round-1/2 router, kept only as an A/B surface — the
+    ``visit`` intersector superseded both of its arms on every stream
+    class and is the default everywhere (round-2 measurements: bounce
+    closest 527 → ~392 ms per 518k chunk; see ops/visit_intersect.py).
+    Routing below reflects the PRE-visit measurements (tools/bounce_ab.py
+    on the enumerate-once pair driver): pair expansion for scattered
+    closest (469 vs 1105 ms), super-cell envelope for occlusion and
+    coherent primaries (real occlusion streams are coherent — light rays
+    converge, env rays share a direction per tile). Do not use for new
+    work; route by bench.py."""
     sup = make_pallas_intersector(config)
     prs = make_pairs_intersector(config)
 

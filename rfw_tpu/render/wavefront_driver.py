@@ -116,6 +116,36 @@ def _compact_gather_packed(scene, packed):
     return packed[order], jnp.sum(state.alive)
 
 
+def _compact_prefix(scene, packed, prev_nc, chunk, compact_packed):
+    """Compact only the first ``prev_nc * chunk`` rows — the rows the
+    previous depth's stages actually touched (it ran ``prev_nc`` chunks).
+    Rows beyond are an already-compacted DEAD tail: nothing revives a
+    lane, every live row after depth d sits inside depth d's processed
+    prefix, and live keys sort below dead keys (bit 28), so the live
+    prefix this produces is IDENTICAL to a full-frame compact; only the
+    arrangement of dead rows differs — and dead rows reach the frame
+    solely through the pid-keyed finalize sort (radiance/pid/alive are
+    never mutated for dead lanes; see depth_stage), so frames stay
+    bitwise-equal while the sort pays ~prev_nc/nc0 of the full cost.
+    ``prev_nc`` is TRACED: lax.switch picks among static prefix sizes."""
+    n = packed.shape[0]
+    nc0 = n // chunk
+
+    def mk(k: int):
+        if k == 0:
+            return lambda p: (p, jnp.int32(0))
+        if k == nc0:
+            return lambda p: compact_packed(scene, p)
+
+        def br(p):
+            head, live = compact_packed(scene, p[:k * chunk])
+            return jnp.concatenate([head, p[k * chunk:]]), live
+        return br
+
+    return jax.lax.switch(jnp.clip(prev_nc, 0, nc0),
+                          [mk(k) for k in range(nc0 + 1)], packed)
+
+
 def _stage_chunk_factory(width, height, cfg, intersector, tex_flags):
     def stage_chunk(scene, view, state_c, sample_index, probe_rel,
                     depth: int, depth_t=None):
@@ -198,8 +228,9 @@ def make_sample_body(width: int, height: int, n: int, chunk: int,
                       for k in stats0}
 
         def depth_body(d, carry):
-            packed, stats_arr = carry
-            packed, live = compact_packed(scene, packed)
+            packed, prev_nc, stats_arr = carry
+            packed, live = _compact_prefix(scene, packed, prev_nc, chunk,
+                                           compact_packed)
 
             def d_body(c, carry2):
                 packed, stats = carry2
@@ -222,10 +253,10 @@ def make_sample_body(width: int, height: int, n: int, chunk: int,
                 0, nc_d, d_body, (packed, stats0))
             stats_arr = {k: stats_arr[k].at[d].set(st_d[k])
                          for k in stats_arr}
-            return packed, stats_arr
+            return packed, nc_d, stats_arr
 
-        packed, stats_arr = jax.lax.fori_loop(
-            1, dmax + 1, depth_body, (packed, stats_arr0))
+        packed, _, stats_arr = jax.lax.fori_loop(
+            1, dmax + 1, depth_body, (packed, jnp.int32(nc0), stats_arr0))
         for k in stats_arr:
             for d in range(1, dmax + 1):
                 stats_all[f"{k}_{d}"] = stats_arr[k][d]

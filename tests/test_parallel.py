@@ -107,11 +107,11 @@ def test_n_devices_visit_intersector():
     assert np.abs(img1 - img8).max() < 1e-5
 
 
-def test_n_devices_visit_regroup_engages():
-    """Per-shard streams large enough to engage the two-phase regroup
-    (>= 8 ray blocks per shard after padding): the regroup's argsort /
-    cumsum / gathers run INSIDE the shard_map body and must keep the
-    8-device frame identical to single-device."""
+def test_n_devices_large_shard_bitwise():
+    """Per-shard streams of >= 8 ray blocks (the multi-block visit path:
+    per-launch sort-carry, multi-pass recull windows, all INSIDE the
+    shard_map body) must keep the 8-device frame identical to
+    single-device."""
     import rfw_tpu
     from rfw_tpu.render import RenderStatus, create_engine
     from rfw_tpu.ops import visit_intersect

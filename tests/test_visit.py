@@ -219,109 +219,3 @@ def test_visit_envelope_enum_matches_brute(soup_scene):
     assert (prim_p[both] == prim_b[both]).mean() > 0.999
     terr = np.abs(t_p[both] - t_b[both])
     assert (terr / np.maximum(t_b[both], 1e-6)).max() < 1e-4
-
-
-def test_visit_regroup_matches_brute(soup_scene):
-    """The two-phase mid-trace regroup (opt-in since round 3) must stay
-    exactly brute-force-correct. 4096 scattered rays engage
-    _trace_regroup; the soup scene leaves plenty of phase-A survivors —
-    and its batches contain DEAD rows whose slot=-1 must never clobber a
-    phase-A hit (the round-2 NaN-bitcast merge bug)."""
-    import dataclasses
-    scene, cfg = soup_scene
-    cfg = dataclasses.replace(cfg, visit_regroup=True)
-    o, d, tm = _rays(4096, seed=17, dead_frac=0.2)
-    t_p, prim_p, _, _ = visit_intersect.closest_hit(scene, o, d, cfg,
-                                                    t_max=tm)
-    t_b, prim_b, _, _ = _brute(scene, o, d, cfg)
-    prim_b = jnp.where((t_b < tm) & (prim_b >= 0), prim_b, -1)
-    t_p, prim_p = np.asarray(t_p), np.asarray(prim_p)
-    t_b, prim_b = np.asarray(t_b), np.asarray(prim_b)
-    assert ((prim_p >= 0) == (prim_b >= 0)).all()
-    both = (prim_p >= 0) & (prim_b >= 0)
-    assert (prim_p[both] == prim_b[both]).mean() > 0.999
-    terr = np.abs(t_p[both] - t_b[both])
-    assert (terr / np.maximum(t_b[both], 1e-6)).max() < 1e-4
-
-
-def test_visit_regroup_phase_c(soup_scene, monkeypatch):
-    """Batch overflow: survivors exceeding the first n/4 batch must
-    still be traced to exactness. W_A=1 leaves nearly every ray
-    unresolved after phase A, so n_surv >> n/4 and the lax.cond-gated
-    extra quarter batches run."""
-    import dataclasses
-    scene, cfg = soup_scene
-    cfg = dataclasses.replace(cfg, visit_regroup=True)
-    monkeypatch.setattr(visit_intersect, "W_A", 1)
-    o, d, tm = _rays(4096, seed=23, dead_frac=0.1)
-    t_p, prim_p, _, _ = visit_intersect.closest_hit(scene, o, d, cfg,
-                                                    t_max=tm)
-    t_b, prim_b, _, _ = _brute(scene, o, d, cfg)
-    prim_b = jnp.where((t_b < tm) & (prim_b >= 0), prim_b, -1)
-    prim_p, prim_b = np.asarray(prim_p), np.asarray(prim_b)
-    assert ((prim_p >= 0) == (prim_b >= 0)).all()
-    both = (prim_p >= 0) & (prim_b >= 0)
-    assert (prim_p[both] == prim_b[both]).mean() > 0.999
-
-
-def test_visit_regroup_any_hit(soup_scene, monkeypatch):
-    """Occlusion through the regroup path: binary result must match."""
-    import dataclasses
-    monkeypatch.setenv("RFW_REGROUP_OCCL", "1")
-    scene, cfg = soup_scene
-    cfg = dataclasses.replace(cfg, visit_regroup=True)
-    o, d, _ = _rays(4096, seed=29, dead_frac=0.0)
-    rng = np.random.default_rng(31)
-    dist = np.full(4096, 6.0, np.float32)
-    dist[rng.random(4096) < 0.3] = 0.0
-    dist = jnp.asarray(dist)
-    occ = np.asarray(visit_intersect.any_hit(scene, o, d, dist, cfg))
-    t_b, prim_b, _, _ = _brute(scene, o, d, cfg)
-    occ_b = np.asarray((prim_b >= 0) & (np.asarray(t_b) < np.asarray(dist)))
-    assert (occ == occ_b).all()
-
-
-def test_visit_subblocks_matches_brute(soup_scene):
-    """Two-level union restriction (visit_subblocks > 1): per-sub-block
-    visit lists must stay brute-force-exact through both the plain
-    multi-pass path and the regroup path, per-ray AND envelope enum."""
-    import dataclasses
-    scene, cfg = soup_scene
-    for s_sub in (2, 4):
-        cfg_s = dataclasses.replace(cfg, visit_subblocks=s_sub)
-        for n, regroup in ((1024, False), (4096, True)):
-            cfg_r = dataclasses.replace(cfg_s, visit_regroup=regroup)
-            o, d, tm = _rays(n, seed=41 + s_sub, dead_frac=0.2)
-            t_p, prim_p, _, _ = visit_intersect.closest_hit(
-                scene, o, d, cfg_r, t_max=tm)
-            t_b, prim_b, _, _ = _brute(scene, o, d, cfg_r)
-            prim_b = jnp.where((t_b < tm) & (prim_b >= 0), prim_b, -1)
-            t_p, prim_p = np.asarray(t_p), np.asarray(prim_p)
-            t_b, prim_b = np.asarray(t_b), np.asarray(prim_b)
-            assert ((prim_p >= 0) == (prim_b >= 0)).all()
-            both = (prim_p >= 0) & (prim_b >= 0)
-            assert (prim_p[both] == prim_b[both]).mean() > 0.999
-            terr = np.abs(t_p[both] - t_b[both])
-            assert (terr / np.maximum(t_b[both], 1e-6)).max() < 1e-4
-
-
-def test_visit_subblocks_envelope_and_any_hit(soup_scene):
-    import dataclasses
-    scene, cfg = soup_scene
-    cfg_s = dataclasses.replace(cfg, visit_subblocks=4)
-    o, d, tm = _rays(1024, seed=51, dead_frac=0.1)
-    t_p, prim_p, _, _ = visit_intersect.closest_hit(
-        scene, o, d, cfg_s, t_max=tm, coherent=True)
-    t_b, prim_b, _, _ = _brute(scene, o, d, cfg_s)
-    prim_b = jnp.where((t_b < tm) & (prim_b >= 0), prim_b, -1)
-    prim_p, prim_b = np.asarray(prim_p), np.asarray(prim_b)
-    assert ((prim_p >= 0) == (prim_b >= 0)).all()
-    both = (prim_p >= 0) & (prim_b >= 0)
-    assert (prim_p[both] == prim_b[both]).mean() > 0.999
-    # occlusion
-    dist = jnp.where(tm > 0, jnp.float32(6.0), 0.0)
-    occ = np.asarray(visit_intersect.any_hit(scene, o, d, dist, cfg_s))
-    t_b2, prim_b2, _, _ = _brute(scene, o, d, cfg_s)
-    occ_b = np.asarray((prim_b2 >= 0)
-                       & (np.asarray(t_b2) < np.asarray(dist)))
-    assert (occ == occ_b).all()

@@ -18,8 +18,7 @@ import bench as benchmod  # noqa: E402
 
 W, H = 1920, 1080
 cfg = RenderConfig(
-    merged_material_atlas="--legacy-atlas" not in sys.argv[1:],
-    visit_regroup="--no-regroup" not in sys.argv[1:])
+    merged_material_atlas="--legacy-atlas" not in sys.argv[1:])
 rs = RenderSystem("wavefront", cfg)
 benchmod.build_scene(rs)
 rs.camera.resize(W, H)

@@ -11,7 +11,6 @@ by computed address. One flat array + row gathers is the TPU-friendly layout.
 
 from __future__ import annotations
 
-import dataclasses
 
 import numpy as np
 
@@ -20,12 +19,30 @@ from ..utils import image
 MIP_LEVEL_COUNT = 5
 
 
-@dataclasses.dataclass
 class Texture:
-    """Decoded texture with mip chain; mips[0] is the base level."""
+    """Decoded texture with mip chain; mips[0] is the base level.
 
-    mips: list[np.ndarray]        # each (H, W, 4) float32 linear
-    is_hdr: bool = False
+    File-backed textures are LAZY: ``Texture.load`` only stats the file
+    (its stat digest keys both the mip cache and the atlas cache), and
+    texels decode on first ``.mips`` access. When the atlas disk cache
+    hits, a textured scene builds without ever touching a texel — the
+    round-4 scene-build lever (decode+mip was ~8 s of the 16 s warm
+    build for pica-4x)."""
+
+    def __init__(self, mips: list[np.ndarray] | None = None,
+                 is_hdr: bool = False, _lazy=None, _digest=None):
+        self._mips = mips
+        self.is_hdr = is_hdr
+        self._lazy = _lazy
+        if _digest is not None:
+            self._digest = _digest   # atlas-key digest (see
+        #                              build_atlases_cached's memo)
+
+    @property
+    def mips(self) -> list[np.ndarray]:
+        if self._mips is None:
+            self._mips = self._lazy()
+        return self._mips
 
     @property
     def width(self) -> int:
@@ -38,19 +55,29 @@ class Texture:
     @staticmethod
     def load(path: str) -> "Texture":
         p = str(path)
-        cached = _mip_cache_load(p)
-        if cached is not None:
-            return cached
-        if p.lower().endswith(".hdr"):
-            rgb = image.load_hdr(p)
-            rgba = np.concatenate(
-                [rgb, np.ones_like(rgb[..., :1])], axis=-1).astype(np.float32)
-            tex = Texture(mips=[rgba], is_hdr=True)
-        else:
-            base = image.load_ldr(p, to_linear=True)
-            tex = Texture.from_array(base, is_hdr=False)
-        _mip_cache_store(p, tex)
-        return tex
+        is_hdr = p.lower().endswith(".hdr")
+        key = _mip_key(p)   # stat digest: path | mtime | size
+
+        def decode() -> list[np.ndarray]:
+            cached = _mip_cache_load(p)
+            if cached is not None:
+                return cached.mips
+            if is_hdr:
+                rgb = image.load_hdr(p)
+                rgba = np.concatenate(
+                    [rgb, np.ones_like(rgb[..., :1])],
+                    axis=-1).astype(np.float32)
+                tex = Texture(mips=[rgba], is_hdr=True)
+            else:
+                base = image.load_ldr(p, to_linear=True)
+                tex = Texture.from_array(base, is_hdr=False)
+            _mip_cache_store(p, tex)
+            return tex.mips
+
+        if key is None:   # unreadable path: decode now so load() raises
+            return Texture(mips=decode(), is_hdr=is_hdr)
+        return Texture(is_hdr=is_hdr, _lazy=decode,
+                       _digest=f"stat:{key}".encode())
 
     @staticmethod
     def from_array(base: np.ndarray, is_hdr: bool = False) -> "Texture":
@@ -337,7 +364,11 @@ def build_atlases_cached(materials, textures: list[Texture],
             return atlas, mtex_id
         except (OSError, KeyError, ValueError):
             pass
-        # legacy single-npz cache (pre-mmap format)
+        # legacy single-npz cache (pre-mmap format): npz members can't
+        # mmap, so this pays an eager multi-hundred-MB read (~6.5 s for
+        # the bench scene's 337 MB atlas — round-4 profile). Load once,
+        # MIGRATE to the member-dir format and drop the npz so every
+        # later build takes the mmap path above.
         f = os.path.join(d, f"atlas_{key}.npz")
         try:
             z = np.load(f)
@@ -346,6 +377,11 @@ def build_atlases_cached(materials, textures: list[Texture],
                 atlas["matlas"] = z["matlas"]
                 atlas["matlas_desc"] = z["matlas_desc"]
             mtex_id = z["mtex_id"] if "mtex_id" in z.files else None
+            _publish_member_dir(d, key, atlas, mtex_id)
+            try:
+                os.remove(f)
+            except OSError:
+                pass
             return atlas, mtex_id
         except (OSError, KeyError, ValueError):
             pass
@@ -357,19 +393,25 @@ def build_atlases_cached(materials, textures: list[Texture],
         if matlas is not None:
             atlas.update(matlas)
     if key is not None:
-        try:
-            save = dict(atlas)
-            if mtex_id is not None:
-                save["mtex_id"] = mtex_id
-            mdir = os.path.join(d, f"atlas_{key}")
-            tdir = f"{mdir}.{os.getpid()}.tmp"
-            os.makedirs(tdir, exist_ok=True)
-            for name, arr in save.items():
-                np.save(os.path.join(tdir, f"{name}.npy"), arr)
-            os.replace(tdir, mdir)   # atomic publish (same filesystem)
-        except OSError:
-            pass
+        _publish_member_dir(d, key, atlas, mtex_id)
     return atlas, mtex_id
+
+
+def _publish_member_dir(d, key, atlas, mtex_id) -> None:
+    """Write the per-member .npy atlas cache dir (atomic publish)."""
+    import os
+    try:
+        save = dict(atlas)
+        if mtex_id is not None:
+            save["mtex_id"] = mtex_id
+        mdir = os.path.join(d, f"atlas_{key}")
+        tdir = f"{mdir}.{os.getpid()}.tmp"
+        os.makedirs(tdir, exist_ok=True)
+        for name, arr in save.items():
+            np.save(os.path.join(tdir, f"{name}.npy"), arr)
+        os.replace(tdir, mdir)   # atomic publish (same filesystem)
+    except OSError:
+        pass
 
 
 def build_texture_atlas(textures: list[Texture]) -> dict[str, np.ndarray]:

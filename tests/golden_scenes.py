@@ -84,9 +84,43 @@ def make_config3(engine="megakernel", size=64, n_devices=0):
     return rs
 
 
+CESIUM = "/root/reference/assets/models/CesiumMan/CesiumMan.gltf"
+
+
+def make_config4(engine="megakernel", size=64, n_devices=0):
+    """Animated glTF skinning + BVH refit (BASELINE.json configs[3]).
+
+    CesiumMan is posed mid-stride THROUGH the refit path: a full build at
+    t=0, then ``set_animations_to(0.5)`` re-skins the vertices and the
+    second synchronize refits (same topology). The golden therefore pins
+    the skinning palette math AND the refit-rendered image in one frame
+    (reference per-frame update, top_level_bvh.cpp:17-53)."""
+    from rfw_tpu.scene import Skybox
+
+    cfg = RenderConfig(blue_noise=True, max_path_length=2,
+                       n_devices=n_devices)
+    rs = RenderSystem(engine, cfg)
+    ref = rs.add_object(CESIUM)
+    rs.add_instance(ref)
+    floor = rs.add_material([0.5, 0.5, 0.55])
+    rs.add_instance(rs.add_quad([0, 1, 0], [0, 0, 0], 10, 10, floor))
+    rs.add_directional_light([0.4, -1.0, 0.3], [2.5, 2.4, 2.2])
+    rs.set_skybox(Skybox.test_sky(128, 64))
+    rs.set_animations_to(0.0)
+    rs.camera.resize(size, size)
+    rs.camera.fov = 45.0
+    verts = np.concatenate([m.positions for m in ref.object.meshes])
+    c = verts.mean(0)
+    rs.camera.look_at(c + np.array([1.2, 0.6, 2.4]), c)
+    rs.synchronize()                      # full build at the bind pose
+    rs.set_animations_to(0.5)             # mid-stride -> refit path
+    return rs
+
+
 GOLDENS = {
     "config2_64_8spp": (make_config2, 8),
     "config3_64_8spp": (make_config3, 8),
+    "config4_64_8spp": (make_config4, 8),
 }
 
 
@@ -100,8 +134,9 @@ if __name__ == "__main__":
     if "--regen" not in sys.argv:
         print("pass --regen to overwrite goldens", file=sys.stderr)
         sys.exit(1)
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    for name in GOLDENS:
+    for name in (only or GOLDENS):
         img = render(name)
         path = os.path.join(GOLDEN_DIR, f"{name}.npy")
         np.save(path, img.astype(np.float16))

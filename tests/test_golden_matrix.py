@@ -35,6 +35,12 @@ def test_config3_matches_golden():
     _check("config3_64_8spp")
 
 
+def test_config4_matches_golden():
+    """BASELINE config 4: skinned CesiumMan rendered through the refit
+    path (build at bind pose, re-skin + refit at t=0.5)."""
+    _check("config4_64_8spp")
+
+
 def test_config2_tiled_matches_golden():
     """BASELINE config 5 shape: the same frame sharded over the 8-device
     CPU mesh must land on the single-device golden (absolute-pixel-id

@@ -195,6 +195,7 @@ class PathTracerEngine(EngineContext):
             if not hasattr(self, "_shape_caps"):
                 self._shape_caps = {}
             refit = None
+            drift_free = False
             can_refit = (
                 getattr(self, "_anim_key", None) == anim_key
                 and self._scene
@@ -221,6 +222,11 @@ class PathTracerEngine(EngineContext):
                     } for im in instances}
                 refit = self._device_refit(
                     slot_planes, [im.transform for im in instances])
+                # fresh Morton cells every call have NO refit drift, so
+                # the max_refits quality backstop (and its periodic
+                # full-SAH frame hitch — seconds at bench scale) does not
+                # apply; interactive instance moves stay O(refit) forever
+                drift_free = self.config.device_rebuild_cells
             elif can_refit and getattr(self, "_bvh_host", None) is not None:
                 # same topology, new vertex data and/or transforms →
                 # host refit instead of rebuild (no SAH, no re-jit)
@@ -229,7 +235,8 @@ class PathTracerEngine(EngineContext):
                     self._bvh_host, self.config, self._shape_caps,
                     pack_host=getattr(self, "_pack_host", None))
             if refit is not None:
-                self._refits = getattr(self, "_refits", 0) + 1
+                if not drift_free:
+                    self._refits = getattr(self, "_refits", 0) + 1
                 scene = refit
                 scene["materials"] = self._materials
                 scene["lights"] = self._lights

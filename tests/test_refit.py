@@ -181,3 +181,46 @@ def test_topology_change_forces_rebuild():
     eng.set_mesh(0, double)
     img = _render(eng, cam)
     assert np.isfinite(img).all()
+
+
+def test_instance_moves_never_hit_full_rebuild(monkeypatch):
+    """Transform-only instance moves on the flagship (visit) path take the
+    device refit with fresh Morton cells every call — drift-free, so the
+    max_refits backstop must NOT trigger a periodic full-SAH rebuild
+    (a multi-second frame hitch at bench scale). Reference analog: moves
+    are a TLAS-refit, never a BLAS rebuild (top_level_bvh.cpp:17-53)."""
+    from rfw_tpu.render import scene_data as sd3
+
+    eng, cam = _engine(intersector="visit", max_refits=4)
+    eng.set_mesh(0, make_quad([0, 1, 0], [0, 0, 0], 8, 8, 0).triangles())
+    eng.set_mesh(1, make_quad([0, 0, -1], [0, 1, 1.5], 2, 2, 0).triangles())
+    eng.set_instance(0, 0, np.eye(4, dtype=np.float32))
+    eng.set_instance(1, 1, np.eye(4, dtype=np.float32))
+    _render(eng, cam)
+
+    calls = {"n": 0}
+    real_build = sd3.build_device_scene
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real_build(*a, **k)
+
+    monkeypatch.setattr(sd3, "build_device_scene", counting)
+    m = np.eye(4, dtype=np.float32)
+    for i in range(10):                   # 2.5x past max_refits=4
+        m[0, 3] = 0.1 * (i + 1)
+        eng.set_instance(1, 1, m)
+        eng.update()
+    moved = _render(eng, cam)
+    assert calls["n"] == 0, \
+        f"{calls['n']} full rebuilds during transform-only moves"
+
+    eng2, cam2 = _engine(intersector="visit")
+    eng2.set_mesh(0, make_quad([0, 1, 0], [0, 0, 0], 8, 8, 0).triangles())
+    eng2.set_mesh(1, make_quad([0, 0, -1], [0, 1, 1.5], 2, 2, 0).triangles())
+    eng2.set_instance(0, 0, np.eye(4, dtype=np.float32))
+    eng2.set_instance(1, 1, m)
+    fresh = _render(eng2, cam2)
+    rmse = float(np.sqrt(((moved - fresh) ** 2).mean()))
+    assert rmse < 1e-3, rmse
+    assert moved.mean() > 1e-4

@@ -127,13 +127,39 @@ def main() -> None:
           f"primary {stats.primary_count/1e6:.2f}M secondary "
           f"{stats.secondary_count/1e6:.2f}M deep {stats.deep_count/1e6:.2f}M "
           f"shadow {stats.shadow_count/1e6:.2f}M", file=sys.stderr)
-    # per-stage split (context.h:50-72 parity — measured by the driver's
-    # inter-depth syncs; imgui_app/main.cpp:270-296 displays the same)
-    print(f"# stage ms: primary {stats.primary_time*1000:.0f} secondary "
-          f"{stats.secondary_time*1000:.0f} deep {stats.deep_time*1000:.0f}",
-          file=sys.stderr)
 
-    print(json.dumps({
+    # warm-session TTFP: a SECOND RenderSystem in the same process —
+    # what a new scene/session costs once the process + program caches
+    # are hot (scene build + synchronize + first 1-spp frame; the
+    # compiled 1080p programs are reused, so this isolates the
+    # non-compile part of time-to-first-pixel)
+    t_warm = time.time()
+    rs2 = RenderSystem(engine, config)
+    build_scene(rs2)
+    rs2.camera.resize(width, height)
+    rs2.camera.fov = 60.0
+    rs2.synchronize()
+    rs2.render_frame(samples=1)
+    warm_s = time.time() - t_warm
+    print(f"# warm-session TTFP {warm_s:.1f}s", file=sys.stderr)
+
+    # per-stage split (context.h:50-72 parity — measured by the profiled
+    # step's inter-depth syncs; imgui_app/main.cpp:270-296 displays the
+    # same). The profiled step is a SECOND compiled program set, so it
+    # runs AFTER the timed window; RFW_BENCH_SPLIT=0 skips it.
+    stage_ms = None
+    if (os.environ.get("RFW_BENCH_SPLIT", "1") != "0"
+            and getattr(rs.context, "_driver", None) is not None):
+        if not config.profile_stages:
+            object.__setattr__(rs.context.config, "profile_stages", True)
+        rs.render_frame(status=RenderStatus.CONVERGE, samples=2)
+        stats = rs.get_render_stats()
+        stage_ms = {"primary": round(stats.primary_time * 1000),
+                    "secondary": round(stats.secondary_time * 1000),
+                    "deep": round(stats.deep_time * 1000)}
+        print(f"# stage ms: {stage_ms}", file=sys.stderr)
+
+    out = {
         "metric": "Mrays/sec/chip (pica-4x ~305k tris, 1080p path trace, "
                   f"{engine})",
         "value": round(mrays, 2),
@@ -141,7 +167,11 @@ def main() -> None:
         "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
         "setup_compile_s": round(setup_s, 1),
         "scene_build_s": round(t_scene, 1),
-    }))
+        "warm_session_ttfp_s": round(warm_s, 1),
+    }
+    if stage_ms is not None:
+        out["stage_ms"] = stage_ms
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -594,6 +594,10 @@ class PathTracerEngine(EngineContext):
         frame = frame.reshape(height, width, 3)
         if self._denoise and aux is not None:
             from ..ops.denoise import denoise
+            if drv is not None:
+                # driver aux stays in lane order per sample; invert once
+                # per frame here (the only consumer)
+                aux = drv.aux_inverse(aux)
             frame = denoise(frame,
                             aux["normal"].reshape(height, width, 3),
                             aux["depth"].reshape(height, width))

@@ -158,7 +158,7 @@ def _stage_chunk_factory(width, height, cfg, intersector, tex_flags):
 
 def make_sample_body(width: int, height: int, n: int, chunk: int,
                      cfg: RenderConfig, intersector: Intersector,
-                     tex_flags):
+                     tex_flags, invert_aux: bool = True):
     """The whole-sample compacted-wavefront program as a PURE function —
     ray-gen + every depth + compaction + finalize, no host syncs, traced
     live counts. The single-chip ``WavefrontDriver`` jits it directly;
@@ -269,7 +269,14 @@ def make_sample_body(width: int, height: int, n: int, chunk: int,
             dimension=0, num_keys=1)
         radiance = jnp.stack(srt[1:4], axis=1)
         accumulator = accumulator + radiance
-        if inv_all is not None:
+        # aux planes (denoiser guide normals/depths) are only CONSUMED
+        # when the denoise setting is on; with invert_aux=False they stay
+        # in tile-permuted lane order and the caller inverts once per
+        # FRAME at denoise time instead of paying two ~2M-row gathers
+        # per SAMPLE here (engines.render_frame). The multi-chip tile
+        # path keeps invert_aux=True — its all-gather needs local pixel
+        # order per tile.
+        if invert_aux and inv_all is not None:
             aux_n = aux_n[inv_all]
             aux_d = aux_d[inv_all]
         return (accumulator, probe, stats_all,
@@ -321,8 +328,11 @@ class WavefrontDriver:
                                            tex_flags)
 
         # ---- the whole-sample program (module-level pure body) -----------
+        # invert_aux=False: the engine inverts aux once per frame at
+        # denoise time (aux_inverse), not per sample
         sample_body = make_sample_body(width, height, n, chunk, cfg,
-                                       intersector, tex_flags)
+                                       intersector, tex_flags,
+                                       invert_aux=False)
         self._sample_fn = jax.jit(sample_body, donate_argnums=(1,))
 
         # ---- multi-sample batch: ONE dispatch for a whole CONVERGE
@@ -511,7 +521,13 @@ class WavefrontDriver:
                 break
         radiance = self._finalize(state)
         accumulator = accumulator + radiance
+        # lane order, like step(): the engine inverts at denoise time
         aux = jax.tree.map(lambda *xs: jnp.concatenate(xs), *aux_parts)
-        if self._inv_dev is not None:
-            aux = {k: v[self._inv_dev] for k, v in aux.items()}
         return accumulator, probe, stats, aux
+
+    def aux_inverse(self, aux):
+        """Tile-permuted lane order → pixel order (apply once per frame,
+        only when the denoiser consumes the aux planes)."""
+        if self._inv_dev is None:
+            return aux
+        return {k: v[self._inv_dev] for k, v in aux.items()}

@@ -172,3 +172,45 @@ def test_compact_via_sort_bitwise():
     _scene(b)
     img_b = _render(b, samples=2)
     assert np.array_equal(img_a, img_b)
+
+
+def test_denoise_aux_pixel_order():
+    """Driver aux stays in tile-permuted lane order per sample (the
+    per-sample inverse gather was hoisted to denoise time); after
+    aux_inverse it must be in PIXEL order — pinned against the fused
+    path, which returns aux pixel-ordered (same scene, same sampler)."""
+    cfg = RenderConfig(max_path_length=2, blue_noise=False,
+                       max_rays_per_pass=1024)
+    comp = create_engine("megakernel", cfg)
+    comp.use_wavefront_driver = True
+    _scene(comp)
+    comp.set_setting("denoise", "1")
+    img_c = _render(comp, samples=2)   # exercises denoise(frame, aux...)
+    assert np.isfinite(img_c).all() and img_c.mean() > 1e-5
+
+    drv = comp._driver
+    assert drv is not None
+    # drive the driver directly for the aux planes
+    import jax.numpy as jnp
+    cam = rfw_tpu.Camera()
+    cam.resize(64, 48)
+    cam.fov = 55
+    cam.look_at([0, 2.5, -5.0], [0, 0.8, 0.0])
+    view = cam.get_view().as_pytree()
+    acc0 = jnp.zeros((64 * 48, 3), jnp.float32)
+    _, _, _, aux = drv.step(comp._scene, acc0, view, 0, 0)
+    aux_px = drv.aux_inverse(aux)
+
+    fused = create_engine("megakernel", cfg)
+    _scene(fused)
+    fused.resize(64, 48)
+    fused.update()
+    from rfw_tpu.render.integrator import trace_sample
+    _, _, _, aux_f = trace_sample(
+        fused._scene, view, 64, 48, 0, 0, cfg,
+        __import__("rfw_tpu.render.intersectors",
+                   fromlist=["FACTORIES"]).FACTORIES["bvh"](cfg))
+    assert np.abs(np.asarray(aux_px["normal"])
+                  - np.asarray(aux_f["normal"])).max() < 1e-5
+    assert np.abs(np.asarray(aux_px["depth"])
+                  - np.asarray(aux_f["depth"])).max() < 1e-4

@@ -37,7 +37,8 @@ def aperture_point(r0, r2, r3):
 
 
 def generate_primary_rays(view, width: int, height: int, sample_index,
-                          blue_noise_mask=None, pixel_ids=None):
+                          blue_noise_mask=None, pixel_ids=None,
+                          pixel_cache=None):
     """Rays for every pixel: returns (origins, directions) each (N, 3).
 
     ``view`` is the CameraView pytree (camera.py). Random numbers r0..r3 come
@@ -45,16 +46,29 @@ def generate_primary_rays(view, width: int, height: int, sample_index,
     the reference's sampler selection (Kernels.cu:390-399), else WangHash.
     ``pixel_ids`` overrides the full-frame arange (multi-chip tiles render a
     sub-range of the pixel domain).
+
+    ``pixel_cache`` (optional) supplies the SAMPLE-INVARIANT per-pixel
+    values precomputed once per resolution/scene (wavefront_driver): "sx"/
+    "sy" pixel coordinates (the u32 div/mod) and "bn_row" blue-noise shift
+    rows (the (N, dims) gather). Values are bitwise-identical to the
+    inline computation — this only removes ~35 ms/sample of repeated
+    per-sample work at 1080p (tools/step_time.py).
     """
     if pixel_ids is None:
         pixel_ids = jnp.arange(width * height, dtype=jnp.uint32)
     pid = pixel_ids
-    sx = (pid % jnp.uint32(width)).astype(jnp.int32)
-    sy = (pid // jnp.uint32(width)).astype(jnp.int32)
+    if pixel_cache is not None:
+        sx = pixel_cache["sx"]
+        sy = pixel_cache["sy"]
+    else:
+        sx = (pid % jnp.uint32(width)).astype(jnp.int32)
+        sy = (pid // jnp.uint32(width)).astype(jnp.int32)
 
     if blue_noise_mask is not None and blue_noise_mask.ndim == 3:
         # pre-shifted stack: ONE row gather for all four dims' shifts
-        row = rng.blue_noise_shift_row(blue_noise_mask, sx, sy)
+        row = (pixel_cache["bn_row"]
+               if pixel_cache is not None and "bn_row" in pixel_cache
+               else rng.blue_noise_shift_row(blue_noise_mask, sx, sy))
         r0 = rng.blue_noise_from_shift(row[:, 0], sample_index, 0)
         r1 = rng.blue_noise_from_shift(row[:, 1], sample_index, 1)
         r2 = rng.blue_noise_from_shift(row[:, 2], sample_index, 2)

@@ -168,14 +168,16 @@ def _tile_permutation(width: int, n: int, tile: int = 16):
 
 
 def make_path_state(scene, view, width: int, height: int, sample_index,
-                    config: RenderConfig, pid) -> PathState:
+                    config: RenderConfig, pid, pixel_cache=None) -> PathState:
     """Ray-gen + fresh path state for the lanes in ``pid`` (absolute
-    pixel ids, any order)."""
+    pixel ids, any order). ``pixel_cache`` optionally supplies the
+    sample-invariant per-pixel raygen values (see raygen)."""
     bn_mask = scene.get("blue_noise")
     use_bn = config.blue_noise and bn_mask is not None
     origin, direction = raygen.generate_primary_rays(
         view, width, height, sample_index,
-        blue_noise_mask=bn_mask if use_bn else None, pixel_ids=pid)
+        blue_noise_mask=bn_mask if use_bn else None, pixel_ids=pid,
+        pixel_cache=pixel_cache)
     n = pid.shape[0]
     return PathState(
         origin=origin, direction=direction,

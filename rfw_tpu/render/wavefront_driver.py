@@ -170,8 +170,11 @@ def make_sample_body(width: int, height: int, n: int, chunk: int,
     finalize order are tiling-invariant.
 
     Signature: body(scene, accumulator (n,3), pid_all (n,), inv_all
-    ((n,) i32 | None), view, sample_index, probe_lane) →
-    (accumulator', probe (3,), stats dict, aux dict)."""
+    ((n,) i32 | None), view, sample_index, probe_lane, pixel_cache=None) →
+    (accumulator', probe (3,), stats dict, aux dict). ``pixel_cache``
+    optionally carries the sample-invariant per-pixel raygen values in
+    pid order (see ops.raygen) — the single-chip driver precomputes them
+    once; the multi-chip tile path computes them inline."""
     assert n % chunk == 0
     stage_chunk = _stage_chunk_factory(width, height, cfg, intersector,
                                        tex_flags)
@@ -179,7 +182,7 @@ def make_sample_body(width: int, height: int, n: int, chunk: int,
                       else _compact_gather_packed)
 
     def sample_body(scene, accumulator, pid_all, inv_all, view,
-                    sample_index, probe_lane):
+                    sample_index, probe_lane, pixel_cache=None):
         nc0 = n // chunk
         stats_all = {}
 
@@ -188,8 +191,12 @@ def make_sample_body(width: int, height: int, n: int, chunk: int,
             packed, probe, stats, aux_n, aux_d = carry
             off = c * chunk
             pid_c = jax.lax.dynamic_slice(pid_all, (off,), (chunk,))
+            pc_c = (None if pixel_cache is None else jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, off, chunk, 0),
+                pixel_cache))
             st_c = make_path_state(scene, view, width, height,
-                                   sample_index, cfg, pid_c)
+                                   sample_index, cfg, pid_c,
+                                   pixel_cache=pc_c)
             rel = probe_lane - off
             in_chunk = (rel >= 0) & (rel < chunk)
             out, st, probe_c, aux_c = stage_chunk(
@@ -311,6 +318,16 @@ class WavefrontDriver:
         self._pid_dev = jax.device_put(jnp.asarray(self._pid_np))
         self._inv_dev = (jax.device_put(jnp.asarray(self._inv_np))
                          if self._inv_np is not None else None)
+        # sample-invariant per-pixel raygen values (ops.raygen
+        # pixel_cache): sx/sy here, blue-noise shift rows lazily per
+        # scene (_pixel_cache) — saves ~35 ms/sample of repeated u32
+        # div/mod + (N, dims) gather at 1080p (tools/step_time.py)
+        self._sx_dev = jax.device_put(jnp.asarray(
+            (self._pid_np % np.uint32(width)).astype(np.int32)))
+        self._sy_dev = jax.device_put(jnp.asarray(
+            (self._pid_np // np.uint32(width)).astype(np.int32)))
+        self._pc = None
+        self._pc_key = object()
         self._intersector = intersector
         self._tex_flags = tex_flags
         self.depth_times: list[float] = []
@@ -334,6 +351,7 @@ class WavefrontDriver:
                                        intersector, tex_flags,
                                        invert_aux=False)
         self._sample_fn = jax.jit(sample_body, donate_argnums=(1,))
+        self._use_bn = cfg.blue_noise
 
         # ---- multi-sample batch: ONE dispatch for a whole CONVERGE
         # request (the multi-chunk analog of engines.py's single-chunk
@@ -345,10 +363,11 @@ class WavefrontDriver:
         # probe/stats/aux keep the host loop's last-sample-wins
         # overwrite semantics.
         def multi_body(scene, accumulator, pid_all, inv_all, view,
-                       sample_index0, probe_lane, n_samples):
+                       sample_index0, probe_lane, n_samples,
+                       pixel_cache=None):
             shapes = jax.eval_shape(sample_body, scene, accumulator,
                                     pid_all, inv_all, view, sample_index0,
-                                    probe_lane)
+                                    probe_lane, pixel_cache)
             init = (accumulator,) + tuple(
                 jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), t)
                 for t in shapes[1:])
@@ -357,7 +376,7 @@ class WavefrontDriver:
                 return sample_body(scene, carry[0], pid_all, inv_all,
                                    view,
                                    sample_index0 + k.astype(jnp.uint32),
-                                   probe_lane)
+                                   probe_lane, pixel_cache)
 
             return jax.lax.fori_loop(0, n_samples, body, init)
 
@@ -423,6 +442,23 @@ class WavefrontDriver:
         self._finalize = finalize_fn
         self._m_pred: dict[int, int] = {}   # kept for tools compatibility
 
+    def _pixel_cache(self, scene):
+        """Sample-invariant per-pixel raygen values (pid order): sx/sy
+        always; blue-noise shift rows once per scene (the (N, dims)
+        gather runs ONCE here instead of every sample). Cached by the
+        blue-noise table's identity."""
+        bn = scene.get("blue_noise") if self._use_bn else None
+        key = id(bn) if bn is not None else None
+        if self._pc is None or self._pc_key != key:
+            pc = {"sx": self._sx_dev, "sy": self._sy_dev}
+            if bn is not None and bn.ndim == 3:
+                from ..ops.rng import blue_noise_shift_row
+                pc["bn_row"] = jax.jit(blue_noise_shift_row)(
+                    bn, self._sx_dev, self._sy_dev)
+            self._pc = pc
+            self._pc_key = key
+        return self._pc
+
     def _slice(self, state: PathState, c: int) -> PathState:
         s, e = c * self.chunk, (c + 1) * self.chunk
         return jax.tree.map(lambda a: a[s:e], state)
@@ -438,7 +474,8 @@ class WavefrontDriver:
         return self._sample_fn(scene, accumulator, self._pid_dev,
                                self._inv_dev, view,
                                jnp.uint32(sample_index),
-                               jnp.int32(probe_lane))
+                               jnp.int32(probe_lane),
+                               self._pixel_cache(scene))
 
     def step_multi(self, scene, accumulator, view, sample_index,
                    probe_index, n_samples):
@@ -452,7 +489,8 @@ class WavefrontDriver:
                               self._inv_dev, view,
                               jnp.uint32(sample_index),
                               jnp.int32(probe_lane),
-                              jnp.int32(n_samples))
+                              jnp.int32(n_samples),
+                              self._pixel_cache(scene))
 
     # -- profiled step: host loop with per-depth syncs (RenderStats) -----------
 

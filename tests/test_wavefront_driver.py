@@ -154,6 +154,43 @@ def test_multi_sample_batch_bitwise():
                           np.asarray(aux_l["normal"]))
 
 
+def test_pixel_cache_bitwise():
+    """The precomputed sample-invariant raygen values (sx/sy div-mod,
+    blue-noise shift rows — ops.raygen pixel_cache) must be bitwise
+    equal to the inline per-sample computation; blue noise ON so the
+    cached bn_row branch is exercised."""
+    import jax.numpy as jnp
+    cfg = RenderConfig(max_path_length=2, blue_noise=True,
+                       max_rays_per_pass=1024)
+    eng = create_engine("megakernel", cfg)
+    eng.use_wavefront_driver = True
+    _scene(eng)
+    eng.resize(64, 48)
+    eng.update()
+    eng._get_trace_fn(64, 48)
+    drv = eng._driver
+    cam = rfw_tpu.Camera()
+    cam.resize(64, 48)
+    cam.fov = 55
+    cam.look_at([0, 2.5, -5.0], [0, 0.8, 0.0])
+    view = cam.get_view().as_pytree()
+
+    acc0 = jnp.zeros((64 * 48, 3), jnp.float32)
+    acc_c, probe_c, stats_c, _ = drv.step(
+        eng._scene, acc0, view, jnp.uint32(0), jnp.int32(0))
+    assert "bn_row" in drv._pixel_cache(eng._scene)
+
+    acc0 = jnp.zeros((64 * 48, 3), jnp.float32)
+    acc_n, probe_n, stats_n, _ = drv._sample_fn(
+        eng._scene, acc0, drv._pid_dev, drv._inv_dev, view,
+        jnp.uint32(0), jnp.int32(0), None)
+    assert np.asarray(acc_c).mean() > 1e-5
+    assert np.array_equal(np.asarray(acc_c), np.asarray(acc_n))
+    assert np.array_equal(np.asarray(probe_c), np.asarray(probe_n))
+    for k in stats_n:
+        assert int(stats_c[k]) == int(stats_n[k]), k
+
+
 def test_compact_via_sort_bitwise():
     """Sort-carry compaction (one stable multi-operand lax.sort) must
     be bitwise-identical to argsort + row gather: stable sort realizes

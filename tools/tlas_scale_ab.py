@@ -10,7 +10,9 @@ counts 4 / 32 / 128 / 512. The per-instance overhead = slope of time vs
 count for SKIPPED instances; the reference's instance BVH would remove
 exactly that slope.
 
-Usage: python tools/tlas_scale_ab.py    (chip or CPU)
+Usage: python tools/tlas_scale_ab.py [--cpu]    (chip, or CPU via --cpu)
+(--cpu uses the in-process platform switch — the JAX_PLATFORMS env var
+is overridden by the axon sitecustomize, STATUS.md operational notes)
 """
 import sys
 import time
@@ -18,6 +20,9 @@ import time
 sys.path.insert(0, "/root/repo")
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 
 import rfw_tpu  # noqa: E402

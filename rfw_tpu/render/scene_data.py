@@ -25,6 +25,7 @@ from ..bvh.builder import build_bvh, triangle_bounds
 from ..bvh.wide import collapse_wide, extract_treelets, spatial_treelets
 from ..config import RenderConfig
 from ..ops.intersect import woop_matrices
+from ..ops.pallas_intersect import SUPER_G
 from ..scene.mesh import TriangleSoA
 
 
@@ -38,40 +39,68 @@ class InstancedMesh:
     mesh_slot: int
 
 
-def _transform_triangles(tris: TriangleSoA, m: np.ndarray) -> dict:
-    """Apply an instance transform to a triangle SoA (world-space planes).
+def _transform_triangles_all(instances: list[InstancedMesh]) -> dict:
+    """Instance transforms applied to every queued triangle SoA at once
+    (world-space planes; normals use the inverse-transpose — reference
+    system.cpp:987 normal_transform):
+    concatenate the raw SoA planes, then ONE vectorized transform pass
+    with per-triangle (3,3) matrices gathered by instance index. Bench
+    scenes carry ~700 (mesh, instance) pairs; the per-pair numpy loop
+    cost ~1 s of the host scene build in call overhead alone
+    (tools/scene_build_profile.py). Values match the per-instance path
+    up to fp association (goldens hold at their 2e-3 RMSE gate).
 
-    Normals use the inverse-transpose (reference system.cpp:987,
-    normal_transform)."""
-    r = m[:3, :3]
-    t = m[:3, 3]
-    verts = tris.vertices @ r.T + t                     # (T, 3, 3)
-    nmat = np.linalg.inv(r).T if abs(np.linalg.det(r)) > 1e-12 else r
-    normals = tris.normals @ nmat.T
-    ln = np.linalg.norm(normals, axis=-1, keepdims=True)
-    normals = normals / np.maximum(ln, 1e-20)
-    gn = tris.gnormal @ nmat.T
-    gn = gn / np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
-    tangent = tris.tangent @ r.T
-    tangent /= np.maximum(np.linalg.norm(tangent, axis=-1, keepdims=True),
-                          1e-20)
-    bitangent = tris.bitangent @ r.T
-    bitangent /= np.maximum(
-        np.linalg.norm(bitangent, axis=-1, keepdims=True), 1e-20)
+    Returns the concatenated plane dict (geometric planes transformed;
+    uv/material/lod/light_tri_idx passed through) plus ``counts`` (per-
+    instance triangle counts) and ``offsets`` (row offset per instance).
+    """
+    counts = np.array([im.triangles.vertices.shape[0] for im in instances],
+                      np.int64)
+    offsets = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    gidx = np.repeat(np.arange(len(instances)), counts)
+
+    xf = np.stack([im.transform for im in instances]).astype(np.float32)
+    rot = xf[:, :3, :3]                                   # (I, 3, 3)
+    trn = xf[:, :3, 3]                                    # (I, 3)
+    det = np.linalg.det(rot)
+    safe = np.abs(det) > 1e-12
+    rot_safe = np.where(safe[:, None, None], rot,
+                        np.eye(3, dtype=np.float32))
+    nmat = np.linalg.inv(rot_safe).transpose(0, 2, 1)
+    nmat = np.where(safe[:, None, None], nmat, rot)       # (I, 3, 3)
+
+    def cat(attr):
+        return np.concatenate([getattr(im.triangles, attr)
+                               for im in instances], axis=0)
+
+    r_t, n_t, t_t = rot[gidx], nmat[gidx], trn[gidx]
+
+    def norm(x):
+        return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True),
+                              1e-20)
+
+    verts = np.einsum("tij,tvj->tvi", r_t, cat("vertices")) + t_t[:, None]
+    normals = norm(np.einsum("tij,tvj->tvi", n_t, cat("normals")))
+    gn = norm(np.einsum("tij,tj->ti", n_t, cat("gnormal")))
+    tangent = norm(np.einsum("tij,tj->ti", r_t, cat("tangent")))
+    bitangent = norm(np.einsum("tij,tj->ti", r_t, cat("bitangent")))
     e1 = verts[:, 1] - verts[:, 0]
     e2 = verts[:, 2] - verts[:, 0]
     area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
     return {
-        "vertices": verts.astype(np.float32),
-        "normals": normals.astype(np.float32),
-        "gnormal": gn.astype(np.float32),
-        "tangent": tangent.astype(np.float32),
-        "bitangent": bitangent.astype(np.float32),
-        "uv": tris.uv,
-        "material": tris.material,
-        "area": area.astype(np.float32),
-        "lod": tris.lod,
-        "light_tri_idx": tris.light_tri_idx,
+        "vertices": verts.astype(np.float32, copy=False),
+        "normals": normals.astype(np.float32, copy=False),
+        "gnormal": gn.astype(np.float32, copy=False),
+        "tangent": tangent.astype(np.float32, copy=False),
+        "bitangent": bitangent.astype(np.float32, copy=False),
+        "uv": cat("uv"),
+        "material": cat("material"),
+        "area": area.astype(np.float32, copy=False),
+        "lod": cat("lod"),
+        "light_tri_idx": cat("light_tri_idx"),
+        "counts": counts,
+        "offsets": offsets,
     }
 
 
@@ -241,7 +270,6 @@ def make_device_refit(scene: dict, instances: list[InstancedMesh],
     n_cells = stp.shape[0] // k
     n_tris = int(np.asarray(scene["tri_vertices"]).shape[0])
     rebuild_cells = bool(getattr(config, "device_rebuild_cells", True))
-    from ..ops.pallas_intersect import SUPER_G
     n_super = n_cells // SUPER_G
     perm_j = jnp.asarray(perm.astype(np.int32))
     pad_src = jnp.asarray(np.maximum(stp, 0))
@@ -446,7 +474,6 @@ def refit_deformed(scene: dict, instances: list[InstancedMesh],
     empty = bmax_c[:, 0] < bmin_c[:, 0]          # all-pad cell → far point
     bmin_c[empty] = 3e37
     bmax_c[empty] = 3e37
-    from ..ops.pallas_intersect import SUPER_G
     n_super = n_cells // SUPER_G
     cbounds = np.full((n_super, 8, SUPER_G), 3e37, np.float32)
     cbounds[:, 0:3, :] = bmin_c.reshape(n_super, SUPER_G, 3).transpose(
@@ -500,22 +527,21 @@ def build_device_scene(
     """
     assert instances, "cannot build an empty scene"
     shape_caps = shape_caps if shape_caps is not None else {}
-    planes = []
-    for im in instances:
-        p = _transform_triangles(im.triangles, im.transform)
-        n = p["vertices"].shape[0]
-        p["instance_id"] = np.full(n, im.instance_id, np.int32)
-        p["prim_id"] = np.arange(n, dtype=np.int32)
-        if area_light_overrides:
-            lti = p["light_tri_idx"].copy()
+    cat = _transform_triangles_all(instances)
+    counts = cat.pop("counts")
+    offsets = cat.pop("offsets")
+    total = int(offsets[-1])
+    cat["instance_id"] = np.repeat(
+        np.array([im.instance_id for im in instances], np.int32), counts)
+    # per-instance arange(n) as one vectorized expression
+    cat["prim_id"] = (np.arange(total, dtype=np.int64)
+                      - np.repeat(offsets[:-1], counts)).astype(np.int32)
+    if area_light_overrides:
+        lti = cat["light_tri_idx"] = cat["light_tri_idx"].copy()
+        for j, im in enumerate(instances):
             for (inst, tri), li in area_light_overrides.items():
-                if inst == im.instance_id and tri < n:
-                    lti[tri] = li
-            p["light_tri_idx"] = lti
-        planes.append(p)
-
-    cat = {k: np.concatenate([p[k] for p in planes], axis=0)
-           for k in planes[0]}
+                if inst == im.instance_id and tri < counts[j]:
+                    lti[offsets[j] + tri] = li
 
     tmin, tmax = triangle_bounds(cat["vertices"])
     bvh = build_bvh(tmin, tmax, leaf_size=4)
@@ -568,7 +594,6 @@ def build_device_scene(
     # it is never a candidate. (An "inverted" lo=+big/hi=-big box does NOT
     # work: per-axis entry/exit straddle ±inf and the slab test passes with
     # tnear 0.)
-    from ..ops.pallas_intersect import SUPER_G
     n_tl = treelets.bmin.shape[0]
     cap_tl = max(_pow2(n_tl), SUPER_G, shape_caps.get("treelets", 0))
     shape_caps["treelets"] = cap_tl
@@ -730,15 +755,10 @@ def retransform_instances(scene: dict, instances: list[InstancedMesh],
     'tlas' (engines force a full rebuild when switching away). Shapes and
     permutation are unchanged, so nothing re-jits.
     """
-    parts = {k: [] for k in _GEOMETRIC_PLANES}
-    for im in instances:
-        p = _transform_triangles(im.triangles, im.transform)
-        for k in _GEOMETRIC_PLANES:
-            parts[k].append(p[k])
+    cat = _transform_triangles_all(instances)
     out = dict(scene)
     for k in _GEOMETRIC_PLANES:
-        out[f"tri_{k}" if k != "area" else "tri_area"] = np.concatenate(
-            parts[k], axis=0)[perm]
+        out[f"tri_{k}" if k != "area" else "tri_area"] = cat[k][perm]
     if "tri_pack" in scene:
         if pack_host is not None:
             tp = refresh_tri_pack(pack_host, out)

@@ -243,7 +243,7 @@ class PathTracerEngine(EngineContext):
                 if self._skybox is not None:
                     scene["skybox"] = self._skybox
             else:
-                scene = scene_data.build_device_scene(
+                scene = scene_data.build_device_scene_cached(
                     instances, self._materials, self._lights, self._skybox,
                     self._atlas, self.config,
                     area_light_overrides=self._light_overrides,

@@ -695,6 +695,184 @@ def build_device_scene(
     return scene
 
 
+_SCENE_CACHE_VERSION = "v1"
+# keys attached from the caller's args, never cached (re-attached on load)
+_SCENE_ATTACH_KEYS = ("materials", "lights", "skybox", "atlas",
+                      "atlas_desc", "matlas", "matlas_desc")
+# leaves refit paths mutate IN PLACE (native_refit_bvh writes bvh_host
+# node arrays) — must load writable, never memory-mapped
+_SCENE_WRITABLE = ("_bvh_host",)
+
+
+def _scene_cache_dir() -> str | None:
+    import os
+    if os.environ.get("RFW_NO_SCENE_CACHE"):
+        return None
+    return os.environ.get(
+        "RFW_SCENE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "rfw_tpu", "scene"))
+
+
+def _scene_cache_key(instances, config, area_light_overrides,
+                     shape_caps) -> str:
+    """Content hash of every geometry-affecting input of
+    ``build_device_scene``: raw triangle SoA planes, transforms,
+    instance/slot ids, area-light overrides, the geometry config knobs
+    and the engine's shape high-water caps (they set pad sizes)."""
+    import hashlib
+    h = hashlib.sha1(str((
+        _SCENE_CACHE_VERSION, config.treelet_size, config.treelet_spatial,
+        config.use_tlas, SUPER_G,
+        sorted((area_light_overrides or {}).items(),
+               key=lambda kv: kv[0]),
+        sorted((shape_caps or {}).items()),
+    )).encode())
+    for im in instances:
+        h.update(str((im.instance_id, im.mesh_slot)).encode())
+        h.update(np.ascontiguousarray(im.transform).tobytes())
+        tr = im.triangles
+        for attr in ("vertices", "normals", "gnormal", "tangent",
+                     "bitangent", "uv", "material", "area", "lod",
+                     "light_tri_idx"):
+            a = np.ascontiguousarray(getattr(tr, attr))
+            h.update(str((a.shape, str(a.dtype))).encode())
+            h.update(a.tobytes())
+    return h.hexdigest()
+
+
+def _scene_tree_split(obj, arrays: list):
+    """Recursively replace numpy leaves with index markers (arrays
+    appended to ``arrays``); BVH dataclasses become tagged dicts."""
+    from ..bvh.builder import BVH
+    if isinstance(obj, np.ndarray):
+        arrays.append(np.ascontiguousarray(obj))
+        return {"__npy__": len(arrays) - 1}
+    if isinstance(obj, BVH):
+        return {"__bvh__": {f.name: _scene_tree_split(getattr(obj, f.name),
+                                                      arrays)
+                            for f in dataclasses.fields(BVH)}}
+    if isinstance(obj, dict):
+        return {k: _scene_tree_split(v, arrays) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        t = [_scene_tree_split(v, arrays) for v in obj]
+        return {"__seq__": t, "__tuple__": isinstance(obj, tuple)}
+    return obj
+
+
+def _scene_tree_join(obj, fetch):
+    from ..bvh.builder import BVH
+    if isinstance(obj, dict):
+        if "__npy__" in obj:
+            return fetch(obj["__npy__"])
+        if "__bvh__" in obj:
+            return BVH(**{k: _scene_tree_join(v, fetch)
+                          for k, v in obj["__bvh__"].items()})
+        if "__seq__" in obj:
+            seq = [_scene_tree_join(v, fetch) for v in obj["__seq__"]]
+            return tuple(seq) if obj["__tuple__"] else seq
+        return {k: _scene_tree_join(v, fetch) for k, v in obj.items()}
+    return obj
+
+
+def build_device_scene_cached(instances, materials, lights, skybox, atlas,
+                              config, area_light_overrides=None,
+                              shape_caps=None) -> dict:
+    """``build_device_scene`` behind a disk cache (the geometry analog of
+    the texture/atlas caches, and of the reference's skybox ``.bin``
+    cache — skybox.cpp:87-139): the SAH build, treelet cut, Woop pass and
+    tri pack are a pure function of the triangle data + transforms +
+    geometry knobs, ~3-4 s of every warm start on the 305k-tri bench
+    scene. Hash all inputs; on a hit, load the geometry leaves (big
+    read-only planes memory-mapped — device_put pages them exactly once)
+    and re-attach materials/lights/skybox/atlas from the live arguments.
+    Mutating fast paths are safe: ``refresh_tri_pack`` copies, and
+    ``_bvh_host`` (refitted in place by ``native_refit_bvh``) loads
+    writable."""
+    import json
+    import os
+    import tempfile
+
+    d = _scene_cache_dir()
+    key = None
+    if d is not None:
+        try:
+            key = _scene_cache_key(instances, config, area_light_overrides,
+                                   shape_caps)
+        except Exception:
+            key = None
+    mdir = os.path.join(d, f"scene_{key}") if key else None
+
+    if mdir and os.path.exists(os.path.join(mdir, "manifest.json")):
+        try:
+            with open(os.path.join(mdir, "manifest.json")) as f:
+                man = json.load(f)
+
+            def fetch(i, _writable=man.get("writable", [])):
+                p = os.path.join(mdir, f"{i}.npy")
+                if i in _writable:
+                    return np.load(p)            # small, mutated in place
+                return np.load(p, mmap_mode="r")
+
+            scene = _scene_tree_join(man["tree"], fetch)
+            if shape_caps is not None:
+                shape_caps.update(man["shape_caps"])
+            scene["materials"] = materials
+            scene["lights"] = lights
+            if skybox is not None:
+                scene["skybox"] = skybox
+            if atlas is not None:
+                scene["atlas"] = atlas["atlas"]
+                scene["atlas_desc"] = atlas["desc"]
+                if "matlas" in atlas:
+                    scene["matlas"] = atlas["matlas"]
+                    scene["matlas_desc"] = atlas["matlas_desc"]
+            else:
+                scene["atlas"] = None
+                scene["atlas_desc"] = None
+            if "tri_pack" in scene:
+                scene["_pack_host"] = scene["tri_pack"]
+            return scene
+        except (OSError, KeyError, ValueError, json.JSONDecodeError):
+            pass
+
+    shape_caps = shape_caps if shape_caps is not None else {}
+    scene = build_device_scene(
+        instances, materials, lights, skybox, atlas, config,
+        area_light_overrides=area_light_overrides, shape_caps=shape_caps)
+
+    if mdir:
+        try:
+            geo = {k: v for k, v in scene.items()
+                   if k not in _SCENE_ATTACH_KEYS and k != "_pack_host"}
+            arrays: list = []
+            tree = _scene_tree_split(geo, arrays)
+            writable = [tree[k]["__npy__"] for k in _SCENE_WRITABLE
+                        if isinstance(tree.get(k), dict)
+                        and "__npy__" in tree[k]]
+            # _bvh_host is a BVH marker dict, collect its member indices
+            for k in _SCENE_WRITABLE:
+                node = tree.get(k)
+                if isinstance(node, dict) and "__bvh__" in node:
+                    writable += [v["__npy__"]
+                                 for v in node["__bvh__"].values()
+                                 if isinstance(v, dict) and "__npy__" in v]
+            os.makedirs(d, exist_ok=True)
+            tmp = tempfile.mkdtemp(dir=d, prefix=".scene_tmp_")
+            for i, a in enumerate(arrays):
+                np.save(os.path.join(tmp, f"{i}.npy"), a)
+            with open(os.path.join(tmp, "manifest.json"), "w") as f:
+                json.dump({"tree": tree, "shape_caps": shape_caps,
+                           "writable": writable}, f)
+            if os.path.exists(mdir):      # concurrent writer won
+                import shutil
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                os.replace(tmp, mdir)
+        except OSError:
+            pass
+    return scene
+
+
 _GEOMETRIC_PLANES = ("vertices", "normals", "gnormal", "tangent",
                      "bitangent", "area")
 

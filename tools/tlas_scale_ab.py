@@ -90,11 +90,34 @@ def rays(n=518400):
     cam.look_at([0.0, 1.5, -6.0], [0.0, 0.0, 0.0])
     o, d = raygen.generate_primary_rays(cam.get_view().as_pytree(),
                                         w, h, 0)
+    if n < o.shape[0]:                   # --rays=: every nth pixel, keeps
+        step = o.shape[0] // n           # the frame-wide direction spread
+        o, d = o[::step][:n], d[::step][:n]
     return jnp.asarray(o), jnp.asarray(d)
 
 
-o, d = rays()
-for n_inst in (4, 32, 128, 512):
+if "--subprocess-all" in sys.argv:
+    # one SUBPROCESS per instance count: a TPU-worker crash on one
+    # config (observed twice at I=32 on the axon pool) doesn't kill the
+    # sweep; each claim is fresh
+    import subprocess
+    for n_inst in (4, 32, 128, 512):
+        r = subprocess.run(
+            [sys.executable, __file__, f"--only={n_inst}"]
+            + (["--cpu"] if "--cpu" in sys.argv else []),
+            capture_output=True, text=True, timeout=2400)
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("I=")]
+        print(line[0] if line else
+              f"I={n_inst:4d}  FAILED: {r.stderr.strip().splitlines()[-1:] }",
+              flush=True)
+    sys.exit(0)
+
+only = [int(a.split("=")[1]) for a in sys.argv if a.startswith("--only=")]
+n_rays = next((int(a.split("=")[1]) for a in sys.argv
+               if a.startswith("--rays=")), 518400)
+
+o, d = rays(n_rays)
+for n_inst in (only or (4, 32, 128, 512)):
     eng = build(n_inst)
     its = eng._make_intersector() if hasattr(eng, "_make_intersector") \
         else None
@@ -109,5 +132,5 @@ for n_inst in (4, 32, 128, 512):
     np.asarray(out[0].ravel()[:1])
     dt = (time.time() - t0) / 3 * 1000
     hits = int((np.asarray(out[1]) >= 0).sum())
-    print(f"I={n_inst:4d}  closest 518k rays: {dt:8.1f} ms   hits {hits}",
-          flush=True)
+    print(f"I={n_inst:4d}  closest {n_rays // 1000}k rays: {dt:8.1f} ms"
+          f"   hits {hits}", flush=True)

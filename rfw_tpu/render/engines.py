@@ -35,6 +35,11 @@ from .context import (EngineContext, RenderSetting, RenderStatus,
 from .integrator import trace_sample
 from .intersectors import FACTORIES
 
+# (width, height, config, intersector, flags, chunk) → WavefrontDriver:
+# engines come and go per RenderSystem; compiled program sets are
+# process-wide (see _get_trace_fn)
+_DRIVER_CACHE: dict = {}
+
 
 class PathTracerEngine(EngineContext):
     """Shared machinery: scene bookkeeping, jit cache, accumulation."""
@@ -113,17 +118,7 @@ class PathTracerEngine(EngineContext):
 
     # -- scene build ---------------------------------------------------------
 
-    def update(self) -> None:
-        if not self._dirty:
-            return
-        if not self._meshes:
-            raise RuntimeError("no meshes uploaded")
-        if self._lights is None:
-            from ..scene.lights import pack_lights
-            self._lights = pack_lights([], [], [], [])
-        if self._materials is None:
-            from ..scene.materials import MaterialList
-            self._materials = MaterialList().generate_device_materials()
+    def _instance_list(self) -> list:
         instances = [
             scene_data.InstancedMesh(
                 triangles=self._meshes[slot], transform=tr,
@@ -138,6 +133,66 @@ class PathTracerEngine(EngineContext):
                     instance_id=slot, mesh_slot=slot)
                 for slot, tris in sorted(self._meshes.items())
             ]
+        return instances
+
+    def prewarm_instance_moves(self) -> None:
+        """Compile AND first-execute the device-refit program now, so the
+        first interactive instance move doesn't pay it (~318 s terminal
+        compile at 305k tris on the axon transport —
+        tools/instance_move_ab.py). The refreshed scene is discarded;
+        engine state is unchanged. No-op when the flagship device-refit
+        path wouldn't be used (bvh/tlas intersectors refit on host)."""
+        if (self._scene is None or self._dirty
+                or not self.config.device_refit
+                or "tlas" in self._scene
+                or self._intersector_name in ("bvh", "tlas")
+                or getattr(self, "_perm_host", None) is None):
+            return
+        instances = self._instance_list()
+        if getattr(self, "_device_refit", None) is None:
+            self._device_refit = scene_data.make_device_refit(
+                self._scene, instances, self._perm_host, self.config)
+        slot_planes = self._device_slot_planes(instances)
+        out = self._device_refit(
+            slot_planes, [im.transform for im in instances])
+        jax.block_until_ready(out["tri_vertices"])
+
+    def _device_slot_planes(self, instances) -> dict:
+        """Object-space planes on DEVICE, keyed by mesh version: a
+        transforms-only instance move re-uploads NOTHING (the ~40 MB of
+        per-slot planes would otherwise ride the tunnel every move —
+        VERDICT r3 #6); a deformation (version bump) re-puts only
+        changed slots."""
+        if not hasattr(self, "_slot_planes_dev"):
+            self._slot_planes_dev = {}
+        slot_planes = {}
+        for im in instances:
+            ver = self._mesh_versions.get(im.mesh_slot, 0)
+            cached = self._slot_planes_dev.get(im.mesh_slot)
+            if cached is None or cached[0] != ver:
+                cached = (ver, jax.device_put({
+                    "vertices": im.triangles.vertices,
+                    "normals": im.triangles.normals,
+                    "gnormal": im.triangles.gnormal,
+                    "tangent": im.triangles.tangent,
+                    "bitangent": im.triangles.bitangent,
+                }))
+                self._slot_planes_dev[im.mesh_slot] = cached
+            slot_planes[im.mesh_slot] = cached[1]
+        return slot_planes
+
+    def update(self) -> None:
+        if not self._dirty:
+            return
+        if not self._meshes:
+            raise RuntimeError("no meshes uploaded")
+        if self._lights is None:
+            from ..scene.lights import pack_lights
+            self._lights = pack_lights([], [], [], [])
+        if self._materials is None:
+            from ..scene.materials import MaterialList
+            self._materials = MaterialList().generate_device_materials()
+        instances = self._instance_list()
         timer = Timer()
         # geometry rebuild (BVH/treelets/Woop) only when geometry inputs
         # changed — material/light/sky edits reuse the cached arrays
@@ -212,16 +267,9 @@ class PathTracerEngine(EngineContext):
                     self._device_refit = scene_data.make_device_refit(
                         self._scene, instances, self._perm_host,
                         self.config)
-                slot_planes = {
-                    im.mesh_slot: {
-                        "vertices": im.triangles.vertices,
-                        "normals": im.triangles.normals,
-                        "gnormal": im.triangles.gnormal,
-                        "tangent": im.triangles.tangent,
-                        "bitangent": im.triangles.bitangent,
-                    } for im in instances}
                 refit = self._device_refit(
-                    slot_planes, [im.transform for im in instances])
+                    self._device_slot_planes(instances),
+                    [im.transform for im in instances])
                 # fresh Morton cells every call have NO refit drift, so
                 # the max_refits quality backstop (and its periodic
                 # full-SAH frame hitch — seconds at bench scale) does not
@@ -283,6 +331,22 @@ class PathTracerEngine(EngineContext):
                            str(getattr(x, "dtype", ""))), tree)
         if self._scene is None or shapes(scene) != shapes(self._scene):
             self._trace_fn = None
+        # aux entries (materials/lights/skybox/blue-noise) ride EVERY
+        # update as numpy but change rarely — convert through an
+        # identity-keyed device cache so a transforms-only instance move
+        # re-uploads none of their ~6 MB over the tunnel (VERDICT r3 #6:
+        # the steady-state move cost is upload, not math)
+        if not hasattr(self, "_aux_dev_cache"):
+            self._aux_dev_cache = {}
+        for aux_key in ("materials", "lights", "skybox", "blue_noise"):
+            src = scene.get(aux_key)
+            if src is None:
+                continue
+            ent = self._aux_dev_cache.get(aux_key)
+            if ent is None or ent[0] is not src:
+                ent = (src, jax.device_put(src))
+                self._aux_dev_cache[aux_key] = ent
+            scene[aux_key] = ent[1]
         # move the scene to device ONCE — numpy leaves would re-upload the
         # whole scene (100s of MB with textures) on every jitted call.
         # ONE batched device_put for every array leaf: per-leaf calls pay
@@ -372,10 +436,21 @@ class PathTracerEngine(EngineContext):
             # depths run ceil(live/chunk) chunks). Single-chunk frames
             # stay on the fused one-jit path — the driver's ~10 separate
             # dispatches + syncs dominate small interactive frames, and
-            # with one chunk compaction cannot reduce work
+            # with one chunk compaction cannot reduce work.
+            # PROCESS-LEVEL driver cache: a new engine/RenderSystem with
+            # the same (size, config, intersector, flags) reuses the
+            # already-traced-and-compiled program set — a warm-session
+            # scene swap pays upload + render only, not a re-trace
+            # (VERDICT r3 #4 warm TTFP; driver state is scene-keyed)
             from .wavefront_driver import WavefrontDriver
-            self._driver = WavefrontDriver(width, height, cfg, intersector,
-                                           tex_flags, n_local)
+            dkey = (width, height, cfg, self._intersector_name,
+                    flags_key, n_local)
+            self._driver = _DRIVER_CACHE.get(dkey)
+            if self._driver is None:
+                self._driver = WavefrontDriver(width, height, cfg,
+                                               intersector, tex_flags,
+                                               n_local)
+                _DRIVER_CACHE[dkey] = self._driver
             self._trace_fn = self._driver.step
             self._multi_step = None
             self._size = (width, height)

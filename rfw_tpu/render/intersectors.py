@@ -167,6 +167,12 @@ def make_hybrid_intersector(config: RenderConfig) -> Intersector:
     return Intersector(closest, occluded)
 
 
+# premask ray-chunk: bounds the (rays × instances) slab-test transient to
+# ~RAY_CHUNK·I·3 floats; module-level so tests can shrink it to exercise
+# the padded multi-chunk scan path with small ray counts
+_TLAS_RAY_CHUNK = 65536
+
+
 def make_tlas_intersector(config: RenderConfig) -> Intersector:
     """Two-level TLAS/BLAS traversal (reference TopLevelBVH parity,
     top_level_bvh.cpp:104-135): per instance, cull against its world AABB,
@@ -175,12 +181,28 @@ def make_tlas_intersector(config: RenderConfig) -> Intersector:
     wide-BVH traversal of the SHARED per-mesh BLAS. Requires
     ``config.use_tlas`` so the device scene carries the tables.
 
+    Instance-count scaling (the reference's BVH-over-instances role,
+    top_level_bvh.cpp:55-102): a per-ray BVH walk over instance AABBs would
+    be a gather-per-node while_loop per ray — the anti-pattern on TPU. The
+    TPU-native cull with the same asymptotics is **touched-compaction**:
+    ONE batched slab pass marks every instance some ray crosses (a few
+    fused VPU ops over the (rays × instances) matrix, chunked over rays),
+    the touched ids are compacted to the front with a stable argsort, and a
+    ``while_loop`` visits ONLY those — off-ray instances cost ~0 loop
+    iterations instead of a scan step + lax.cond each (measured ~9 ms per
+    skipped instance per launch before this change — STATUS.md r4 TLAS
+    slope). Results are bitwise-identical to the full scan: the premask is
+    a conservative superset (caps only shrink during the walk), untouched
+    instances can't produce hits, and touched ones are visited in original
+    instance order so strict ``<`` tie-breaks match.
+
     Hit prims map back into the permuted flattened shading planes via
     inst_base + orig_to_perm, so the integrator shades identically to the
     flattened intersectors.
     """
 
     def _loop(scene, o, d, t_max, any_hit: bool):
+        RAY_CHUNK = _TLAS_RAY_CHUNK   # bounds the premask transient
         tl = scene["tlas"]
         n = o.shape[0]
         best_t = jnp.asarray(jnp.broadcast_to(t_max, (n,)), jnp.float32)
@@ -188,22 +210,70 @@ def make_tlas_intersector(config: RenderConfig) -> Intersector:
         best_u = jnp.zeros(n)
         best_v = jnp.zeros(n)
         inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+
+        def any_cross(lo_all, hi_all, o_, iv_, cap_):
+            """Per instance: (does any ray in this chunk cross its AABB?,
+            min entry distance over crossing rays — drives the
+            front-to-back visit order below)."""
+            t1 = (lo_all[None, :, :] - o_[:, None, :]) * iv_[:, None, :]
+            t2 = (hi_all[None, :, :] - o_[:, None, :]) * iv_[:, None, :]
+            tn = jnp.max(jnp.minimum(t1, t2), axis=-1)
+            tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
+            hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < cap_[:, None])
+            return (jnp.any(hit, axis=0),
+                    jnp.min(jnp.where(hit, jnp.maximum(tn, 0.0), BIG_T),
+                            axis=0))
+
         for blas in tl["blas"]:
             wb = {"bmin": blas["bmin"], "bmax": blas["bmax"],
                   "child": blas["child"], "count": blas["count"]}
             tris = (blas["v0"], blas["e1"], blas["e2"])
+            prim_order = blas["prim_order"]
+            lo_all = blas["inst_bmin"]
+            hi_all = blas["inst_bmax"]
+            inst_inv = blas["inst_inv"]
+            inst_base = blas["inst_base"]
+            n_inst = lo_all.shape[0]
 
-            # lax.scan over the instance axis: the BLAS traversal is
-            # traced ONCE per mesh, not once per instance — graph size,
-            # compile time and dispatch count stay O(meshes) for
-            # many-instance scenes (reference builds a BVH over
-            # instances, top_level_bvh.cpp:55-102; on TPU the per-ray
-            # world-AABB premask below plays that cull's role, zeroing
-            # t_max so non-crossing rays exit the traversal immediately)
-            def body(carry, inst, wb=wb, tris=tris,
-                     prim_order=blas["prim_order"]):
-                best_t, best_flat, best_u, best_v = carry
-                lo, hi, inv, base = inst
+            # --- batched premask: one fused pass over all (ray, inst)
+            # pairs, chunked over rays to bound the transient ---
+            if n <= RAY_CHUNK:
+                cross, tn_min = any_cross(lo_all, hi_all, o, inv_d, best_t)
+            else:
+                pad = (-n) % RAY_CHUNK
+                o_r = jnp.pad(o, ((0, pad), (0, 0))).reshape(
+                    -1, RAY_CHUNK, 3)
+                # padded rows: inv_d = 0 ⇒ tn = tf = 0, cap = −1 ⇒ no hit
+                iv_r = jnp.pad(inv_d, ((0, pad), (0, 0))).reshape(
+                    -1, RAY_CHUNK, 3)
+                cap_r = jnp.pad(best_t, (0, pad),
+                                constant_values=-1.0).reshape(-1, RAY_CHUNK)
+
+                def scan_body(acc, xs):
+                    oc, ic, cc = xs
+                    c, tm = any_cross(lo_all, hi_all, oc, ic, cc)
+                    return (acc[0] | c, jnp.minimum(acc[1], tm)), None
+
+                (cross, tn_min), _ = jax.lax.scan(
+                    scan_body,
+                    (jnp.zeros(n_inst, bool), jnp.full(n_inst, BIG_T)),
+                    (o_r, iv_r, cap_r))
+
+            # touched instances first, FRONT-TO-BACK by min entry distance
+            # (shrinks best_t early, so the in-loop occlusion cull below
+            # skips far instances' traversals — the traversal-order win a
+            # real instance BVH would give, top_level_bvh.cpp:55-102)
+            order = jnp.argsort(jnp.where(cross, tn_min, jnp.inf),
+                                stable=True).astype(jnp.int32)
+            count = jnp.sum(cross.astype(jnp.int32))
+
+            def body_fn(state, wb=wb, tris=tris, prim_order=prim_order,
+                        lo_all=lo_all, hi_all=hi_all, inst_inv=inst_inv,
+                        inst_base=inst_base, order=order):
+                k, best_t, best_flat, best_u, best_v = state
+                i = order[k]
+                lo, hi = lo_all[i], hi_all[i]
+                inv, base = inst_inv[i], inst_base[i]
                 t1 = (lo[None] - o) * inv_d
                 t2 = (hi[None] - o) * inv_d
                 tn = jnp.max(jnp.minimum(t1, t2), axis=-1)
@@ -228,20 +298,24 @@ def make_tlas_intersector(config: RenderConfig) -> Intersector:
                             jnp.where(better, u_i, best_u),
                             jnp.where(better, v_i, best_v))
 
-                # instance-scalable cull (VERDICT r2 #9, the reference's
-                # BVH-over-instances role — top_level_bvh.cpp:55-102):
-                # when NO ray in the launch crosses this instance's world
-                # AABB, lax.cond skips its whole BLAS traversal at
-                # runtime, so a 100+ instance scene pays O(instances)
-                # slab tests but only O(touched instances) traversals
+                # occlusion-driven runtime cull: committed hits shrink
+                # best_t as the front-to-back walk progresses, so later
+                # (farther) instances fail tn < best_t for every ray and
+                # skip their whole BLAS traversal
                 carry = (best_t, best_flat, best_u, best_v)
-                return jax.lax.cond(jnp.any(hit_box), visit,
-                                    lambda c: c, carry), None
+                best_t, best_flat, best_u, best_v = jax.lax.cond(
+                    jnp.any(hit_box), visit, lambda c: c, carry)
+                return (k + 1, best_t, best_flat, best_u, best_v)
 
-            (best_t, best_flat, best_u, best_v), _ = jax.lax.scan(
-                body, (best_t, best_flat, best_u, best_v),
-                (blas["inst_bmin"], blas["inst_bmax"],
-                 blas["inst_inv"], blas["inst_base"]))
+            def cond_fn(state, count=count):
+                more = state[0] < count
+                if any_hit:     # all lanes occluded ⇒ nothing left to find
+                    more = more & jnp.any(state[2] < 0)
+                return more
+
+            (_, best_t, best_flat, best_u, best_v) = jax.lax.while_loop(
+                cond_fn, body_fn,
+                (jnp.int32(0), best_t, best_flat, best_u, best_v))
         return best_t, best_flat, best_u, best_v
 
     def closest(scene, o, d, t_max=None, sort=True, coherent=False):

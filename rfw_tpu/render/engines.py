@@ -757,6 +757,14 @@ class PathTracerEngine(EngineContext):
                 # a full rebuild when the intersector changes
                 self._geo_key = None
                 self._dirty = True
+            if value == "tlas" and not self.config.use_tlas:
+                # the two-level tables ride the device scene only when
+                # use_tlas is set — selecting the intersector through the
+                # runtime-settings protocol implies it (else the trace
+                # would KeyError on scene["tlas"])
+                object.__setattr__(self.config, "use_tlas", True)
+                self._geo_key = None
+                self._dirty = True
             self._intersector_name = value
             self._trace_fn = None
         elif name == "denoise":

@@ -115,8 +115,12 @@ def main() -> None:
 
     samples = int(os.environ.get("RFW_BENCH_SAMPLES", "4"))
     t0 = time.time()
-    rs.render_frame(status=RenderStatus.CONVERGE, samples=samples)
+    rs.render_frame_async(status=RenderStatus.CONVERGE, samples=samples)
+    t_dispatch = time.time() - t0
+    rs.finish_frame()
     elapsed = time.time() - t0
+    print(f"# dispatch {t_dispatch*1000:.0f} ms, block+readback "
+          f"{(elapsed - t_dispatch)*1000:.0f} ms", file=sys.stderr)
 
     stats = rs.get_render_stats()
     rays_per_sample = (stats.primary_count + stats.secondary_count
@@ -152,6 +156,11 @@ def main() -> None:
             and getattr(rs.context, "_driver", None) is not None):
         if not config.profile_stages:
             object.__setattr__(rs.context.config, "profile_stages", True)
+            # first profiled frame pays the terminal-side first-execution
+            # compile of the per-depth stage programs INSIDE the timed
+            # depth windows (the axon measurement trap, ARCHITECTURE.md)
+            # — warm it, then measure
+            rs.render_frame(status=RenderStatus.CONVERGE, samples=2)
         rs.render_frame(status=RenderStatus.CONVERGE, samples=2)
         stats = rs.get_render_stats()
         stage_ms = {"primary": round(stats.primary_time * 1000),

@@ -576,12 +576,15 @@ class PathTracerEngine(EngineContext):
             self._sample_count += samples
             self._pending = (probe, stats, aux, timer, samples)
             return
-        if (drv is not None and samples > 1
-                and not self.config.profile_stages):
+        if drv is not None and not self.config.profile_stages:
             # multi-chunk driver path: whole CONVERGE request in ONE
             # dispatch (traced sample count — one compiled program for
-            # every count); with profile_stages the host loop below
-            # keeps the per-depth-synced last sample instead
+            # every count, INCLUDING samples=1: fori_loop(0, 1) over the
+            # same body equals the single-sample step exactly, so
+            # interactive 1-spp frames reuse the warmed batch program
+            # instead of paying a second program set's terminal-side
+            # first-execution compile); with profile_stages the host
+            # loop below keeps the per-depth-synced last sample instead
             out = drv.step_multi(self._scene, self._accumulator, view,
                                  self._sample_count, probe_index, samples)
             self._accumulator, probe, stats, aux = out

@@ -154,6 +154,47 @@ def test_multi_sample_batch_bitwise():
                           np.asarray(aux_l["normal"]))
 
 
+def test_single_sample_routes_through_batch_program():
+    """samples=1 on the driver path rides step_multi (fori_loop(0, 1)
+    over the same sample body — one compiled program for EVERY sample
+    count, so an interactive 1-spp frame never pays a second program
+    set's first-execution compile) and must equal the single-sample
+    ``step`` program bitwise."""
+    import jax.numpy as jnp
+    cfg = RenderConfig(max_path_length=2, blue_noise=False,
+                       max_rays_per_pass=1024)
+    eng = create_engine("megakernel", cfg)
+    eng.use_wavefront_driver = True
+    _scene(eng)
+    eng.resize(64, 48)
+    eng.update()
+    eng._get_trace_fn(64, 48)
+    drv = eng._driver
+    cam = rfw_tpu.Camera()
+    cam.resize(64, 48)
+    cam.fov = 55
+    cam.look_at([0, 2.5, -5.0], [0, 0.8, 0.0])
+    view = cam.get_view().as_pytree()
+
+    # the engine ABI path with samples=1 must hit step_multi, not step
+    import unittest.mock as mock
+    with mock.patch.object(drv, "step",
+                           side_effect=AssertionError("step used")):
+        frame = eng.render_frame(view, RenderStatus.RESET, samples=1)
+    assert np.isfinite(frame).all() and frame.mean() > 0
+
+    acc = jnp.zeros((64 * 48, 3), jnp.float32)
+    acc_m, probe_m, stats_m, aux_m = drv.step_multi(
+        eng._scene, acc, view, 0, 0, 1)
+    acc = jnp.zeros((64 * 48, 3), jnp.float32)
+    acc_s, probe_s, stats_s, aux_s = drv.step(
+        eng._scene, acc, view, jnp.uint32(0), jnp.int32(0))
+    assert np.array_equal(np.asarray(acc_m), np.asarray(acc_s))
+    assert np.array_equal(np.asarray(probe_m), np.asarray(probe_s))
+    for k in stats_s:
+        assert int(stats_m[k]) == int(stats_s[k]), k
+
+
 def test_pixel_cache_bitwise():
     """The precomputed sample-invariant raygen values (sx/sy div-mod,
     blue-noise shift rows — ops.raygen pixel_cache) must be bitwise

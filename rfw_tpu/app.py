@@ -58,21 +58,41 @@ class App:
 
     # -- loop (app.cpp:3-26) -------------------------------------------------
 
-    def run(self, frames: int = 1, samples_per_frame: int = 1) -> None:
+    def run(self, frames: int = 1, samples_per_frame: int = 1,
+            pipeline: bool = True) -> None:
+        """Frame loop (app.cpp:3-26). With ``pipeline=True`` (default)
+        each frame is DISPATCHED asynchronously and ``update`` — host
+        animation sampling, skinning einsums, camera moves — runs while
+        the chip traces it (the reference overlaps these with a thread
+        pool, system.cpp:438-458; XLA async dispatch provides the same
+        overlap thread-free). Frames are identical either way: the
+        scene/camera for frame k are snapshotted at dispatch, so
+        ``update``'s mutations only ever affect frame k+1, exactly as in
+        the sequential loop (tests/test_async.py::
+        test_app_pipeline_matches_sequential)."""
         self.init(self.rs)
         timer = Timer()
         for _ in range(frames):
             dt = timer.elapsed()
             timer.reset()
-            frame = self.rs.render_tonemapped(samples=samples_per_frame,
+            if pipeline:
+                cam = self.rs.camera
+                brightness, contrast = cam.brightness, cam.contrast
+                self.rs.render_frame_async(samples=samples_per_frame)
+                running = self.update(self.rs, dt)   # overlaps the render
+                frame = self.rs.tonemap_frame(self.rs.finish_frame(),
+                                              brightness, contrast,
                                               fxaa=self.fxaa)
+            else:
+                frame = self.rs.render_tonemapped(
+                    samples=samples_per_frame, fxaa=self.fxaa)
             self.post_render(frame, self.frame_index)
             self.frame_index += 1
             stats = self.rs.get_render_stats()
             logger.debug(
                 "frame %d: %.1f ms render, %.2f Mrays/s", self.frame_index,
                 stats.render_time * 1e3, stats.mrays_per_s())
-            if not self.update(self.rs, dt):
+            if not (running if pipeline else self.update(self.rs, dt)):
                 break
         try:
             self.rs.camera.serialize(self.camera_file)

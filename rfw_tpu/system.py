@@ -395,13 +395,28 @@ class RenderSystem:
         """render_frame + the ACES pass (system.cpp:694-714).
         ``fxaa`` additionally runs the app harness's FXAA post blit
         (reference app.h:23-61) over the tonemapped frame."""
+        cam = camera or self.camera
+        hdr = self.render_frame(cam, status, samples)
+        return self.tonemap_frame(hdr, cam.brightness, cam.contrast,
+                                  fxaa=fxaa)
+
+    def tonemap_frame(self, hdr: np.ndarray,
+                      brightness: float | None = None,
+                      contrast: float | None = None,
+                      fxaa: bool = False) -> np.ndarray:
+        """The ACES pass alone, for frames obtained via the async ABI
+        (``render_frame_async`` + ``finish_frame``). ``brightness`` /
+        ``contrast`` default to the current camera's — pass values
+        captured at dispatch time when host code may mutate the camera
+        while the frame is in flight (App.run's pipelined loop)."""
         import jax.numpy as jnp
 
         from .ops import tonemap
-        cam = camera or self.camera
-        hdr = self.render_frame(cam, status, samples)
-        ldr = tonemap.tonemap(jnp.asarray(hdr), cam.brightness,
-                              cam.contrast)
+        if brightness is None:
+            brightness = self.camera.brightness
+        if contrast is None:
+            contrast = self.camera.contrast
+        ldr = tonemap.tonemap(jnp.asarray(hdr), brightness, contrast)
         if fxaa:
             ldr = tonemap.fxaa(ldr)
         return np.asarray(ldr)

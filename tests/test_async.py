@@ -62,6 +62,54 @@ def test_async_abi_default_path():
     assert np.isfinite(np.asarray(a)).all()
 
 
+def test_app_pipeline_matches_sequential(tmp_path):
+    """App.run's pipelined loop (dispatch → update overlaps the render →
+    finish) must produce frames bitwise-equal to the strictly sequential
+    loop: scene/camera/tonemap inputs for frame k are snapshotted at
+    dispatch, so update's mutations (camera orbit, brightness) only ever
+    land on frame k+1 in both orders."""
+    from rfw_tpu.app import App
+
+    class Orbit(App):
+        def __init__(self):
+            super().__init__(width=48, height=48, engine="megakernel",
+                             config=RenderConfig(blue_noise=False),
+                             camera_file=str(tmp_path / "cam.bin"),
+                             fxaa=True)
+            self.frames = []
+            self.ticks = 0
+
+        def init(self, rs):
+            m = rs.add_material([0.7, 0.6, 0.5])
+            rs.add_instance(rs.add_quad([0, 1, 0], [0, 0, 0], 6, 6, m))
+            lamp = rs.add_material([20.0, 20.0, 20.0])
+            rs.add_instance(rs.add_quad([0, -1, 0], [0, 4.0, 0], 1, 1,
+                                        lamp))
+            rs.camera.look_at([0, 2.0, -5.0], [0, 0.5, 0])
+
+        def update(self, rs, dt):
+            self.ticks += 1
+            ang = 0.4 * self.ticks
+            rs.camera.look_at([5 * np.sin(ang), 2.0, -5 * np.cos(ang)],
+                              [0, 0.5, 0])
+            rs.camera.brightness = 0.05 * self.ticks
+            return True
+
+        def post_render(self, frame, frame_index):
+            self.frames.append(np.asarray(frame))
+
+    seq = Orbit()
+    seq.run(frames=3, samples_per_frame=2, pipeline=False)
+    pipe = Orbit()
+    pipe.run(frames=3, samples_per_frame=2, pipeline=True)
+    assert seq.ticks == pipe.ticks == 3
+    assert len(seq.frames) == len(pipe.frames) == 3
+    for a, b in zip(seq.frames, pipe.frames):
+        assert np.array_equal(a, b)
+    # the camera genuinely moved between frames
+    assert not np.array_equal(pipe.frames[0], pipe.frames[1])
+
+
 def test_sample_batching_bitwise():
     """The single-chunk multi-sample fori_loop batch (one dispatch for N
     samples) must equal N separate single-sample dispatches bitwise —

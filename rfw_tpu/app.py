@@ -69,7 +69,14 @@ class App:
         scene/camera for frame k are snapshotted at dispatch, so
         ``update``'s mutations only ever affect frame k+1, exactly as in
         the sequential loop (tests/test_async.py::
-        test_app_pipeline_matches_sequential)."""
+        test_app_pipeline_matches_sequential).
+
+        Hook-ordering caveat: the FRAMES are identical, but with
+        ``pipeline=True`` the ``update`` for frame k+1 runs BEFORE frame
+        k's ``post_render`` and before ``frame_index`` increments (it
+        overlaps the render). Subclasses whose ``update`` reads
+        ``self.frame_index`` or state written by ``post_render`` should
+        pass ``pipeline=False``."""
         self.init(self.rs)
         timer = Timer()
         for _ in range(frames):
@@ -79,10 +86,15 @@ class App:
                 cam = self.rs.camera
                 brightness, contrast = cam.brightness, cam.contrast
                 self.rs.render_frame_async(samples=samples_per_frame)
-                running = self.update(self.rs, dt)   # overlaps the render
-                frame = self.rs.tonemap_frame(self.rs.finish_frame(),
-                                              brightness, contrast,
-                                              fxaa=self.fxaa)
+                try:
+                    running = self.update(self.rs, dt)  # overlaps render
+                finally:
+                    # always retire the in-flight frame: a raising
+                    # update() must not leave the engine's _pending set
+                    # (a later dispatch would trip its in-flight guard)
+                    frame = self.rs.tonemap_frame(self.rs.finish_frame(),
+                                                  brightness, contrast,
+                                                  fxaa=self.fxaa)
             else:
                 frame = self.rs.render_tonemapped(
                     samples=samples_per_frame, fxaa=self.fxaa)

@@ -550,6 +550,11 @@ class PathTracerEngine(EngineContext):
         if isinstance(view, CameraView):
             raise TypeError("pass Camera.get_view().as_pytree() plus "
                             "resize(), or use RenderSystem.render_frame")
+        # a second dispatch would silently clobber the in-flight frame's
+        # pending (probe, stats, aux) tuple — finish_frame() first
+        assert self._pending is None, \
+            "render_frame_async while a frame is in flight; call " \
+            "finish_frame() first"
         width, height = self._size
         assert width > 0, "call resize(w, h) first"
         self.update()

@@ -71,10 +71,14 @@ def test_app_pipeline_matches_sequential(tmp_path):
     from rfw_tpu.app import App
 
     class Orbit(App):
-        def __init__(self):
+        def __init__(self, tag):
+            # each run gets its own camera file: App serializes the
+            # end-state camera on exit (reference Camera.cpp:42-72), and a
+            # shared file would leak run 1's orbit-mutated brightness into
+            # run 2's initial tonemap.
             super().__init__(width=48, height=48, engine="megakernel",
                              config=RenderConfig(blue_noise=False),
-                             camera_file=str(tmp_path / "cam.bin"),
+                             camera_file=str(tmp_path / f"cam_{tag}.bin"),
                              fxaa=True)
             self.frames = []
             self.ticks = 0
@@ -98,9 +102,9 @@ def test_app_pipeline_matches_sequential(tmp_path):
         def post_render(self, frame, frame_index):
             self.frames.append(np.asarray(frame))
 
-    seq = Orbit()
+    seq = Orbit("seq")
     seq.run(frames=3, samples_per_frame=2, pipeline=False)
-    pipe = Orbit()
+    pipe = Orbit("pipe")
     pipe.run(frames=3, samples_per_frame=2, pipeline=True)
     assert seq.ticks == pipe.ticks == 3
     assert len(seq.frames) == len(pipe.frames) == 3

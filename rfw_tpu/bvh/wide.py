@@ -228,6 +228,76 @@ def spatial_treelets(tri_min: np.ndarray, tri_max: np.ndarray,
     )
 
 
+def subdivide_cells(pad_map: np.ndarray, tri_min: np.ndarray,
+                    tri_max: np.ndarray, size: int, sub: int = 4):
+    """Spatially reorder each cell's padded slots (2-level kd split of its
+    members into ``sub`` quarters) and return the child-cell tables for
+    sub-granularity intersection (round-5 'tvisit' core).
+
+    Cell membership is untouched — only the *order of slots within each
+    cell* changes, which downstream code is explicitly allowed to ignore
+    (cells are unordered sets; see spatial_treelets). Child ``j`` of cell
+    ``c`` then owns the contiguous slot range
+    ``[c*size + j*csize, c*size + (j+1)*csize)`` with a tight AABB over
+    its members, giving a K/4-granule candidate structure that nests in
+    the existing cells: parent tables gate conservatively, child tests
+    are exact.
+
+    Returns ``(pad_map_reordered, child_bmin, child_bmax, child_count)``
+    with child arrays shaped (T*sub, ...). Empty children get far-point
+    boxes (never crossed — same convention as cell padding).
+    """
+    assert sub == 4 and size % 4 == 0, "2-level kd split → sub == 4"
+    t = pad_map.reshape(-1, size)
+    n_cells = t.shape[0]
+    valid = t >= 0
+    idx = np.maximum(t, 0)
+    cent = np.where(valid[..., None],
+                    0.5 * (tri_min[idx] + tri_max[idx]), np.float32(3e38))
+
+    def split_order(cent_seg, valid_seg):
+        """(C, S, 3) centroids → per-row argsort along each row's widest
+        axis (pads carry 3e38 → sort last)."""
+        lo = np.where(valid_seg[..., None], cent_seg, np.float32(3e38))
+        hi = np.where(valid_seg[..., None], cent_seg, np.float32(-3e38))
+        # f64 subtract: all-pad rows hit (-3e38) - (3e38), which overflows
+        # f32 (harmless — their argsort order is irrelevant — but noisy)
+        ext = (hi.max(axis=1).astype(np.float64)
+               - lo.min(axis=1).astype(np.float64))      # (C, 3)
+        ax = np.argmax(ext, axis=1)                      # (C,)
+        key = np.take_along_axis(
+            cent_seg, ax[:, None, None], axis=2)[..., 0]  # (C, S)
+        return np.argsort(key, axis=1, kind="stable")
+
+    o1 = split_order(cent, valid)                        # (T, size)
+    cent1 = np.take_along_axis(cent, o1[..., None], axis=1)
+    valid1 = np.take_along_axis(valid, o1, axis=1)
+    half = size // 2
+    c2 = cent1.reshape(n_cells * 2, half, 3)
+    v2 = valid1.reshape(n_cells * 2, half)
+    o2 = split_order(c2, v2)                             # (T*2, half)
+    # compose: within-cell order = o1 then o2 within halves
+    o2_full = (o2 + (np.arange(n_cells * 2)[:, None] % 2) * half
+               ).reshape(n_cells, size)
+    order = np.take_along_axis(o1, o2_full, axis=1)      # (T, size)
+    t_new = np.take_along_axis(t, order, axis=1)
+
+    csize = size // sub
+    tc = t_new.reshape(n_cells * sub, csize)
+    vv = tc >= 0
+    ii = np.maximum(tc, 0)
+    blo = np.where(vv[..., None], tri_min[ii], np.float32(3e37))
+    bhi = np.where(vv[..., None], tri_max[ii], np.float32(-3e38))
+    child_bmin = blo.min(axis=1).astype(np.float32)
+    child_bmax = bhi.max(axis=1).astype(np.float32)
+    child_count = vv.sum(axis=1).astype(np.int32)
+    empty = child_count == 0
+    child_bmin[empty] = 3e37                # far-point box (never crossed)
+    child_bmax[empty] = 3e37
+    return (t_new.reshape(-1).astype(pad_map.dtype),
+            child_bmin, child_bmax, child_count)
+
+
 def extract_treelets(bvh: BVH, tri_min: np.ndarray, tri_max: np.ndarray,
                      size: int = 64, top_width: int = 4,
                      use_native: bool = True) -> Treelets:

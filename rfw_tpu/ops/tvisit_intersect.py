@@ -1,0 +1,478 @@
+"""Transposed sub-cell visit-list intersector — the round-5 core.
+
+The production visit kernel (ops/visit_intersect.py) is capped by its own
+speed-of-light budget at ~23 Mrays/s: per-256-ray-block union visit
+lists execute ~133 (256,128) dense visits on the 1080p bounce stream
+against a per-ray floor of ~8, and every block-formation lever is a
+recorded kill (STATUS.md r2-r4) because the waste is hemisphere
+direction scatter within origin-coherent blocks. Per-ray pair expansion
+removes the union waste but pays O(pairs) global sorts (~5-8 ms per
+M-row per operand) that cancel the win — measured r2, re-cost-modeled
+r5 (tools/r5_core_sim.py).
+
+This core attacks the waste with ZERO new table classes, on two axes:
+
+* **Finer rays**: each 256-ray block splits into SUB=2 sub-blocks of 128
+  rays with their OWN visit lists. Union(128 rays) < union(256): the
+  r5 sim measures exec 52 vs 80 visits (640x360 d1 stream, K=128).
+* **Finer cells**: candidates are K/4 = 32-triangle CHILD cells
+  (bvh/wide.subdivide_cells — an in-place spatial reorder of each cell's
+  slots, so child j of cell c owns slots [c*128+32j, +32) and the rest
+  of the framework is untouched). Crossing counts barely grow with
+  4x finer cells (sim: 17.0 → 18.5 crossings/ray), so dense tests/ray
+  drop ~4x.
+
+The kernel is TRANSPOSED to make (K=32)-cell visits cheap: cell
+triangles live on SUBLANES, the sub-block's 128 rays on LANES, so one
+visit is a (32, 128) = 4k-slot dense op (vs 32k for (256,128)) with a
+2 KB contiguous DMA. Plane columns broadcast over lanes, ray rows over
+sublanes — the same outer-FMA pattern as the production kernel with the
+roles swapped (Mosaic-friendly; measured in tools/r5_tkernel_micro.py).
+
+Candidate structure is TWO-LEVEL, reusing the production parent
+machinery verbatim: parent (K=128) windows come from block_entries +
+sort_candidates (geometric keys, windowed recull passes — exactness
+contract unchanged, visit_intersect.sort_candidates docstring); each
+window's ≤128 parents expand to ≤512 child slots, slab-tested per ray
+and reduced per SUB-BLOCK, then entry-sorted per sub-block with a cheap
+(NB*2, 512) row sort. Parent entries lower-bound their children's, so
+the cross-window front-to-back exit stays exact.
+
+Cited reference workload: per-ray ordered MBVH traversal
+(/root/reference/RFW/system/bvh/mbvh_node.h:122-307,
+/root/reference/RFW/backends/CUDART/src/CUDAIntersect.h) — approximated
+here at sub-block granularity with dense lockstep visits.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from .intersect import BIG_T, intersect_tri
+from .visit_intersect import (BLOCK, M_C, _pack_rays8, _pad_rays,
+                              _sort_carry_in, _sort_carry_out,
+                              block_entries, block_entries_envelope,
+                              sort_candidates, window_candidates)
+
+SUB = 2            # sub-blocks per 256-ray program (128 rays on lanes)
+LANES = BLOCK // SUB
+CSLOTS = 4 * M_C   # child slots per parent window (4 children/parent)
+PIPE = 8
+EXIT_EVERY = 4
+_BIGKEY = np.float32(1 << 25)
+
+
+# ---------------------------------------------------------------------------
+# Child expansion: parent window → per-sub-block entry-sorted child lists
+# ---------------------------------------------------------------------------
+
+def expand_children(ids, origins, directions, t_hi, bmin32, bmax32,
+                    diag, t_p: int):
+    """Parent window ids (NB, M_C) → per-SUB-BLOCK child visit lists.
+
+    Slab-tests every ray of each sub-block against the 4*M_C child AABBs
+    of its block's window parents (chunked over blocks to bound the
+    (NBc, 256, 512) transient), reduces crossed/entry per sub-block, and
+    row-sorts packed (quantized-entry, slot) keys — (NB*SUB, 512) rows,
+    ~25x cheaper per element than the flat sorts that killed the pair
+    drivers.
+
+    Returns (cids, counts, tnears): global child ids (NB*SUB, CSLOTS,
+    invalid = t32), live counts, and entry lower bounds (BIG_T pad).
+    """
+    nb = ids.shape[0]
+    n = origins.shape[0]
+    m_p = ids.shape[1]
+    cslots = 4 * m_p
+    t32 = 4 * t_p
+    # global child ids of the window: (NB, 4*M_C); invalid parents → t32
+    valid_p = ids < t_p
+    cid = (jnp.minimum(ids, t_p - 1)[:, :, None] * 4
+           + jnp.arange(4, dtype=ids.dtype)[None, None, :])
+    cid = jnp.where(valid_p[:, :, None], cid, t32).reshape(nb, cslots)
+    # child bounds gather: one (NB*4*M_C)-row gather of 6-float rows
+    cb = jnp.concatenate([bmin32, bmax32], axis=1)        # (T32, 6)
+    cbw = cb[jnp.minimum(cid, t32 - 1).reshape(-1)].reshape(
+        nb, cslots, 6)
+
+    o_b = origins.reshape(nb, BLOCK, 3)
+    d_b = directions.reshape(nb, BLOCK, 3)
+    th_b = t_hi.reshape(nb, BLOCK)
+
+    nbc = 256                        # blocks per slab chunk (~128 MB)
+    pad_nb = (-nb) % nbc
+    if pad_nb:
+        o_b = jnp.pad(o_b, ((0, pad_nb), (0, 0), (0, 0)))
+        d_b = jnp.pad(d_b, ((0, pad_nb), (0, 0), (0, 0)),
+                      constant_values=1.0)
+        th_b = jnp.pad(th_b, ((0, pad_nb), (0, 0)))
+        cbw = jnp.pad(cbw, ((0, pad_nb), (0, 0), (0, 0)),
+                      constant_values=3e37)
+
+    def chunk_fn(args):
+        o_c, d_c, th_c, cb_c = args                       # (nbc, ...)
+        safe = jnp.where(jnp.abs(d_c) < 1e-12,
+                         jnp.where(d_c < 0, -1e-12, 1e-12), d_c)
+        inv = (1.0 / safe)[:, :, None, :]                 # (nbc,B,1,3)
+        lo = cb_c[:, None, :, 0:3]                        # (nbc,1,S,3)
+        hi = cb_c[:, None, :, 3:6]
+        t1 = (lo - o_c[:, :, None, :]) * inv
+        t2 = (hi - o_c[:, :, None, :]) * inv
+        ent = jnp.maximum(jnp.max(jnp.minimum(t1, t2), axis=-1), 0.0)
+        ext = jnp.min(jnp.maximum(t1, t2), axis=-1)       # (nbc,B,S)
+        crossed = ent < jnp.minimum(ext, th_c[:, :, None])
+        e = jnp.where(crossed, ent, 1e30)
+        # per-sub-block min entry: (nbc, SUB, S)
+        e_sub = e.reshape(nbc, SUB, LANES, cslots).min(axis=2)
+        return e_sub
+
+    n_chunks = (nb + pad_nb) // nbc
+    e_sub = jax.lax.map(chunk_fn, (
+        o_b.reshape(n_chunks, nbc, BLOCK, 3),
+        d_b.reshape(n_chunks, nbc, BLOCK, 3),
+        th_b.reshape(n_chunks, nbc, BLOCK),
+        cbw.reshape(n_chunks, nbc, cslots, 6)))
+    e_sub = e_sub.reshape(-1, SUB, cslots)[:nb].reshape(
+        nb * SUB, cslots)
+
+    # entry-sorted child lists per sub-block: packed exact-int f32 keys
+    # (quantized entry | slot). 9 slot bits at CSLOTS=512 → 15 entry bits
+    sb = max((cslots - 1).bit_length(), 1)
+    qmax = (1 << (24 - sb)) - 1
+    q = jnp.clip(jnp.floor(e_sub * (qmax / diag)), 0.0, float(qmax))
+    slot_f = jnp.arange(cslots, dtype=jnp.float32)[None]
+    key = jnp.where(e_sub < BIG_T, q * (1 << sb) + slot_f, _BIGKEY)
+    keys = jax.lax.sort(key, dimension=-1)
+    counts = jnp.sum(key < _BIGKEY, axis=-1).astype(jnp.int32)
+    slot_srt = jnp.where(keys < _BIGKEY,
+                         keys.astype(jnp.int32) & ((1 << sb) - 1), 0)
+    # slot → global child id (per block, shared by its SUB rows)
+    cid_sub = jnp.repeat(cid, SUB, axis=0)                # (NB*SUB, S)
+    cids = jnp.where(keys < _BIGKEY,
+                     jnp.take_along_axis(cid_sub, slot_srt, axis=1), t32)
+    gran = diag / qmax
+    tnears = jnp.where(keys < _BIGKEY,
+                       jnp.floor(keys / (1 << sb)) * gran, BIG_T)
+    return cids, counts, tnears
+
+
+# ---------------------------------------------------------------------------
+# The transposed kernel
+# ---------------------------------------------------------------------------
+
+def _tvisit_kernel(k_size: int, cslots: int, t_epsilon: float,
+                   any_hit: bool,
+                   # SMEM
+                   cids_ref, counts_ref, tnears_ref,   # (SUB, cslots)/(SUB,1)
+                   # VMEM
+                   rays_ref,                           # (8, BLOCK)
+                   wg_hbm,                             # (T32, 16, k_size)
+                   # outputs
+                   t_out, slot_out,
+                   # scratch
+                   bt_s, bs_s, wp_s, sems):
+    """Per sub-block: walk its entry-sorted child list front-to-back; per
+    visit DMA one child's (16, K) plane block and dense-test its K
+    triangles (sublanes) against the sub-block's 128 rays (lanes).
+    Commit is a per-lane running min over the K-sublane reduction of each
+    visit. Sub-blocks advance in lockstep; a finished sub-block's visits
+    are skipped (pl.when), so total dense work is the SUM of the two
+    lists, not twice the straggler."""
+    rays = rays_ref[:]
+
+    def gid(sub, i):
+        j = jnp.clip(jnp.minimum(i, counts_ref[sub, 0] - 1), 0,
+                     cslots - 1)
+        return jnp.minimum(cids_ref[sub, j], wg_hbm.shape[0] - 1)
+
+    def tnear_of(sub, i):
+        return tnears_ref[sub, jnp.minimum(i, cslots - 1)]
+
+    def dma(sub, slot, g):
+        return pltpu.make_async_copy(
+            wg_hbm.at[g], wp_s.at[sub, slot], sems.at[sub, slot])
+
+    for sub in range(SUB):
+        bt_s[sub * 8:sub * 8 + 1, :] = rays[3:4,
+                                            sub * LANES:(sub + 1) * LANES]
+        bs_s[sub * 8:sub * 8 + 1, :] = jnp.full((1, LANES), -1, jnp.int32)
+        for k in range(PIPE - 1):
+            @pl.when(k < counts_ref[sub, 0])
+            def _(sub=sub, k=k):
+                dma(sub, k, gid(sub, k)).start()
+
+    def body(state):
+        i, done_v = state
+        slot = jnp.remainder(i, PIPE)
+        new_done = []
+        for sub in range(SUB):
+            n_sub = counts_ref[sub, 0]
+            lane0 = sub * LANES
+            done_s = done_v[sub]
+            live = (~done_s) & (i < n_sub)
+
+            @pl.when(live & (i + PIPE - 1 < n_sub))
+            def _(sub=sub):
+                dma(sub, jnp.remainder(i + PIPE - 1, PIPE),
+                    gid(sub, i + PIPE - 1)).start()
+
+            @pl.when(live)
+            def _(sub=sub, lane0=lane0, slot=slot):
+                dma(sub, slot, gid(sub, i)).wait()
+                wp = wp_s[sub, slot]                     # (16, k_size)
+                o_rows = rays[0:3, lane0:lane0 + LANES]  # (3, LANES)
+                d_rows = rays[4:7, lane0:lane0 + LANES]
+
+                def xf_o(c0):
+                    a = (wp[c0 + 3:c0 + 4, :].T
+                         + wp[c0:c0 + 1, :].T * o_rows[0:1, :])
+                    for q in range(1, 3):
+                        a = a + (wp[c0 + q:c0 + q + 1, :].T
+                                 * o_rows[q:q + 1, :])
+                    return a                             # (k, LANES)
+
+                def xf_d(c0):
+                    a = wp[c0:c0 + 1, :].T * d_rows[0:1, :]
+                    for q in range(1, 3):
+                        a = a + (wp[c0 + q:c0 + q + 1, :].T
+                                 * d_rows[q:q + 1, :])
+                    return a
+
+                ou, du = xf_o(0), xf_d(0)
+                ov, dv = xf_o(4), xf_d(4)
+                ow, dw = xf_o(8), xf_d(8)
+                valid = jnp.abs(dw) > 1e-12
+                t = -ow / jnp.where(valid, dw, 1.0)
+                u = ou + t * du
+                v = ov + t * dv
+                hit = (valid & (u >= 0.0) & (v >= 0.0)
+                       & (u + v <= 1.0) & (t > t_epsilon))
+                t_hit = jnp.where(hit, t, 1e30)          # (k, LANES)
+                tmin = jnp.min(t_hit, axis=0, keepdims=True)
+                kmin = jnp.argmin(t_hit, axis=0,
+                                  keepdims=True).astype(jnp.int32)
+                bt = bt_s[sub * 8:sub * 8 + 1, :]
+                upd = tmin < bt                          # strict: first wins
+                bt_s[sub * 8:sub * 8 + 1, :] = jnp.where(upd, tmin, bt)
+                bs_s[sub * 8:sub * 8 + 1, :] = jnp.where(
+                    upd, gid(sub, i) * k_size + kmin,
+                    bs_s[sub * 8:sub * 8 + 1, :])
+
+            def check(sub=sub, lane0=lane0):
+                bt = bt_s[sub * 8:sub * 8 + 1, :]
+                tm0 = rays[3:4, lane0:lane0 + LANES]
+                if any_hit:
+                    d_s = ~jnp.any((bt >= tm0) & (tm0 > 0))
+                else:
+                    d_s = jnp.max(bt) <= tnear_of(sub, i + 1)
+                return d_s
+
+            do_chk = live & (jnp.remainder(i, EXIT_EVERY)
+                             == EXIT_EVERY - 1)
+            fin = jax.lax.cond(do_chk, check, lambda: jnp.bool_(False))
+            new_done.append(done_s | fin | (i + 1 >= counts_ref[sub, 0]))
+        return i + 1, jnp.stack(new_done)
+
+    def cond(state):
+        i, done_v = state
+        return ~jnp.all(done_v)
+
+    i_end, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((SUB,), jnp.bool_)))
+
+    for sub in range(SUB):   # drain in-flight DMAs on early exit
+        for k in range(PIPE - 1):
+            @pl.when(i_end + k < counts_ref[sub, 0])
+            def _(sub=sub, k=k):
+                dma(sub, jnp.remainder(i_end + k, PIPE),
+                    gid(sub, i_end + k)).wait()
+
+    t_rows = jnp.concatenate(
+        [bt_s[sub * 8:sub * 8 + 1, :] for sub in range(SUB)], axis=1)
+    s_rows = jnp.concatenate(
+        [bs_s[sub * 8:sub * 8 + 1, :] for sub in range(SUB)], axis=1)
+    found = t_rows < rays[3:4, :]
+    t_out[0, :, :] = jnp.broadcast_to(
+        jnp.where(found, t_rows, rays[3:4, :]), (8, BLOCK))
+    slot_out[0, :, :] = jnp.broadcast_to(
+        jnp.where(found, s_rows, -1), (8, BLOCK))
+
+
+@functools.partial(jax.jit, static_argnames=("k_size", "t_epsilon",
+                                             "any_hit"))
+def _run_tvisit_kernel(rays8, cids, counts, tnears, wg32,
+                       k_size: int, t_epsilon: float, any_hit: bool):
+    """rays8 (NB*8, BLOCK); cids/tnears (NB*SUB, CSLOTS); counts
+    (NB*SUB,). Returns per-ray (t, slot) in block-ray order."""
+    nb = cids.shape[0] // SUB
+    cslots = cids.shape[1]
+    in_specs = [
+        pl.BlockSpec((SUB, cslots), lambda b: (b, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((SUB, 1), lambda b: (b, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((SUB, cslots), lambda b: (b, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((8, BLOCK), lambda b: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 8, BLOCK), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, BLOCK), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    kernel = functools.partial(_tvisit_kernel, k_size, cslots,
+                               t_epsilon, any_hit)
+    interpret = jax.default_backend() == "cpu"
+    t, slot = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        scratch_shapes=[
+            pltpu.VMEM((SUB * 8, LANES), jnp.float32),
+            pltpu.VMEM((SUB * 8, LANES), jnp.int32),
+            pltpu.VMEM((SUB, PIPE, 16, k_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((SUB, PIPE)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, 8, BLOCK), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 8, BLOCK), jnp.int32),
+        ],
+    )(cids, counts.reshape(-1, 1), tnears, rays8, wg32)
+    return t[:, 0, :].reshape(-1), slot[:, 0, :].reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Driver (parent windows verbatim from visit_intersect)
+# ---------------------------------------------------------------------------
+
+def _trace(scene, origins, directions, t_max, config: RenderConfig,
+           any_hit: bool, coherent: bool = False):
+    tl = scene["treelets"]
+    bounds8 = jnp.concatenate([
+        tl["bmin"].T, tl["bmax"].T,
+        jnp.zeros((2, tl["bmin"].shape[0]), jnp.float32)], axis=0)
+    n = origins.shape[0]
+    t_p = bounds8.shape[1]
+    k32 = int(tl["wplanes32"].shape[2])   # static (size32 may be traced)
+    t_max = jnp.asarray(t_max, jnp.float32)
+    lo = tl["scene_lo"] if "scene_lo" in tl else tl["bmin"].min(axis=0)
+    hi = tl["scene_hi"] if "scene_hi" in tl else tl["bmax"].max(axis=0)
+    diag = jnp.sqrt(jnp.sum((hi - lo) ** 2))
+
+    t_hi0 = jnp.where(t_max <= 0, 0.0, t_max)
+    rays8_0 = _pack_rays8(origins, directions, t_hi0)
+    b_entry = (block_entries_envelope(rays8_0, bounds8)
+               if coherent else block_entries(rays8_0, bounds8))
+    keys_all, counts_all = sort_candidates(b_entry, diag, M_C)
+
+    def one_pass(state):
+        it, best_t, best_slot, finished = state
+        t_hi = jnp.minimum(t_max, best_t)
+        if any_hit:
+            t_hi = jnp.where(best_slot >= 0, 0.0, t_hi)
+        t_hi = jnp.where(finished, 0.0, t_hi)
+        rays8 = _pack_rays8(origins, directions, t_hi)
+        ids, counts, tnears, next_tnear = window_candidates(
+            keys_all, counts_all, it, diag, M_C, t_p)
+        cids, ccounts, ctnears = expand_children(
+            ids, origins, directions, t_hi, tl["bmin32"], tl["bmax32"],
+            diag, t_p)
+        t_row, s_row = _run_tvisit_kernel(
+            rays8, cids, ccounts, ctnears, tl["wplanes32"], k32,
+            float(config.t_epsilon), any_hit)
+        better = (s_row >= 0) & (t_row < jnp.minimum(best_t, t_max))
+        new_t = jnp.where(better, t_row, best_t)
+        new_slot = jnp.where(better, s_row, best_slot)
+        overflow = counts_all > (it + 1) * M_C
+        blk_of = jnp.repeat(overflow, BLOCK)[:n]
+        ray_next = jnp.repeat(next_tnear, BLOCK)[:n]
+        if any_hit:
+            fin = finished | ~blk_of | (new_slot >= 0)
+        else:
+            fin = finished | ~blk_of | (new_t <= ray_next)
+        return it + 1, new_t, new_slot, fin
+
+    n_windows = keys_all.shape[1] // M_C
+
+    def cond(state):
+        it, _, _, finished = state
+        return (it < n_windows) & ~jnp.all(finished)
+
+    state = (jnp.int32(0), jnp.broadcast_to(t_max, (n,)),
+             jnp.full(n, -1, jnp.int32), t_max <= 0)
+    _, t, slot, _ = jax.lax.while_loop(cond, one_pass, state)
+    return t, slot
+
+
+def closest_hit(scene, origins, directions, config: RenderConfig,
+                t_max=None, sort: bool = True, coherent: bool = False):
+    """Intersector ABI: (t, prim, u, v); lanes with t_max == 0 are dead.
+    Slot space is the SAME padded slot space as the production visit
+    kernel (child*K32 + lane == cell*128 + sub-range), so slot_to_prim /
+    verts apply unchanged."""
+    tl = scene["treelets"]
+    n = origins.shape[0]
+    if t_max is None:
+        t_max = jnp.full(n, BIG_T)
+    t_max = jnp.broadcast_to(t_max, (n,))
+    lane = None
+    if sort:
+        origins, directions, t_max, lane = _sort_carry_in(
+            tl, origins, directions, t_max)
+    o, d, tm, r = _pad_rays(origins, directions, t_max)
+    t, slot = _trace(scene, o, d, tm, config, any_hit=False,
+                     coherent=coherent)
+    t, slot = t[:r], slot[:r]
+    found = slot >= 0
+    prim = jnp.where(found, tl["slot_to_prim"][jnp.maximum(slot, 0)], -1)
+    found = found & (prim >= 0)
+
+    tv = tl["verts"][jnp.maximum(slot, 0)]
+    rhit, rt, ru, rv = intersect_tri(
+        o[:r], d[:r], tv[:, 0], tv[:, 1] - tv[:, 0],
+        tv[:, 2] - tv[:, 0], t_epsilon=config.t_epsilon * 0.5)
+    t = jnp.where(found, jnp.where(rhit, rt, t), BIG_T)
+    prim = jnp.where(found, prim, -1)
+    u = jnp.where(found & rhit, ru, 0.0)
+    v = jnp.where(found & rhit, rv, 0.0)
+    if lane is None:
+        return t, prim, u, v
+    t, prim, u, v = _sort_carry_out(lane, t, prim, u, v)
+    return t, prim, u, v
+
+
+def any_hit(scene, origins, directions, dist, config: RenderConfig,
+            sort: bool = True, coherent: bool = False):
+    """Occlusion: True where something lies closer than ``dist``."""
+    tl = scene["treelets"]
+    n = origins.shape[0]
+    dist = jnp.broadcast_to(dist, (n,))
+    lane = None
+    if sort:
+        origins, directions, dist, lane = _sort_carry_in(
+            tl, origins, directions, dist)
+    o, d, tm, r = _pad_rays(origins, directions, dist)
+    t, slot = _trace(scene, o, d, tm, config, any_hit=True,
+                     coherent=coherent)
+    slot = slot[:r]
+    hit = slot >= 0
+    occluded = jnp.where(
+        hit, tl["slot_to_prim"][jnp.maximum(slot, 0)], -1) >= 0
+    if lane is None:
+        return occluded
+    (occ_i,) = _sort_carry_out(lane, occluded.astype(jnp.int32))
+    return occ_i > 0

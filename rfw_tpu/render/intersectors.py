@@ -142,6 +142,25 @@ def make_visit_intersector(config: RenderConfig) -> Intersector:
     return Intersector(closest, occluded)
 
 
+def make_tvisit_intersector(config: RenderConfig) -> Intersector:
+    """Transposed sub-cell visit-list kernel (ops/tvisit_intersect.py):
+    per-128-ray sub-block lists of K/4-triangle child cells, (32, 128)
+    dense visits — the round-5 post-visit core. Requires the scene's
+    subcell tables (config.subcell_tables, on by default)."""
+    from ..ops import tvisit_intersect
+
+    def closest(scene, o, d, t_max=None, sort=True, coherent=False):
+        return tvisit_intersect.closest_hit(scene, o, d, config,
+                                            t_max=t_max, sort=sort,
+                                            coherent=coherent)
+
+    def occluded(scene, o, d, dist, sort=True, coherent=False):
+        return tvisit_intersect.any_hit(scene, o, d, dist, config,
+                                        sort=sort, coherent=coherent)
+
+    return Intersector(closest, occluded)
+
+
 def make_hybrid_intersector(config: RenderConfig) -> Intersector:
     """HISTORICAL round-1/2 router, kept only as an A/B surface — the
     ``visit`` intersector superseded both of its arms on every stream
@@ -339,5 +358,6 @@ FACTORIES = {
     "pallas": make_pallas_intersector,
     "pairs": make_pairs_intersector,
     "visit": make_visit_intersector,
+    "tvisit": make_tvisit_intersector,
     "hybrid": make_hybrid_intersector,
 }

@@ -22,7 +22,8 @@ import dataclasses
 import numpy as np
 
 from ..bvh.builder import build_bvh, triangle_bounds
-from ..bvh.wide import collapse_wide, extract_treelets, spatial_treelets
+from ..bvh.wide import (collapse_wide, extract_treelets, spatial_treelets,
+                        subdivide_cells)
 from ..config import RenderConfig
 from ..ops.intersect import woop_matrices
 from ..ops.pallas_intersect import SUPER_G
@@ -554,6 +555,15 @@ def build_device_scene(
     else:
         treelets = extract_treelets(bvh, tmin, tmax,
                                     size=config.treelet_size)
+    sub_tables = (config.subcell_tables and config.treelet_size % 4 == 0)
+    if sub_tables:
+        # spatially reorder each cell's slots and derive K/4 child cells
+        # (bvh/wide.subdivide_cells) — cell membership unchanged, so every
+        # existing consumer is unaffected; the 'tvisit' intersector gets a
+        # 4x finer exact candidate granularity nested in the cells
+        (treelets.pad_map, bmin32, bmax32,
+         count32) = subdivide_cells(treelets.pad_map, tmin, tmax,
+                                    config.treelet_size)
 
     verts = cat["vertices"][perm]
     scene = {
@@ -610,6 +620,13 @@ def build_device_scene(
             [pad_perm, np.full(pad_n * k, -1, np.int32)])
         padded_verts = np.concatenate(
             [padded_verts, np.zeros((pad_n * k, 3, 3), np.float32)])
+        if sub_tables:
+            bmin32 = np.concatenate(
+                [bmin32, np.full((pad_n * 4, 3), 3e37, np.float32)])
+            bmax32 = np.concatenate(
+                [bmax32, np.full((pad_n * 4, 3), 3e37, np.float32)])
+            count32 = np.concatenate(
+                [count32, np.zeros(pad_n * 4, np.int32)])
 
     # pad_woop by GATHER from the already-computed per-triangle woop
     # plane (scene["woop"], permuted order; pad_perm indexes it) — the
@@ -662,6 +679,16 @@ def build_device_scene(
         "scene_hi": tmax.max(axis=0).astype(np.float32),
         "top": None,   # filled below (padded to the engine's high-water cap)
     }
+    if sub_tables:
+        k4 = config.treelet_size // 4
+        scene["treelets"].update({
+            # K/4 child cells nested in the cells (slot ranges
+            # [child*k4, (child+1)*k4)); wplanes32 is the transposed
+            # kernel's DMA unit: (T*4, 16, k4) component-major blocks
+            "bmin32": bmin32, "bmax32": bmax32, "count32": count32,
+            "wplanes32": _woop_planes(pad_woop, k4, bmin32, bmax32),
+            "size32": k4,
+        })
     if config.use_tlas:
         scene["tlas"] = _build_tlas_tables(instances, inv_perm)
 
@@ -722,7 +749,7 @@ def _scene_cache_key(instances, config, area_light_overrides,
     import hashlib
     h = hashlib.sha1(str((
         _SCENE_CACHE_VERSION, config.treelet_size, config.treelet_spatial,
-        config.use_tlas, SUPER_G,
+        config.use_tlas, SUPER_G, config.subcell_tables,
         sorted((area_light_overrides or {}).items(),
                key=lambda kv: kv[0]),
         sorted((shape_caps or {}).items()),

@@ -162,6 +162,7 @@ def run(rays8, wp, variant, n_step, nb):
     kernel = make_kernel(variant, n_step)
     return pl.pallas_call(
         kernel,
+        interpret=jax.default_backend() == "cpu",
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((8, BLOCK), lambda b: (b, 0),

@@ -209,7 +209,8 @@ def _tvisit_kernel(k_size: int, cslots: int, t_epsilon: float,
                 dma(sub, k, gid(sub, k)).start()
 
     def body(state):
-        i, done_v = state
+        i, *done_v = state      # scalar bool per sub (vector carries are
+        #                         Mosaic-fragile; SUB is static)
         slot = jnp.remainder(i, PIPE)
         new_done = []
         for sub in range(SUB):
@@ -278,14 +279,18 @@ def _tvisit_kernel(k_size: int, cslots: int, t_epsilon: float,
                              == EXIT_EVERY - 1)
             fin = jax.lax.cond(do_chk, check, lambda: jnp.bool_(False))
             new_done.append(done_s | fin | (i + 1 >= counts_ref[sub, 0]))
-        return i + 1, jnp.stack(new_done)
+        return (i + 1, *new_done)
 
     def cond(state):
-        i, done_v = state
-        return ~jnp.all(done_v)
+        done_v = state[1:]
+        acc = done_v[0]
+        for d_s in done_v[1:]:
+            acc = acc & d_s
+        return ~acc
 
-    i_end, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.zeros((SUB,), jnp.bool_)))
+    out_state = jax.lax.while_loop(
+        cond, body, (jnp.int32(0),) + (jnp.bool_(False),) * SUB)
+    i_end = out_state[0]
 
     for sub in range(SUB):   # drain in-flight DMAs on early exit
         for k in range(PIPE - 1):

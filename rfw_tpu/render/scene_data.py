@@ -268,6 +268,7 @@ def make_device_refit(scene: dict, instances: list[InstancedMesh],
     tl = scene["treelets"]
     stp = np.asarray(tl["slot_to_prim"])
     k = int(tl["size"])
+    has_sub = "bmin32" in tl and k % 4 == 0
     n_cells = stp.shape[0] // k
     n_tris = int(np.asarray(scene["tri_vertices"]).shape[0])
     rebuild_cells = bool(getattr(config, "device_rebuild_cells", True))
@@ -381,6 +382,31 @@ def make_device_refit(scene: dict, instances: list[InstancedMesh],
             "scene_lo": verts.reshape(-1, 3).min(axis=0),
             "scene_hi": verts.reshape(-1, 3).max(axis=0),
         }
+        if has_sub:
+            # tvisit child tables: children are contiguous 32-slot
+            # quarters of each cell (Morton-rebuilt cells give Z-order
+            # quarters — spatially coherent; static-membership refits
+            # keep the build-time kd quarters). Pure reshapes of the
+            # per-slot data already computed above.
+            k4 = k // 4
+            b32lo = vlo.reshape(n_cells * 4, k4, 3).min(axis=1)
+            b32hi = vhi.reshape(n_cells * 4, k4, 3).max(axis=1)
+            e32 = b32hi[:, 0] < b32lo[:, 0]
+            b32lo = jnp.where(e32[:, None], 3e37, b32lo)
+            b32hi = jnp.where(e32[:, None], 3e37, b32hi)
+            w32 = pad_woop.reshape(n_cells * 4, k4, 3, 4).transpose(
+                0, 2, 3, 1)
+            wp32 = jnp.zeros((n_cells * 4, 16, k4), jnp.float32)
+            wp32 = wp32.at[:, 0:12].set(w32.reshape(n_cells * 4, 12, k4))
+            wp32 = wp32.at[:, 12, 0:3].set(b32lo)
+            wp32 = wp32.at[:, 12, 3:6].set(b32hi)
+            out["_treelets_update"].update({
+                "bmin32": b32lo, "bmax32": b32hi,
+                "wplanes32": wp32,
+                "count32": jnp.sum(
+                    (p_val[:, 0] > 0).reshape(n_cells * 4, k4),
+                    axis=1).astype(jnp.int32),
+            })
         if slots_new is not None:
             out["_treelets_update"]["slot_to_prim"] = slots_new
         out["woop"] = woop_matrices_jnp(verts[:, 0], verts[:, 1],

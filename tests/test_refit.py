@@ -166,6 +166,45 @@ def test_device_refit_matches_fresh_build(monkeypatch):
     assert moved.mean() > 1e-4
 
 
+def test_device_refit_matches_fresh_build_tvisit(monkeypatch):
+    """Device refit must also refresh the tvisit child tables
+    (bmin32/bmax32/wplanes32 — stale child bounds would silently drop
+    hits on deformed geometry)."""
+    from rfw_tpu.render import scene_data as sd2
+
+    eng, cam = _engine(intersector="tvisit")
+    eng.set_mesh(0, make_quad([0, 1, 0], [0, 0, 0], 8, 8, 0).triangles())
+    eng.set_mesh(1, make_quad([0, 0, -1], [0, 1, 1.5], 2, 2, 0).triangles())
+    eng.set_instance(0, 0, np.eye(4, dtype=np.float32))
+    eng.set_instance(1, 1, np.eye(4, dtype=np.float32))
+    _render(eng, cam)
+
+    calls = {"n": 0}
+    real_build = sd2.build_device_scene
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real_build(*a, **k)
+
+    monkeypatch.setattr(sd2, "build_device_scene", counting)
+    eng.set_mesh(1, make_quad([0.4, 0.2, -1], [0.8, 1.4, 1.0], 2, 2,
+                              0).triangles())
+    moved = _render(eng, cam)
+    assert calls["n"] == 0, "deformation took the full-rebuild path"
+    assert getattr(eng, "_device_refit", None) is not None
+
+    eng2, cam2 = _engine(intersector="tvisit")
+    eng2.set_mesh(0, make_quad([0, 1, 0], [0, 0, 0], 8, 8, 0).triangles())
+    eng2.set_mesh(1, make_quad([0.4, 0.2, -1], [0.8, 1.4, 1.0], 2, 2,
+                               0).triangles())
+    eng2.set_instance(0, 0, np.eye(4, dtype=np.float32))
+    eng2.set_instance(1, 1, np.eye(4, dtype=np.float32))
+    fresh = _render(eng2, cam2)
+    rmse = float(np.sqrt(((moved - fresh) ** 2).mean()))
+    assert rmse < 1e-3, rmse
+    assert moved.mean() > 1e-4
+
+
 def test_topology_change_forces_rebuild():
     eng, cam = _engine()
     eng.set_mesh(0, make_quad([0, 1, 0], [0, 0, 0], 8, 8, 0).triangles())

@@ -145,18 +145,26 @@ def make_visit_intersector(config: RenderConfig) -> Intersector:
 def make_tvisit_intersector(config: RenderConfig) -> Intersector:
     """Transposed sub-cell visit-list kernel (ops/tvisit_intersect.py):
     per-128-ray sub-block lists of K/4-triangle child cells, (32, 128)
-    dense visits — the round-5 post-visit core. Requires the scene's
-    subcell tables (config.subcell_tables, on by default)."""
-    from ..ops import tvisit_intersect
+    dense visits — the round-5 post-visit core for SCATTERED streams.
+    Requires the scene's subcell tables (config.subcell_tables, on by
+    default).
+
+    COHERENT streams (primary tiles, depth-0 converging shadow rays —
+    the integrator passes coherent=True) route to the production visit
+    kernel: their per-block unions are already small, so tvisit's
+    child-expansion machinery (bounds gather + per-ray slab over 4*M_C
+    slots per window) costs more than the dense work it saves there."""
+    from ..ops import tvisit_intersect, visit_intersect
 
     def closest(scene, o, d, t_max=None, sort=True, coherent=False):
-        return tvisit_intersect.closest_hit(scene, o, d, config,
-                                            t_max=t_max, sort=sort,
-                                            coherent=coherent)
+        mod = visit_intersect if coherent else tvisit_intersect
+        return mod.closest_hit(scene, o, d, config, t_max=t_max,
+                               sort=sort, coherent=coherent)
 
     def occluded(scene, o, d, dist, sort=True, coherent=False):
-        return tvisit_intersect.any_hit(scene, o, d, dist, config,
-                                        sort=sort, coherent=coherent)
+        mod = visit_intersect if coherent else tvisit_intersect
+        return mod.any_hit(scene, o, d, dist, config, sort=sort,
+                           coherent=coherent)
 
     return Intersector(closest, occluded)
 

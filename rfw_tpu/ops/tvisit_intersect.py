@@ -227,23 +227,27 @@ def _tvisit_kernel(k_size: int, cslots: int, t_epsilon: float,
             @pl.when(live)
             def _(sub=sub, lane0=lane0, slot=slot):
                 dma(sub, slot, gid(sub, i)).wait()
-                wp = wp_s[sub, slot]                     # (16, k_size)
+                wp = wp_s[sub, slot]                     # (16, 128)
                 o_rows = rays[0:3, lane0:lane0 + LANES]  # (3, LANES)
                 d_rows = rays[4:7, lane0:lane0 + LANES]
 
+                def col(c):
+                    # (1,128) row → transpose (full lane width — Mosaic
+                    # allows it) → STATIC sublane slice to the child's
+                    # k_size tris (sublane slices need only 8-alignment;
+                    # lane slices would need 128)
+                    return wp[c:c + 1, :].T[0:k_size]    # (k_size, 1)
+
                 def xf_o(c0):
-                    a = (wp[c0 + 3:c0 + 4, :].T
-                         + wp[c0:c0 + 1, :].T * o_rows[0:1, :])
+                    a = col(c0 + 3) + col(c0) * o_rows[0:1, :]
                     for q in range(1, 3):
-                        a = a + (wp[c0 + q:c0 + q + 1, :].T
-                                 * o_rows[q:q + 1, :])
+                        a = a + col(c0 + q) * o_rows[q:q + 1, :]
                     return a                             # (k, LANES)
 
                 def xf_d(c0):
-                    a = wp[c0:c0 + 1, :].T * d_rows[0:1, :]
+                    a = col(c0) * d_rows[0:1, :]
                     for q in range(1, 3):
-                        a = a + (wp[c0 + q:c0 + q + 1, :].T
-                                 * d_rows[q:q + 1, :])
+                        a = a + col(c0 + q) * d_rows[q:q + 1, :]
                     return a
 
                 ou, du = xf_o(0), xf_d(0)
@@ -349,7 +353,7 @@ def _run_tvisit_kernel(rays8, cids, counts, tnears, wg32,
         scratch_shapes=[
             pltpu.VMEM((SUB * 8, LANES), jnp.float32),
             pltpu.VMEM((SUB * 8, LANES), jnp.int32),
-            pltpu.VMEM((SUB, PIPE, 16, k_size), jnp.float32),
+            pltpu.VMEM((SUB, PIPE, 16, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((SUB, PIPE)),
         ],
         out_shape=[
@@ -372,7 +376,9 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
         jnp.zeros((2, tl["bmin"].shape[0]), jnp.float32)], axis=0)
     n = origins.shape[0]
     t_p = bounds8.shape[1]
-    k32 = int(tl["wplanes32"].shape[2])   # static (size32 may be traced)
+    # child tri count from static shapes (wplanes32 blocks are
+    # lane-padded to 128; size32 may be a traced scene leaf)
+    k32 = int(tl["slot_to_prim"].shape[0]) // int(tl["bmin32"].shape[0])
     t_max = jnp.asarray(t_max, jnp.float32)
     lo = tl["scene_lo"] if "scene_lo" in tl else tl["bmin"].min(axis=0)
     hi = tl["scene_hi"] if "scene_hi" in tl else tl["bmax"].max(axis=0)

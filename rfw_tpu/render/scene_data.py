@@ -396,8 +396,10 @@ def make_device_refit(scene: dict, instances: list[InstancedMesh],
             b32hi = jnp.where(e32[:, None], 3e37, b32hi)
             w32 = pad_woop.reshape(n_cells * 4, k4, 3, 4).transpose(
                 0, 2, 3, 1)
-            wp32 = jnp.zeros((n_cells * 4, 16, k4), jnp.float32)
-            wp32 = wp32.at[:, 0:12].set(w32.reshape(n_cells * 4, 12, k4))
+            # lane-padded (16, 128) child blocks — see build_device_scene
+            wp32 = jnp.zeros((n_cells * 4, 16, 128), jnp.float32)
+            wp32 = wp32.at[:, 0:12, :k4].set(
+                w32.reshape(n_cells * 4, 12, k4))
             wp32 = wp32.at[:, 12, 0:3].set(b32lo)
             wp32 = wp32.at[:, 12, 3:6].set(b32hi)
             out["_treelets_update"].update({
@@ -707,12 +709,20 @@ def build_device_scene(
     }
     if sub_tables:
         k4 = config.treelet_size // 4
+        # wplanes32 is the transposed kernel's DMA unit: each CHILD gets
+        # a full (16, 128) block with its k4 tri planes in lanes 0..k4-1
+        # and zero pad beyond — Mosaic requires DMA/lane slices aligned
+        # to the 128-lane tiling (a (16, k4) array is not DMA-able; the
+        # kernel instead transposes full-width rows and SUBLANE-slices
+        # [0:k4], which has only 8-row alignment). 4x HBM for the child
+        # tables (~8 KB/child) buys alignment-free addressing.
+        wp32 = np.zeros((bmin32.shape[0], 16, 128), np.float32)
+        wp32[:, :, :k4] = _woop_planes(pad_woop, k4, bmin32, bmax32)
         scene["treelets"].update({
             # K/4 child cells nested in the cells (slot ranges
-            # [child*k4, (child+1)*k4)); wplanes32 is the transposed
-            # kernel's DMA unit: (T*4, 16, k4) component-major blocks
+            # [child*k4, (child+1)*k4))
             "bmin32": bmin32, "bmax32": bmax32, "count32": count32,
-            "wplanes32": _woop_planes(pad_woop, k4, bmin32, bmax32),
+            "wplanes32": wp32,
             "size32": k4,
         })
     if config.use_tlas:
@@ -748,7 +758,7 @@ def build_device_scene(
     return scene
 
 
-_SCENE_CACHE_VERSION = "v1"
+_SCENE_CACHE_VERSION = "v2"   # v2: lane-padded wplanes32 child blocks
 # keys attached from the caller's args, never cached (re-attached on load)
 _SCENE_ATTACH_KEYS = ("materials", "lights", "skybox", "atlas",
                       "atlas_desc", "matlas", "matlas_desc")

@@ -74,25 +74,29 @@ def make_kernel(k_size: int, n_step: int, t_cells: int):
                     dma(sub, jnp.remainder(i + PIPE - 1, PIPE),
                         gid(sub, i + PIPE - 1)).start()
                 dma(sub, slot, gid(sub, i)).wait()
-                wp = wp_s[sub, slot]                 # (16, k_size)
+                wp = wp_s[sub, slot]                 # (16, 128) padded
                 r0 = sub * 8
                 o_rows = rays[r0:r0 + 3, :]          # (3, LANES)
                 d_rows = rays[r0 + 4:r0 + 7, :]
 
+                def col(c):
+                    # full-width lane transpose + static SUBLANE slice
+                    # (lane slices must be 128-aligned; sublane slices
+                    # only 8-aligned — the Mosaic constraint that killed
+                    # the (16, k) DMA layout)
+                    return wp[c:c + 1, :].T[0:k_size]   # (k_size, 1)
+
                 def xf_o(c0):
                     # plane col (k,1) x ray row (1,LANES) outer FMAs
-                    a = (wp[c0 + 3:c0 + 4, :].T
-                         + wp[c0:c0 + 1, :].T * o_rows[0:1, :])
+                    a = col(c0 + 3) + col(c0) * o_rows[0:1, :]
                     for q in range(1, 3):
-                        a = a + (wp[c0 + q:c0 + q + 1, :].T
-                                 * o_rows[q:q + 1, :])
+                        a = a + col(c0 + q) * o_rows[q:q + 1, :]
                     return a                          # (k_size, LANES)
 
                 def xf_d(c0):
-                    a = wp[c0:c0 + 1, :].T * d_rows[0:1, :]
+                    a = col(c0) * d_rows[0:1, :]
                     for q in range(1, 3):
-                        a = a + (wp[c0 + q:c0 + q + 1, :].T
-                                 * d_rows[q:q + 1, :])
+                        a = a + col(c0 + q) * d_rows[q:q + 1, :]
                     return a
 
                 ou, du = xf_o(0), xf_d(0)
@@ -146,7 +150,7 @@ def run(ids, rays8, wg, k_size, n_step, nb, t_cells):
         scratch_shapes=[
             pltpu.VMEM((SUB, LANES), jnp.float32),
             pltpu.VMEM((SUB, LANES), jnp.int32),
-            pltpu.VMEM((SUB, PIPE, 16, k_size), jnp.float32),
+            pltpu.VMEM((SUB, PIPE, 16, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((SUB, PIPE)),
         ],
         out_shape=jax.ShapeDtypeStruct((nb, 8, SUB * LANES), jnp.float32),
@@ -170,7 +174,7 @@ def main():
     for k_size in [int(x) for x in args.ks.split(",")]:
         t_cells = 305152 // k_size
         wg = jnp.asarray(
-            rng.normal(size=(t_cells, 16, k_size)).astype(np.float32))
+            rng.normal(size=(t_cells, 16, 128)).astype(np.float32))
         times = []
         for n_step in steps:
             ids = jnp.asarray(

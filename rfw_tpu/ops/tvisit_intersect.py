@@ -169,11 +169,14 @@ def expand_children(ids, origins, directions, t_hi, bmin32, bmax32,
 
 def _tvisit_kernel(k_size: int, cslots: int, t_epsilon: float,
                    any_hit: bool,
-                   # SMEM
-                   cids_ref, counts_ref, tnears_ref,   # (SUB, cslots)/(SUB,1)
+                   # SMEM — (8*SUB, cslots) windows shared by 8 grid rows
+                   # (SMEM block rows must be divisible by 8; each program
+                   # owns rows 2*(b%8) and 2*(b%8)+1 — the production
+                   # kernel's b//8 packing pattern)
+                   cids_ref, counts_ref, tnears_ref,
                    # VMEM
                    rays_ref,                           # (8, BLOCK)
-                   wg_hbm,                             # (T32, 16, k_size)
+                   wg_hbm,                             # (T32, 16, 128)
                    # outputs
                    t_out, slot_out,
                    # scratch
@@ -186,14 +189,17 @@ def _tvisit_kernel(k_size: int, cslots: int, t_epsilon: float,
     are skipped (pl.when), so total dense work is the SUM of the two
     lists, not twice the straggler."""
     rays = rays_ref[:]
+    rbase = SUB * jnp.remainder(pl.program_id(0), 8)
+
+    def nrow(sub):
+        return counts_ref[rbase + sub, 0]
 
     def gid(sub, i):
-        j = jnp.clip(jnp.minimum(i, counts_ref[sub, 0] - 1), 0,
-                     cslots - 1)
-        return jnp.minimum(cids_ref[sub, j], wg_hbm.shape[0] - 1)
+        j = jnp.clip(jnp.minimum(i, nrow(sub) - 1), 0, cslots - 1)
+        return jnp.minimum(cids_ref[rbase + sub, j], wg_hbm.shape[0] - 1)
 
     def tnear_of(sub, i):
-        return tnears_ref[sub, jnp.minimum(i, cslots - 1)]
+        return tnears_ref[rbase + sub, jnp.minimum(i, cslots - 1)]
 
     def dma(sub, slot, g):
         return pltpu.make_async_copy(
@@ -204,7 +210,7 @@ def _tvisit_kernel(k_size: int, cslots: int, t_epsilon: float,
                                             sub * LANES:(sub + 1) * LANES]
         bs_s[sub * 8:sub * 8 + 1, :] = jnp.full((1, LANES), -1, jnp.int32)
         for k in range(PIPE - 1):
-            @pl.when(k < counts_ref[sub, 0])
+            @pl.when(k < nrow(sub))
             def _(sub=sub, k=k):
                 dma(sub, k, gid(sub, k)).start()
 
@@ -214,7 +220,7 @@ def _tvisit_kernel(k_size: int, cslots: int, t_epsilon: float,
         slot = jnp.remainder(i, PIPE)
         new_done = []
         for sub in range(SUB):
-            n_sub = counts_ref[sub, 0]
+            n_sub = nrow(sub)
             lane0 = sub * LANES
             done_s = done_v[sub]
             live = (~done_s) & (i < n_sub)
@@ -282,7 +288,7 @@ def _tvisit_kernel(k_size: int, cslots: int, t_epsilon: float,
             do_chk = live & (jnp.remainder(i, EXIT_EVERY)
                              == EXIT_EVERY - 1)
             fin = jax.lax.cond(do_chk, check, lambda: jnp.bool_(False))
-            new_done.append(done_s | fin | (i + 1 >= counts_ref[sub, 0]))
+            new_done.append(done_s | fin | (i + 1 >= nrow(sub)))
         return (i + 1, *new_done)
 
     def cond(state):
@@ -298,7 +304,7 @@ def _tvisit_kernel(k_size: int, cslots: int, t_epsilon: float,
 
     for sub in range(SUB):   # drain in-flight DMAs on early exit
         for k in range(PIPE - 1):
-            @pl.when(i_end + k < counts_ref[sub, 0])
+            @pl.when(i_end + k < nrow(sub))
             def _(sub=sub, k=k):
                 dma(sub, jnp.remainder(i_end + k, PIPE),
                     gid(sub, i_end + k)).wait()
@@ -322,12 +328,21 @@ def _run_tvisit_kernel(rays8, cids, counts, tnears, wg32,
     (NB*SUB,). Returns per-ray (t, slot) in block-ray order."""
     nb = cids.shape[0] // SUB
     cslots = cids.shape[1]
+    # SMEM block rows must be divisible by 8 → 8 programs share one
+    # (8*SUB, cslots) window; each reads its rows 2*(b%8), 2*(b%8)+1
+    # (the production kernel's b//8 packing). Pad NB to a multiple of 8.
+    pad_nb = (-nb) % 8
+    if pad_nb:
+        cids = jnp.pad(cids, ((0, pad_nb * SUB), (0, 0)))
+        counts = jnp.pad(counts, (0, pad_nb * SUB))
+        tnears = jnp.pad(tnears, ((0, pad_nb * SUB), (0, 0)))
+        rays8 = jnp.pad(rays8, ((0, pad_nb * 8), (0, 0)))
     in_specs = [
-        pl.BlockSpec((SUB, cslots), lambda b: (b, 0),
+        pl.BlockSpec((8 * SUB, cslots), lambda b: (b // 8, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((SUB, 1), lambda b: (b, 0),
+        pl.BlockSpec((8 * SUB, 1), lambda b: (b // 8, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((SUB, cslots), lambda b: (b, 0),
+        pl.BlockSpec((8 * SUB, cslots), lambda b: (b // 8, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((8, BLOCK), lambda b: (b, 0),
                      memory_space=pltpu.VMEM),
@@ -345,7 +360,7 @@ def _run_tvisit_kernel(rays8, cids, counts, tnears, wg32,
     t, slot = pl.pallas_call(
         kernel,
         interpret=interpret,
-        grid=(nb,),
+        grid=(nb + pad_nb,),
         in_specs=in_specs,
         out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
@@ -357,11 +372,11 @@ def _run_tvisit_kernel(rays8, cids, counts, tnears, wg32,
             pltpu.SemaphoreType.DMA((SUB, PIPE)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb, 8, BLOCK), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 8, BLOCK), jnp.int32),
+            jax.ShapeDtypeStruct((nb + pad_nb, 8, BLOCK), jnp.float32),
+            jax.ShapeDtypeStruct((nb + pad_nb, 8, BLOCK), jnp.int32),
         ],
     )(cids, counts.reshape(-1, 1), tnears, rays8, wg32)
-    return t[:, 0, :].reshape(-1), slot[:, 0, :].reshape(-1)
+    return (t[:nb, 0, :].reshape(-1), slot[:nb, 0, :].reshape(-1))
 
 
 # ---------------------------------------------------------------------------

@@ -169,29 +169,12 @@ def make_tvisit_intersector(config: RenderConfig) -> Intersector:
     return Intersector(closest, occluded)
 
 
-def make_hybrid_intersector(config: RenderConfig) -> Intersector:
-    """HISTORICAL round-1/2 router, kept only as an A/B surface — the
-    ``visit`` intersector superseded both of its arms on every stream
-    class and is the default everywhere (round-2 measurements: bounce
-    closest 527 → ~392 ms per 518k chunk; see ops/visit_intersect.py).
-    Routing below reflects the PRE-visit measurements (tools/bounce_ab.py
-    on the enumerate-once pair driver): pair expansion for scattered
-    closest (469 vs 1105 ms), super-cell envelope for occlusion and
-    coherent primaries (real occlusion streams are coherent — light rays
-    converge, env rays share a direction per tile). Do not use for new
-    work; route by bench.py."""
-    sup = make_pallas_intersector(config)
-    prs = make_pairs_intersector(config)
-
-    def closest(scene, o, d, t_max=None, sort=True, coherent=False):
-        if sort:
-            return prs.closest(scene, o, d, t_max=t_max)
-        return sup.closest(scene, o, d, t_max=t_max, sort=False)
-
-    def occluded(scene, o, d, dist, sort=True, coherent=False):
-        return sup.occluded(scene, o, d, dist, sort=sort)
-
-    return Intersector(closest, occluded)
+# 'hybrid' (the round-1/2 pairs/super-cell router) was DELETED in round
+# 5 (VERDICT r4 weak #6): it routed by measurements two generations
+# stale — the visit intersector superseded both arms on every stream
+# class in round 2 (bounce closest 527 → ~392 ms per 518k chunk), and
+# tvisit supersedes visit on scattered streams in round 5. The numbers
+# live in STATUS.md round-2.
 
 
 # premask ray-chunk: bounds the (rays × instances) slab-test transient to
@@ -367,5 +350,4 @@ FACTORIES = {
     "pairs": make_pairs_intersector,
     "visit": make_visit_intersector,
     "tvisit": make_tvisit_intersector,
-    "hybrid": make_hybrid_intersector,
 }

@@ -1,5 +1,5 @@
 """A/B/C the wavefront engine's intersector at the bench workload (1080p
-pica-4x): pallas (super-cell) vs hybrid (super-cell primaries + pairs
+pica-4x): pallas (super-cell) vs visit/tvisit (the flagship generations
 bounces) vs pairs (per-ray everywhere). One scene build, shared engine."""
 import sys
 import time
@@ -18,7 +18,7 @@ benchmod.build_scene(rs)
 rs.camera.resize(1920, 1080)
 rs.camera.fov = 60.0
 
-for name in (sys.argv[1:] or ["pallas", "hybrid"]):
+for name in (sys.argv[1:] or ["pallas", "visit", "tvisit"]):
     rs.context.set_setting("intersector", name)
     t0 = time.time()
     rs.render_frame(samples=1)     # compile + warmup

@@ -225,14 +225,26 @@ def _tvisit_kernel(k_size: int, cslots: int, t_epsilon: float,
             done_s = done_v[sub]
             live = (~done_s) & (i < n_sub)
 
-            @pl.when(live & (i + PIPE - 1 < n_sub))
+            # DMA start/wait are gated ONLY by the list bound, NOT by
+            # done_s: a sub that early-exits while its sibling continues
+            # must keep consuming its own DMA ring, or its in-flight
+            # copies end the kernel with unsignaled semaphores — the
+            # global drain below uses the LOCKSTEP exit step, which only
+            # matches what was started if starts never pause. (First
+            # version gated starts on done_s: deterministic TPU-worker
+            # watchdog kill at first execution.) Only the dense compute
+            # is skipped for a finished sub.
+            @pl.when(i + PIPE - 1 < n_sub)
             def _(sub=sub):
                 dma(sub, jnp.remainder(i + PIPE - 1, PIPE),
                     gid(sub, i + PIPE - 1)).start()
 
+            @pl.when(i < n_sub)
+            def _(sub=sub, slot=slot):
+                dma(sub, slot, gid(sub, i)).wait()
+
             @pl.when(live)
             def _(sub=sub, lane0=lane0, slot=slot):
-                dma(sub, slot, gid(sub, i)).wait()
                 wp = wp_s[sub, slot]                     # (16, 128)
                 o_rows = rays[0:3, lane0:lane0 + LANES]  # (3, LANES)
                 d_rows = rays[4:7, lane0:lane0 + LANES]

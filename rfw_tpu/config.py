@@ -141,11 +141,15 @@ class RenderConfig:
     #                                   (one VPU lane-width per visit)
     treelet_spatial: bool = True      # disjoint centroid-cell treelets (fast)
     #                                   vs SAH-subtree ranges (legacy)
-    subcell_tables: bool = True       # build K/4 child-cell tables (in-place
+    subcell_tables: bool = False      # build K/4 child-cell tables (in-place
     #                                   spatial reorder of each cell's slots +
-    #                                   child AABBs + (T*4, 16, K/4) Woop
+    #                                   child AABBs + lane-padded child Woop
     #                                   planes) for the transposed sub-cell
-    #                                   intersector (round-5 'tvisit' core)
+    #                                   'tvisit' intersector. OFF by default:
+    #                                   tvisit measured SLOWER than 'visit'
+    #                                   on chip (d1 closest 473 vs 271 ms —
+    #                                   STATUS.md round-5 analysis); selecting
+    #                                   the intersector implies the tables.
     # visit-list intersector granule: "cell" (one K-tri cell per DMA/visit,
     # minimal dense work) or "super" (SUPER_G cells per visit — fewer,
     # fatter visits). See ops/visit_intersect.py.

@@ -773,6 +773,14 @@ class PathTracerEngine(EngineContext):
                 object.__setattr__(self.config, "use_tlas", True)
                 self._geo_key = None
                 self._dirty = True
+            if value == "tvisit" and not self.config.subcell_tables:
+                # likewise: the sub-cell child tables are opt-in (they
+                # cost ~8 KB/child of device memory and measured SLOWER
+                # than 'visit' on every stream — kept as the round-5
+                # negative result); selecting tvisit implies them
+                object.__setattr__(self.config, "subcell_tables", True)
+                self._geo_key = None
+                self._dirty = True
             self._intersector_name = value
             self._trace_fn = None
         elif name == "denoise":

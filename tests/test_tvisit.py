@@ -29,7 +29,7 @@ def soup_scene():
     inst = scene_data.InstancedMesh(
         triangles=soa, transform=np.eye(4, dtype=np.float32),
         instance_id=0, mesh_slot=0)
-    cfg = RenderConfig()
+    cfg = RenderConfig(subcell_tables=True)
     scene = scene_data.build_device_scene(
         [inst], MaterialList().generate_device_materials(),
         pack_lights([], [], [], []), None, None, cfg)

@@ -23,6 +23,13 @@ from .builder import BVH, build_bvh
 
 INVALID = np.int32(-1)
 
+# consecutive kd cells grouped into one DMA/cull unit ("super"): the
+# scene build packs per-super bounds tables (scene_data cbounds/sbmin/
+# sbmax) and the visit intersector's optional "super" granularity walks
+# supers instead of cells (ops/visit_intersect._granularity). Lived in
+# ops/pallas_intersect until that kernel generation was deleted (r5).
+SUPER_G = 8
+
 
 @dataclasses.dataclass
 class WideBVH:

@@ -574,7 +574,7 @@ def _granularity(tl, config: RenderConfig):
     ('super': SUPER_G consecutive cells — fewer, fatter visits)."""
     k_size = int(tl["wplanes"].shape[2])
     if config.visit_granularity == "super":
-        from .pallas_intersect import SUPER_G
+        from ..bvh.wide import SUPER_G
         wp = tl["wplanes"]
         t, rows, k = wp.shape
         wg = wp.reshape(t // SUPER_G, SUPER_G * rows, k)

@@ -7,9 +7,18 @@ analog of the reference's per-backend traversal code:
 * ``brute``  — O(R·T) dense, exact; the ground-truth oracle (tiny scenes).
 * ``bvh``    — 4-wide BVH gather traversal (ops/traverse.py); runs on CPU
                and TPU; the CPURT/EmbreeRT analog.
-* ``dense``  — treelet-binned dense Woop/matmul intersection in pure jnp
-               (same algorithm as the Pallas kernel, XLA-compiled).
-* ``pallas`` — the Pallas/MXU kernel (ops/pallas_intersect.py), TPU only.
+* ``dense``  — treelet-binned dense Woop intersection in pure jnp
+               (the Pallas kernels' algorithm, XLA-compiled; tiny scenes).
+* ``visit``  — the flagship Pallas visit-list kernel
+               (ops/visit_intersect.py).
+* ``tvisit`` — the round-5 sub-cell candidate, kept as a parity-tested
+               negative result (STATUS.md round-5 analysis).
+* ``tlas``   — two-level instancing traversal.
+
+Deleted generations (r5, VERDICT r4 #8 — numbers preserved in
+STATUS.md): ``pallas`` (the r1 super-cell envelope kernel) and ``pairs``
+(the r2 per-ray pair-expansion driver), both superseded by ``visit`` on
+every stream class since r2, and ``hybrid`` (their router).
 """
 
 from __future__ import annotations
@@ -93,36 +102,6 @@ def make_dense_intersector(config: RenderConfig) -> Intersector:
     return Intersector(closest, occluded)
 
 
-def make_pallas_intersector(config: RenderConfig) -> Intersector:
-    from ..ops import pallas_intersect
-
-    def closest(scene, o, d, t_max=None, sort=True, coherent=False):
-        return pallas_intersect.closest_hit(scene, o, d, config,
-                                            t_max=t_max, sort=sort)
-
-    def occluded(scene, o, d, dist, sort=True, coherent=False):
-        return pallas_intersect.any_hit(scene, o, d, dist, config,
-                                        sort=sort)
-
-    return Intersector(closest, occluded)
-
-
-def make_pairs_intersector(config: RenderConfig) -> Intersector:
-    """Per-ray pair-expansion Pallas kernel (ops/pair_intersect.py) — the
-    scattered-ray fast path (exact per-ray candidate cells instead of the
-    per-block envelope union)."""
-    from ..ops import pair_intersect
-
-    def closest(scene, o, d, t_max=None, sort=True, coherent=False):
-        return pair_intersect.closest_hit(scene, o, d, config,
-                                          t_max=t_max, sort=sort)
-
-    def occluded(scene, o, d, dist, sort=True, coherent=False):
-        return pair_intersect.any_hit(scene, o, d, dist, config, sort=sort)
-
-    return Intersector(closest, occluded)
-
-
 def make_visit_intersector(config: RenderConfig) -> Intersector:
     """Per-block exact visit-list kernel (ops/visit_intersect.py): exact
     per-ray candidates at cell granularity, per-256-ray-block union visit
@@ -145,9 +124,11 @@ def make_visit_intersector(config: RenderConfig) -> Intersector:
 def make_tvisit_intersector(config: RenderConfig) -> Intersector:
     """Transposed sub-cell visit-list kernel (ops/tvisit_intersect.py):
     per-128-ray sub-block lists of K/4-triangle child cells, (32, 128)
-    dense visits — the round-5 post-visit core for SCATTERED streams.
-    Requires the scene's subcell tables (config.subcell_tables, on by
-    default).
+    dense visits — the round-5 post-visit CANDIDATE, kept as a
+    parity-tested negative result (measured slower than 'visit' on every
+    stream — STATUS.md round-5 analysis). Requires the scene's subcell
+    tables (config.subcell_tables; selecting this intersector through
+    the settings protocol implies them).
 
     COHERENT streams (primary tiles, depth-0 converging shadow rays —
     the integrator passes coherent=True) route to the production visit
@@ -172,9 +153,8 @@ def make_tvisit_intersector(config: RenderConfig) -> Intersector:
 # 'hybrid' (the round-1/2 pairs/super-cell router) was DELETED in round
 # 5 (VERDICT r4 weak #6): it routed by measurements two generations
 # stale — the visit intersector superseded both arms on every stream
-# class in round 2 (bounce closest 527 → ~392 ms per 518k chunk), and
-# tvisit supersedes visit on scattered streams in round 5. The numbers
-# live in STATUS.md round-2.
+# class in round 2 (bounce closest 527 → ~392 ms per 518k chunk). The
+# numbers live in STATUS.md round-2.
 
 
 # premask ray-chunk: bounds the (rays × instances) slab-test transient to
@@ -346,8 +326,6 @@ FACTORIES = {
     "brute": make_brute_intersector,
     "bvh": make_bvh_intersector,
     "dense": make_dense_intersector,
-    "pallas": make_pallas_intersector,
-    "pairs": make_pairs_intersector,
     "visit": make_visit_intersector,
     "tvisit": make_tvisit_intersector,
 }

@@ -22,11 +22,10 @@ import dataclasses
 import numpy as np
 
 from ..bvh.builder import build_bvh, triangle_bounds
-from ..bvh.wide import (collapse_wide, extract_treelets, spatial_treelets,
-                        subdivide_cells)
+from ..bvh.wide import (SUPER_G, collapse_wide, extract_treelets,
+                        spatial_treelets, subdivide_cells)
 from ..config import RenderConfig
 from ..ops.intersect import woop_matrices
-from ..ops.pallas_intersect import SUPER_G
 from ..scene.mesh import TriangleSoA
 
 

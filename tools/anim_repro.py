@@ -4,7 +4,7 @@ import numpy as np, jax, jax.numpy as jnp
 jax.config.update('jax_log_compiles', True)
 from rfw_tpu.system import RenderSystem
 from rfw_tpu.config import RenderConfig
-from rfw_tpu.ops import raygen, pallas_intersect as pi
+from rfw_tpu.ops import raygen, visit_intersect as pi
 from rfw_tpu.render import RenderStatus
 
 rs = RenderSystem("wavefront", RenderConfig())

@@ -5,7 +5,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
 from rfw_tpu.system import RenderSystem
 from rfw_tpu.config import RenderConfig
-from rfw_tpu.ops import raygen, pallas_intersect as pi
+from rfw_tpu.ops import raygen, visit_intersect as pi
 from rfw_tpu.ops.bsdf.common import safe_origin
 from rfw_tpu.render.integrator import _tile_permutation
 import bench as benchmod

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from rfw_tpu.bvh import build_bvh, triangle_bounds, extract_treelets
 from rfw_tpu.config import RenderConfig
-from rfw_tpu.ops import pallas_intersect as pi
+from rfw_tpu.ops import visit_intersect as pi
 from rfw_tpu.ops import traverse
 from rfw_tpu.ops.intersect import woop_matrices
 

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from rfw_tpu.system import RenderSystem
 from rfw_tpu.config import RenderConfig
-from rfw_tpu.ops import raygen, pallas_intersect as pi
+from rfw_tpu.ops import raygen, visit_intersect as pi
 from rfw_tpu.ops.shade import get_shading_data
 from rfw_tpu.render.integrator import _tile_permutation
 import bench as benchmod

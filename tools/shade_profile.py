@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from rfw_tpu.system import RenderSystem
 from rfw_tpu.config import RenderConfig
 from rfw_tpu.ops import raygen, rng as rng_mod, light_sampling
-from rfw_tpu.ops import pair_intersect as pri
+from rfw_tpu.ops import visit_intersect as pri
 from rfw_tpu.ops.bsdf import get as get_bsdf
 from rfw_tpu.ops.shade import get_shading_data
 from rfw_tpu.render.integrator import _tile_permutation

@@ -24,6 +24,9 @@ import time
 sys.path.insert(0, "/root/repo")
 
 CASES = ["v1", "v2", "v3", "v4", "v5", "v6"]
+# size threshold probes for the v4 construct (one bare traverse_wide):
+# v4 crashes at 518400 rays, v6 passes at 16384 — sweep between
+SIZE_CASES = {"s64k": 65536, "s128k": 131072, "s256k": 262144}
 
 
 def run_case(case: str) -> None:
@@ -42,7 +45,8 @@ def run_case(case: str) -> None:
     exec(compile(header, spec.origin, "exec"), ns)
 
     eng = ns["build"](4)
-    o, d = ns["rays"](518400 if case != "v6" else 16384)
+    n_rays = SIZE_CASES.get(case, 518400 if case != "v6" else 16384)
+    o, d = ns["rays"](n_rays)
     n = o.shape[0]
     tl = eng._scene["tlas"]
     blas = tl["blas"][0]
@@ -109,7 +113,7 @@ def run_case(case: str) -> None:
         fn = jax.jit(tlas_loop(use_cond=True))
     elif case == "v3":
         fn = jax.jit(tlas_loop(use_cond=False))
-    elif case in ("v4", "v6"):
+    elif case in ("v4", "v6") or case in SIZE_CASES:
         fn = jax.jit(lambda o, d: traverse.traverse_wide(
             o, d, wb, tris, leaf_size=4, t_epsilon=1e-5)[:2])
     elif case == "v5":
@@ -150,8 +154,9 @@ def main():
     if "--case" in sys.argv:
         run_case(sys.argv[sys.argv.index("--case") + 1])
         return
+    cases = (list(SIZE_CASES) if "--sizes" in sys.argv else CASES)
     results = {}
-    for case in CASES:
+    for case in cases:
         print(f"--- {case} ---", flush=True)
         r = subprocess.run(
             [sys.executable, __file__, "--case", case],

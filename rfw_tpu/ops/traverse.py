@@ -21,6 +21,10 @@ import jax.numpy as jnp
 from .intersect import BIG_T, intersect_tri, safe_inv_dir
 
 STACK_DEPTH = 64
+# max rays per vmapped-traversal program on TPU — larger single launches
+# kill the axon TPU worker at first execution (round-5 bisect; 16k safe,
+# 64k crashes). Chunked via lax.map in traverse_wide.
+TPU_VMAP_CHUNK = 32768
 
 
 def _leaf_intersect(origin, direction, first, count, tris, leaf_size,
@@ -126,6 +130,29 @@ def traverse_wide(origins, directions, wbvh, tris, leaf_size: int = 4,
         _, _, best = jax.lax.while_loop(cond, body, state)
         return best
 
+    # TPU-worker crash workaround (round-5 bisect, tools/
+    # tpu_crash_bisect.py): a single vmapped while_loop+gather traversal
+    # launch deterministically kills the axon TPU worker at first
+    # execution for >= 64k rays (16k is fine; scan/cond around it are
+    # innocent). Chunk large launches through lax.map so every compiled
+    # traversal program stays under the measured-safe size. CPU and
+    # small launches keep the single-call path (identical results —
+    # rays are independent).
+    limit = TPU_VMAP_CHUNK
+    if (n_rays > limit
+            and any(d.platform != "cpu" for d in jax.devices())):
+        pad = (-n_rays) % limit
+        o_p = jnp.concatenate([origins, jnp.zeros((pad, 3),
+                                                  origins.dtype)])
+        d_p = jnp.concatenate([directions, jnp.ones((pad, 3),
+                                                    directions.dtype)])
+        t_p = jnp.concatenate([t_max, jnp.zeros(pad, t_max.dtype)])
+        t, prim, u, v = jax.lax.map(
+            lambda args: jax.vmap(one_ray)(*args),
+            (o_p.reshape(-1, limit, 3), d_p.reshape(-1, limit, 3),
+             t_p.reshape(-1, limit)))
+        return (t.reshape(-1)[:n_rays], prim.reshape(-1)[:n_rays],
+                u.reshape(-1)[:n_rays], v.reshape(-1)[:n_rays])
     t, prim, u, v = jax.vmap(one_ray)(origins, directions, t_max)
     return t, prim, u, v
 

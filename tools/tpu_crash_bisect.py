@@ -26,7 +26,8 @@ sys.path.insert(0, "/root/repo")
 CASES = ["v1", "v2", "v3", "v4", "v5", "v6"]
 # size threshold probes for the v4 construct (one bare traverse_wide):
 # v4 crashes at 518400 rays, v6 passes at 16384 — sweep between
-SIZE_CASES = {"s64k": 65536, "s128k": 131072, "s256k": 262144}
+SIZE_CASES = {"s64k": 65536, "s128k": 131072, "s256k": 262144,
+              "s32k": 32768, "s48k": 49152, "s24k": 24576}
 
 
 def run_case(case: str) -> None:
@@ -154,7 +155,8 @@ def main():
     if "--case" in sys.argv:
         run_case(sys.argv[sys.argv.index("--case") + 1])
         return
-    cases = (list(SIZE_CASES) if "--sizes" in sys.argv else CASES)
+    cases = (["s32k", "s48k", "s24k"] if "--sizes2" in sys.argv
+             else list(SIZE_CASES)[:3] if "--sizes" in sys.argv else CASES)
     results = {}
     for case in cases:
         print(f"--- {case} ---", flush=True)

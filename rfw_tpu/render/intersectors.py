@@ -189,6 +189,13 @@ def make_tlas_intersector(config: RenderConfig) -> Intersector:
     Hit prims map back into the permuted flattened shading planes via
     inst_base + orig_to_perm, so the integrator shades identically to the
     flattened intersectors.
+
+    SUPPORT BOUND (measured on chip, round 5 — STATUS.md): this is the
+    oracle/dynamics path, interactive only at example-scale instance
+    counts (I ≤ ~32 at frame ray counts; ~32 ms/instance beyond). The
+    production instancing route is the flagship flatten + device-refit
+    path. Launches above ~16M (rays × instances) pairs additionally trip
+    the axon worker landmine (ARCHITECTURE.md operational notes).
     """
 
     def _loop(scene, o, d, t_max, any_hit: bool):

@@ -1,16 +1,29 @@
-"""Transposed sub-cell visit-list intersector — the round-5 core.
+"""Transposed sub-cell visit-list intersector — the round-5 post-visit
+CANDIDATE, kept as a parity-tested NEGATIVE RESULT.
+
+OUTCOME (on chip, tools/r5_tvisit_ab.py, 2026-08-20): loses to the
+production visit kernel on every stream — d1 bounce closest 473 vs 271
+ms, d1 occlusion 331 vs 196, coherent primary 78 vs 41 — at perfect
+correctness (found-mask agreement 1.000000). The 3.4x dense-work
+reduction this design achieves is fully consumed by the measured
+~0.33 us per-visit DMA/step overhead (74% of a (32,128) visit's cost)
+plus ~100 ms/chunk of child-expansion machinery. The full
+measured-constants analysis — why no TPU-expressible design beats the
+visit architecture on this hardware, and which missing primitives
+would change that — is in STATUS.md round-5. The design, for the
+record:
 
 The production visit kernel (ops/visit_intersect.py) is capped by its own
 speed-of-light budget at ~23 Mrays/s: per-256-ray-block union visit
-lists execute ~133 (256,128) dense visits on the 1080p bounce stream
-against a per-ray floor of ~8, and every block-formation lever is a
+lists execute ~97-133 (256,128) dense visits on the 1080p bounce stream
+against a per-ray floor of ~12, and every block-formation lever is a
 recorded kill (STATUS.md r2-r4) because the waste is hemisphere
 direction scatter within origin-coherent blocks. Per-ray pair expansion
-removes the union waste but pays O(pairs) global sorts (~5-8 ms per
-M-row per operand) that cancel the win — measured r2, re-cost-modeled
-r5 (tools/r5_core_sim.py).
+removes the union waste but pays O(pairs) global sorts (~3-7 ms per
+M-row per operand) that cancel the win — measured r2, re-priced with
+on-chip constants in r5 (tools/r5_table_micro.py).
 
-This core attacks the waste with ZERO new table classes, on two axes:
+This design attacks the waste with ZERO new table classes, on two axes:
 
 * **Finer rays**: each 256-ray block splits into SUB=2 sub-blocks of 128
   rays with their OWN visit lists. Union(128 rays) < union(256): the

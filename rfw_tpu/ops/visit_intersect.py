@@ -1,14 +1,16 @@
-"""Per-block exact visit-list Pallas intersector — the round-2 flagship.
+"""Per-block exact visit-list Pallas intersector — THE flagship.
 
-Replaces both prior TPU traversal strategies on the hot path:
+Replaced both prior TPU traversal strategies on the hot path in round 2
+(both DELETED in round 5, numbers in STATUS.md):
 
-* ``pallas_intersect`` culls per ray-block ENVELOPE (interval arithmetic
-  over the block's origins x directions). Coherent blocks are fine;
-  scattered bounce blocks pay ~102 candidate supers because the envelope
-  is the union of 256 rays' slabs made conservative.
-* ``pair_intersect`` gets exact per-ray candidates but pays ~270 ms of
-  XLA sorts per 518k-ray launch (enumerate row-sort, pair-expansion sort,
-  combine sort) against only ~120 ms of kernel time.
+* the super-cell envelope kernel culled per ray-block ENVELOPE (interval
+  arithmetic over the block's origins x directions). Coherent blocks are
+  fine; scattered bounce blocks pay ~102 candidate supers because the
+  envelope is the union of 256 rays' slabs made conservative.
+* the pair-expansion driver got exact per-ray candidates but paid
+  ~270 ms of XLA sorts per 518k-ray launch (enumerate row-sort,
+  pair-expansion sort, combine sort) against only ~120 ms of kernel
+  time.
 
 This module keeps the exactness and drops the sorts: the candidate unit is
 the per-256-ray-BLOCK **exact union** of crossed cells (or supers).
@@ -32,8 +34,9 @@ the per-256-ray-BLOCK **exact union** of crossed cells (or supers).
 The TPU answer to per-ray BVH traversal (reference mbvh_node.h:122-307,
 CUDAIntersect.h): traversal *order* lives in the block-level candidate
 tables; the lockstep VPU only ever runs dense (256, K) Woop tests
-(exact-f32 broadcast FMA — MXU matmul at default precision flips
-closest-hit winners, see ops/pallas_intersect.py module doc).
+(exact-f32 broadcast FMA — MXU matmuls at default precision flip
+closest-hit winners; at precision=HIGHEST they lose to VPU FMAs,
+measured 576 vs 394 ms in round 2).
 
 Measured-dead variants were REMOVED in round 4 (STATUS.md keeps the
 numbers): the two-phase mid-trace regroup v1/v2 (_trace_regroup +
@@ -42,7 +45,12 @@ on-chip 'win' was the NaN-bitcast merge bug) and the two-level union
 restriction s_sub (on-chip 0.956-1.41x, tools history). Block
 formation is also at its floor: every parent-cell grouping key loses
 to the production octant|morton(dir)|morton(origin) compaction key
-(round-4 sortkey_cell_sim result in STATUS.md).
+(round-4 sortkey_cell_sim result in STATUS.md). Round 5 pinned the
+remaining constants — the inner loop runs within 6% of the VPU's pure
+FMA issue rate, division included (tools/r5_kernel_micro.py), and the
+sub-granularity/transposed/pair alternatives all measured slower
+(STATUS.md round-5 analysis) — so this architecture is the fixed point
+on this hardware.
 """
 
 from __future__ import annotations
@@ -432,7 +440,7 @@ def _visit_kernel(super_g: int, k_size: int, m_c: int, t_epsilon: float,
 
     # lane-major output rows: (BLOCK, 1) scratch → (8, BLOCK) broadcast
     # streams contiguously (minor-dim-8 output blocks DMA as 32 B
-    # segments — ~5 us/program of pure fixed cost, ops/pair_intersect.py)
+    # segments — ~5 us/program of pure fixed cost, measured round 1)
     t_out[0, :, :] = jnp.broadcast_to(
         jnp.where(found, tmin, t_max0).reshape(1, BLOCK), (8, BLOCK))
     slot_out[0, :, :] = jnp.broadcast_to(

@@ -689,7 +689,7 @@ def build_device_scene(
         # Pallas kernel layout: per treelet a (16, K) block — rows 0-3 the
         # Woop rows producing barycentric u for the K triangles, 4-7 → v,
         # 8-11 → w, 12-15 zero padding (sublane alignment). One aligned DMA
-        # per treelet (ops/pallas_intersect.py).
+        # per treelet (the Pallas kernels DMA these blocks).
         "wplanes": _woop_planes(pad_woop, config.treelet_size,
                                 treelets.bmin, treelets.bmax),
         "verts": padded_verts,

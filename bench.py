@@ -98,7 +98,12 @@ def _cache_state() -> dict:
     except OSError:
         n_jax = 0
     try:
-        n_scene = sum(len(fs) for _, _, fs in os.walk(sc)) - n_jax
+        # count only files OUTSIDE the jax cache subtree (a recursive
+        # walk minus the jax top-level entry count miscounts whenever
+        # the jax cache nests directories)
+        n_scene = sum(
+            len(fs) for root, _, fs in os.walk(sc)
+            if not root.startswith(jc))
     except OSError:
         n_scene = 0
     return {"jax_cache": "warm" if n_jax > 0 else "cold",

@@ -68,7 +68,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
-from .intersect import BIG_T, intersect_tri
+from .intersect import BIG_T, intersect_tri, safe_inv_dir
 from .visit_intersect import (BLOCK, M_C, _pack_rays8, _pad_rays,
                               _sort_carry_in, _sort_carry_out,
                               block_entries, block_entries_envelope,
@@ -110,10 +110,15 @@ def expand_children(ids, origins, directions, t_hi, bmin32, bmax32,
     cid = (jnp.minimum(ids, t_p - 1)[:, :, None] * 4
            + jnp.arange(4, dtype=ids.dtype)[None, None, :])
     cid = jnp.where(valid_p[:, :, None], cid, t32).reshape(nb, cslots)
-    # child bounds gather: one (NB*4*M_C)-row gather of 6-float rows
+    # child bounds gather: one (NB*4*M_C)-row gather of 6-float rows.
+    # Invalid slots (cid == t32) must get a far-point box, NOT the
+    # clamped last real child's: when the padded cell count equals the
+    # real count (power-of-two scenes), child t32-1 is real and every
+    # non-full window would inject phantom duplicate visits of it.
     cb = jnp.concatenate([bmin32, bmax32], axis=1)        # (T32, 6)
     cbw = cb[jnp.minimum(cid, t32 - 1).reshape(-1)].reshape(
         nb, cslots, 6)
+    cbw = jnp.where((cid < t32)[:, :, None], cbw, 3e37)
 
     o_b = origins.reshape(nb, BLOCK, 3)
     d_b = directions.reshape(nb, BLOCK, 3)
@@ -131,9 +136,7 @@ def expand_children(ids, origins, directions, t_hi, bmin32, bmax32,
 
     def chunk_fn(args):
         o_c, d_c, th_c, cb_c = args                       # (nbc, ...)
-        safe = jnp.where(jnp.abs(d_c) < 1e-12,
-                         jnp.where(d_c < 0, -1e-12, 1e-12), d_c)
-        inv = (1.0 / safe)[:, :, None, :]                 # (nbc,B,1,3)
+        inv = safe_inv_dir(d_c)[:, :, None, :]            # (nbc,B,1,3)
         lo = cb_c[:, None, :, 0:3]                        # (nbc,1,S,3)
         hi = cb_c[:, None, :, 3:6]
         t1 = (lo - o_c[:, :, None, :]) * inv
@@ -417,7 +420,7 @@ def _trace(scene, origins, directions, t_max, config: RenderConfig,
     n = origins.shape[0]
     t_p = bounds8.shape[1]
     # child tri count from static shapes (wplanes32 blocks are
-    # lane-padded to 128; size32 may be a traced scene leaf)
+    # lane-padded to 128, so their lane dim can't serve)
     k32 = int(tl["slot_to_prim"].shape[0]) // int(tl["bmin32"].shape[0])
     t_max = jnp.asarray(t_max, jnp.float32)
     lo = tl["scene_lo"] if "scene_lo" in tl else tl["bmin"].min(axis=0)
@@ -473,57 +476,16 @@ def closest_hit(scene, origins, directions, config: RenderConfig,
                 t_max=None, sort: bool = True, coherent: bool = False):
     """Intersector ABI: (t, prim, u, v); lanes with t_max == 0 are dead.
     Slot space is the SAME padded slot space as the production visit
-    kernel (child*K32 + lane == cell*128 + sub-range), so slot_to_prim /
-    verts apply unchanged."""
-    tl = scene["treelets"]
-    n = origins.shape[0]
-    if t_max is None:
-        t_max = jnp.full(n, BIG_T)
-    t_max = jnp.broadcast_to(t_max, (n,))
-    lane = None
-    if sort:
-        origins, directions, t_max, lane = _sort_carry_in(
-            tl, origins, directions, t_max)
-    o, d, tm, r = _pad_rays(origins, directions, t_max)
-    t, slot = _trace(scene, o, d, tm, config, any_hit=False,
-                     coherent=coherent)
-    t, slot = t[:r], slot[:r]
-    found = slot >= 0
-    prim = jnp.where(found, tl["slot_to_prim"][jnp.maximum(slot, 0)], -1)
-    found = found & (prim >= 0)
-
-    tv = tl["verts"][jnp.maximum(slot, 0)]
-    rhit, rt, ru, rv = intersect_tri(
-        o[:r], d[:r], tv[:, 0], tv[:, 1] - tv[:, 0],
-        tv[:, 2] - tv[:, 0], t_epsilon=config.t_epsilon * 0.5)
-    t = jnp.where(found, jnp.where(rhit, rt, t), BIG_T)
-    prim = jnp.where(found, prim, -1)
-    u = jnp.where(found & rhit, ru, 0.0)
-    v = jnp.where(found & rhit, rv, 0.0)
-    if lane is None:
-        return t, prim, u, v
-    t, prim, u, v = _sort_carry_out(lane, t, prim, u, v)
-    return t, prim, u, v
+    kernel (child*K32 + lane == cell*128 + sub-range), so the shared
+    driver's slot_to_prim / verts refinement applies unchanged."""
+    from .visit_intersect import closest_hit_driver
+    return closest_hit_driver(_trace, scene, origins, directions,
+                              config, t_max, sort, coherent)
 
 
 def any_hit(scene, origins, directions, dist, config: RenderConfig,
             sort: bool = True, coherent: bool = False):
     """Occlusion: True where something lies closer than ``dist``."""
-    tl = scene["treelets"]
-    n = origins.shape[0]
-    dist = jnp.broadcast_to(dist, (n,))
-    lane = None
-    if sort:
-        origins, directions, dist, lane = _sort_carry_in(
-            tl, origins, directions, dist)
-    o, d, tm, r = _pad_rays(origins, directions, dist)
-    t, slot = _trace(scene, o, d, tm, config, any_hit=True,
-                     coherent=coherent)
-    slot = slot[:r]
-    hit = slot >= 0
-    occluded = jnp.where(
-        hit, tl["slot_to_prim"][jnp.maximum(slot, 0)], -1) >= 0
-    if lane is None:
-        return occluded
-    (occ_i,) = _sort_carry_out(lane, occluded.astype(jnp.int32))
-    return occ_i > 0
+    from .visit_intersect import any_hit_driver
+    return any_hit_driver(_trace, scene, origins, directions, config,
+                          dist, sort, coherent)

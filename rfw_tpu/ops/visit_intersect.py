@@ -677,6 +677,18 @@ def closest_hit(scene, origins, directions, config: RenderConfig,
     lands in; callers set it when blocks are TIGHT: primary tiles,
     light-converging shadow rays. Compaction-sorted bounce closest
     measured faster with per-ray enumeration)."""
+    return closest_hit_driver(_trace, scene, origins, directions,
+                              config, t_max, sort, coherent)
+
+
+def closest_hit_driver(trace_fn, scene, origins, directions, config,
+                       t_max, sort, coherent):
+    """Shared closest-hit wrapper around a ``_trace(scene, o, d, tm,
+    config, any_hit, coherent) -> (t, slot)`` implementation: coherence
+    sort-carry in, ray padding, slot→prim mapping, Möller–Trumbore
+    winner refinement, sort-carry out. Serves this module and
+    tvisit_intersect (same padded slot space) so the refinement
+    contract lives in exactly one place."""
     tl = scene["treelets"]
     n = origins.shape[0]
     if t_max is None:
@@ -687,8 +699,8 @@ def closest_hit(scene, origins, directions, config: RenderConfig,
         origins, directions, t_max, lane = _sort_carry_in(
             tl, origins, directions, t_max)
     o, d, tm, r = _pad_rays(origins, directions, t_max)
-    t, slot = _trace(scene, o, d, tm, config, any_hit=False,
-                     coherent=coherent)
+    t, slot = trace_fn(scene, o, d, tm, config, any_hit=False,
+                       coherent=coherent)
     t, slot = t[:r], slot[:r]
     found = slot >= 0
     prim = jnp.where(found, tl["slot_to_prim"][jnp.maximum(slot, 0)], -1)
@@ -714,6 +726,13 @@ def closest_hit(scene, origins, directions, config: RenderConfig,
 def any_hit(scene, origins, directions, dist, config: RenderConfig,
             sort: bool = True, coherent: bool = False):
     """Occlusion: True where something lies closer than ``dist``."""
+    return any_hit_driver(_trace, scene, origins, directions, config,
+                          dist, sort, coherent)
+
+
+def any_hit_driver(trace_fn, scene, origins, directions, config, dist,
+                   sort, coherent):
+    """Shared occlusion wrapper (see closest_hit_driver)."""
     tl = scene["treelets"]
     n = origins.shape[0]
     dist = jnp.broadcast_to(dist, (n,))
@@ -722,8 +741,8 @@ def any_hit(scene, origins, directions, dist, config: RenderConfig,
         origins, directions, dist, lane = _sort_carry_in(
             tl, origins, directions, dist)
     o, d, tm, r = _pad_rays(origins, directions, dist)
-    t, slot = _trace(scene, o, d, tm, config, any_hit=True,
-                     coherent=coherent)
+    t, slot = trace_fn(scene, o, d, tm, config, any_hit=True,
+                       coherent=coherent)
     slot = slot[:r]
     hit = slot >= 0
     occluded = jnp.where(

@@ -404,9 +404,6 @@ def make_device_refit(scene: dict, instances: list[InstancedMesh],
             out["_treelets_update"].update({
                 "bmin32": b32lo, "bmax32": b32hi,
                 "wplanes32": wp32,
-                "count32": jnp.sum(
-                    (p_val[:, 0] > 0).reshape(n_cells * 4, k4),
-                    axis=1).astype(jnp.int32),
             })
         if slots_new is not None:
             out["_treelets_update"]["slot_to_prim"] = slots_new
@@ -582,15 +579,18 @@ def build_device_scene(
     else:
         treelets = extract_treelets(bvh, tmin, tmax,
                                     size=config.treelet_size)
-    sub_tables = (config.subcell_tables and config.treelet_size % 4 == 0)
+    # children need >= 8 slots each: _woop_planes writes cell bounds into
+    # lanes 0:6 of plane row 12, and sublane slicing is 8-aligned
+    sub_tables = (config.subcell_tables and config.treelet_size % 4 == 0
+                  and config.treelet_size >= 32)
     if sub_tables:
         # spatially reorder each cell's slots and derive K/4 child cells
         # (bvh/wide.subdivide_cells) — cell membership unchanged, so every
         # existing consumer is unaffected; the 'tvisit' intersector gets a
         # 4x finer exact candidate granularity nested in the cells
         (treelets.pad_map, bmin32, bmax32,
-         count32) = subdivide_cells(treelets.pad_map, tmin, tmax,
-                                    config.treelet_size)
+         _count32) = subdivide_cells(treelets.pad_map, tmin, tmax,
+                                     config.treelet_size)
 
     verts = cat["vertices"][perm]
     scene = {
@@ -652,8 +652,6 @@ def build_device_scene(
                 [bmin32, np.full((pad_n * 4, 3), 3e37, np.float32)])
             bmax32 = np.concatenate(
                 [bmax32, np.full((pad_n * 4, 3), 3e37, np.float32)])
-            count32 = np.concatenate(
-                [count32, np.zeros(pad_n * 4, np.int32)])
 
     # pad_woop by GATHER from the already-computed per-triangle woop
     # plane (scene["woop"], permuted order; pad_perm indexes it) — the
@@ -720,9 +718,8 @@ def build_device_scene(
         scene["treelets"].update({
             # K/4 child cells nested in the cells (slot ranges
             # [child*k4, (child+1)*k4))
-            "bmin32": bmin32, "bmax32": bmax32, "count32": count32,
+            "bmin32": bmin32, "bmax32": bmax32,
             "wplanes32": wp32,
-            "size32": k4,
         })
     if config.use_tlas:
         scene["tlas"] = _build_tlas_tables(instances, inv_perm)

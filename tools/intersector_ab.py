@@ -1,6 +1,6 @@
 """A/B/C the wavefront engine's intersector at the bench workload (1080p
-pica-4x): pallas (super-cell) vs visit/tvisit (the flagship generations
-bounces) vs pairs (per-ray everywhere). One scene build, shared engine."""
+pica-4x): visit vs tvisit (the flagship vs the round-5 candidate;
+pass intersector names as args). One scene build, shared engine."""
 import sys
 import time
 
@@ -18,7 +18,7 @@ benchmod.build_scene(rs)
 rs.camera.resize(1920, 1080)
 rs.camera.fov = 60.0
 
-for name in (sys.argv[1:] or ["pallas", "visit", "tvisit"]):
+for name in (sys.argv[1:] or ["visit", "tvisit"]):
     rs.context.set_setting("intersector", name)
     t0 = time.time()
     rs.render_frame(samples=1)     # compile + warmup

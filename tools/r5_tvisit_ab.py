@@ -27,7 +27,7 @@ from rfw_tpu.ops import tvisit_intersect as tv  # noqa: E402
 from rfw_tpu.render.integrator import _tile_permutation  # noqa: E402
 import bench as benchmod  # noqa: E402
 
-cfg = RenderConfig()
+cfg = RenderConfig(subcell_tables=True)   # tvisit needs the child tables
 rs = RenderSystem("wavefront", cfg)
 benchmod.build_scene(rs)
 rs.camera.resize(1920, 1080)

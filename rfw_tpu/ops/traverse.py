@@ -22,9 +22,12 @@ from .intersect import BIG_T, intersect_tri, safe_inv_dir
 
 STACK_DEPTH = 64
 # max rays per vmapped-traversal program on TPU — larger single launches
-# kill the axon TPU worker at first execution (round-5 bisect; 16k safe,
-# 64k crashes). Chunked via lax.map in traverse_wide.
+# kill the axon TPU worker at first execution (round-5 bisect; 48k safe,
+# 64k crashes). Chunked via lax.map in traverse_wide. FORCE_CHUNK lets
+# the CPU suite exercise the chunked branch (it only engages off-CPU in
+# production).
 TPU_VMAP_CHUNK = 32768
+FORCE_CHUNK = False
 
 
 def _leaf_intersect(origin, direction, first, count, tris, leaf_size,
@@ -139,8 +142,8 @@ def traverse_wide(origins, directions, wbvh, tris, leaf_size: int = 4,
     # small launches keep the single-call path (identical results —
     # rays are independent).
     limit = TPU_VMAP_CHUNK
-    if (n_rays > limit
-            and any(d.platform != "cpu" for d in jax.devices())):
+    if n_rays > limit and (FORCE_CHUNK or any(
+            d.platform != "cpu" for d in jax.devices())):
         pad = (-n_rays) % limit
         o_p = jnp.concatenate([origins, jnp.zeros((pad, 3),
                                                   origins.dtype)])

@@ -769,9 +769,14 @@ class PathTracerEngine(EngineContext):
                 # the two-level tables ride the device scene only when
                 # use_tlas is set — selecting the intersector through the
                 # runtime-settings protocol implies it (else the trace
-                # would KeyError on scene["tlas"])
+                # would KeyError on scene["tlas"]). _anim_key must be
+                # nulled TOO: a config flip needs a FULL rebuild to add
+                # the new tables, and the refit shortcut (which keys on
+                # _anim_key, not _geo_key) would otherwise refresh the
+                # old table-less scene
                 object.__setattr__(self.config, "use_tlas", True)
                 self._geo_key = None
+                self._anim_key = None
                 self._dirty = True
             if value == "tvisit" and not self.config.subcell_tables:
                 # likewise: the sub-cell child tables are opt-in (they
@@ -780,6 +785,7 @@ class PathTracerEngine(EngineContext):
                 # negative result); selecting tvisit implies them
                 object.__setattr__(self.config, "subcell_tables", True)
                 self._geo_key = None
+                self._anim_key = None
                 self._dirty = True
             self._intersector_name = value
             self._trace_fn = None

@@ -169,6 +169,40 @@ def test_tlas_engine_intersector_matches_bvh():
     assert np.abs(a - b).max() < 1e-4  # same hits, same shading
 
 
+def test_tlas_switch_after_build_rebuilds_tables():
+    """Selecting 'tlas' AFTER the scene was built WITHOUT use_tlas must
+    force a full rebuild (the setting implies the config flag, and the
+    refit shortcut — keyed on _anim_key — cannot add scene['tlas'] to
+    the old scene; regression: KeyError 'tlas' at trace time)."""
+    from rfw_tpu.config import RenderConfig
+    from rfw_tpu.render import RenderStatus, create_engine
+    from rfw_tpu.scene import HostMaterial, MaterialList, make_quad
+    from rfw_tpu.scene.lights import PointLight, pack_lights
+    import rfw_tpu
+
+    cfg = RenderConfig(blue_noise=False, max_path_length=1)   # no use_tlas
+    eng = create_engine("megakernel", cfg)
+    ml = MaterialList()
+    ml.add(HostMaterial(color=np.array([0.7, 0.6, 0.5]), roughness=1.0))
+    eng.set_materials(ml.generate_device_materials())
+    eng.set_lights(pack_lights(
+        [], [PointLight(position=np.array([1.0, 4.0, -1.0], np.float32),
+                        radiance=np.array([30.0, 30.0, 30.0],
+                                          np.float32))], [], []))
+    eng.set_mesh(0, make_quad([0, 1, 0], [0, 0, 0], 8, 8, 0).triangles())
+    eng.set_instance(0, 0, np.eye(4, dtype=np.float32))
+    cam = rfw_tpu.Camera()
+    cam.resize(32, 32)
+    cam.look_at([0, 2.5, -5.0], [0, 0.8, 0.0])
+    eng.resize(32, 32)
+    view = cam.get_view().as_pytree()
+    a = np.asarray(eng.render_frame(view, RenderStatus.RESET, samples=1))
+    eng.set_setting("intersector", "tlas")      # post-build switch
+    b = np.asarray(eng.render_frame(view, RenderStatus.RESET, samples=1))
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_tlas_instance_move_fast_path(monkeypatch):
     """Moving an instance under the TLAS intersector must NOT trigger a
     full device-scene rebuild — only plane re-transform + TLAS refit —

@@ -150,6 +150,39 @@ def test_tvisit_engine_frame_matches_visit():
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+def test_tvisit_switch_after_build_rebuilds_tables():
+    """Selecting 'tvisit' AFTER the scene was already built (without the
+    child tables) must force a FULL rebuild: the refit shortcut keys on
+    _anim_key, not _geo_key, and a refit of the old scene cannot add
+    bmin32/wplanes32 (regression: KeyError 'bmin32' at trace time)."""
+    import rfw_tpu
+    from rfw_tpu.render import RenderStatus, create_engine
+    from rfw_tpu.scene import HostMaterial, MaterialList, make_quad
+    from rfw_tpu.scene.lights import PointLight, pack_lights
+
+    cfg = RenderConfig(max_path_length=1, blue_noise=False)
+    eng = create_engine("megakernel", cfg)
+    ml = MaterialList()
+    ml.add(HostMaterial(color=np.array([0.7, 0.6, 0.5]), roughness=1.0))
+    eng.set_materials(ml.generate_device_materials())
+    eng.set_lights(pack_lights(
+        [], [PointLight(position=np.array([1.0, 4.0, -1.0], np.float32),
+                        radiance=np.array([30.0, 30.0, 30.0],
+                                          np.float32))], [], []))
+    eng.set_mesh(0, make_quad([0, 1, 0], [0, 0, 0], 8, 8, 0).triangles())
+    eng.set_instance(0, 0, np.eye(4, dtype=np.float32))
+    cam = rfw_tpu.Camera()
+    cam.resize(32, 32)
+    cam.look_at([0, 2.5, -5.0], [0, 0.8, 0.0])
+    eng.resize(32, 32)
+    view = cam.get_view().as_pytree()
+    a = np.asarray(eng.render_frame(view, RenderStatus.RESET, samples=1))
+    eng.set_setting("intersector", "tvisit")    # post-build switch
+    b = np.asarray(eng.render_frame(view, RenderStatus.RESET, samples=1))
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_tvisit_matches_visit_bitwise_refined(soup_scene):
     """tvisit and visit refine winners through the same Möller–Trumbore
     pass, so on unique-winner rays their (t, prim) agree exactly."""
